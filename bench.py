@@ -1,0 +1,51 @@
+"""Benchmark: run the declared Data Vault queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Each query executes fully via the noop sink (no collect overhead, no
+driver materialization) — what a cluster run would do."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import SparkSession
+    from datavault4dbt_spark import fixtures
+    from datavault4dbt_spark.context import configure_session_builder
+
+    spark = configure_session_builder(
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dv4dbt-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = fixtures.all_entity_names()
+    timings = {}
+    t0 = time.time()
+    for name in names:
+        q0 = time.time()
+        df = fixtures.entity_query(name)(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - q0, 3)
+    total = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({"metric": "dv_load_total_wall", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

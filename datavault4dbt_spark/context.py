@@ -1,0 +1,158 @@
+"""Global engine configuration + model registry.
+
+Mirrors the reference package's global variables (reference:
+dbt_project.yml:17-85) — technical column aliases, hash settings,
+ghost-record sentinels, replacement tokens — as one frozen dataclass,
+and replaces dbt's ``ref()``/``source()`` resolution with an explicit
+model registry (name -> DataFrame / DuckDB relation name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Zero-key values per hash algorithm (reference:
+# macros/supporting/hash_default_values.sql:14-26).
+_HASH_DEFAULTS = {
+    "MD5": ("00000000000000000000000000000000", "ffffffffffffffffffffffffffffffff"),
+    "SHA1": ("0" * 40, "f" * 40),
+    "SHA": ("0" * 40, "f" * 40),
+    "SHA256": ("0" * 64, "f" * 64),
+    "SHA2": ("0" * 64, "f" * 64),
+}
+
+
+@dataclass(frozen=True)
+class GlobalConfig:
+    """Engine-wide defaults (reference: dbt_project.yml:17-85)."""
+
+    # Technical column aliases (dbt_project.yml:17-26)
+    ldts_alias: str = "ldts"
+    rsrc_alias: str = "rsrc"
+    ledts_alias: str = "ledts"
+    snapshot_trigger_column: str = "is_active"
+    sdts_alias: str = "sdts"
+    stg_alias: str = "stg"
+    deleted_flag_alias: str = "deleted_flag"
+    is_current_col_alias: str = "IS_CURRENT"
+
+    # Hashing (dbt_project.yml:28-43)
+    hash: str = "MD5"
+    hash_datatype: str = "STRING"
+    hashkey_input_case_sensitive: bool = False
+    hashdiff_input_case_sensitive: bool = True
+    concat_string: str = "||"
+    quote_character: str = '"'
+    null_placeholder_string: str = "^^"
+    concat_string_replacement: str = "dv4dbt-concat-replacement"
+    quote_character_replacement: str = "dv4dbt-quote-replacement"
+    null_placeholder_string_replacement: str = "dv4dbt-null-replacement"
+    use_trim: bool = True
+    hashdiff_use_trim: bool = True
+    hashdiff_use_rtrim: bool = False
+
+    # Ghost-record sentinels, databricks dialect (dbt_project.yml:58-67).
+    # The reference default is 0001-01-01 00:00:01; we shift one day
+    # because CPython's datetime.fromtimestamp (used by PySpark collect's
+    # non-Arrow path) probes one day earlier for DST-fold detection and
+    # crashes on year-0. Configurable, like the reference's global var.
+    beginning_of_all_times: str = "0001-01-02 00:00:01"
+    end_of_all_times: str = "8888-12-31 23:59:59"
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss"
+    beginning_of_all_times_date: str = "0001-01-02"
+    end_of_all_times_date: str = "8888-12-31"
+    date_format: str = "yyyy-MM-dd"
+    default_unknown_rsrc: str = "SYSTEM"
+    default_error_rsrc: str = "ERROR"
+    unknown_value_string: str = "(unknown)"
+    error_value_string: str = "(error)"
+    unknown_value_numeric: int = -1
+    error_value_numeric: int = -2
+
+    # Snapshot calendar (dbt_project.yml:55)
+    first_day_of_week: str = "monday"
+
+    @property
+    def unknown_key(self) -> str:
+        return _HASH_DEFAULTS[self.hash.upper()][0]
+
+    @property
+    def error_key(self) -> str:
+        return _HASH_DEFAULTS[self.hash.upper()][1]
+
+    @property
+    def hash_alg_spark(self) -> str:
+        """SQL function template for the hash algorithm (Spark side)."""
+        return {"MD5": "MD5({x})", "SHA1": "SHA1({x})", "SHA": "SHA1({x})",
+                "SHA256": "SHA2({x}, 256)", "SHA2": "SHA2({x}, 256)"}[self.hash.upper()]
+
+    @property
+    def hash_alg_duckdb(self) -> str:
+        return {"MD5": "MD5({x})", "SHA1": "SHA1({x})", "SHA": "SHA1({x})",
+                "SHA256": "SHA256({x})", "SHA2": "SHA256({x})"}[self.hash.upper()]
+
+
+DEFAULT = GlobalConfig()
+
+
+@dataclass
+class Registry:
+    """Model registry replacing dbt ref()/source().
+
+    ``spark_loaders``: name -> callable(spark) -> DataFrame.
+    ``duckdb_relations``: name -> SQL relation text (table name or
+    ``read_parquet('...')``) used when generating oracle SQL.
+    """
+
+    spark_loaders: dict = field(default_factory=dict)
+    duckdb_relations: dict = field(default_factory=dict)
+
+    def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
+        self.spark_loaders[name] = lambda spark, p=path: spark.read.parquet(p)
+        self.duckdb_relations[name] = duckdb_relation or name
+
+    def register(self, name: str, loader, duckdb_sql: str):
+        """loader: callable(spark) -> DataFrame; duckdb_sql: a full SELECT
+        (will be inlined as a CTE body) or bare relation name."""
+        self.spark_loaders[name] = loader
+        self.duckdb_relations[name] = duckdb_sql
+
+    def load(self, spark, name: str):
+        return self.spark_loaders[name](spark)
+
+    def duckdb_relation(self, name: str) -> str:
+        return self.duckdb_relations[name]
+
+
+def testdata_registry(sf_dir: str) -> Registry:
+    """Registry over the driver's parquet testdata (TESTDATA.md)."""
+    reg = Registry()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        # DuckDB side: the driver pre-registers each table as a view.
+        reg.register_parquet(t, f"{sf_dir}/{t}.parquet", t)
+
+    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LONG nanos
+    # (requires spark.sql.legacy.parquet.nanosAsLong=true) -> truncate to
+    # microseconds with integer division; DuckDB's TIMESTAMP_NS->TIMESTAMP
+    # cast truncates identically (probe-verified).
+    def _events(spark, p=f"{sf_dir}/events.parquet"):
+        from pyspark.sql import functions as F
+        df = spark.read.parquet(p)
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+
+    reg.register(
+        "events", _events,
+        "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)")
+    return reg
+
+
+def configure_session_builder(builder):
+    """Session options the engine relies on (UTC, AQE, nanos handling)."""
+    return (builder
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true"))

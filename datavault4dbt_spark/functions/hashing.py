@@ -1,0 +1,143 @@
+"""Hash-expression factory — the correctness-critical core.
+
+Re-implements the reference's databricks hashing pipeline (reference:
+macros/supporting/hash.sql:466-532, hash_standardization.sql:93-103 and
+549-612, multi-active variant 1244-1257) as a *dual-dialect* SQL text
+generator: the same :class:`HashSpec` emits a Spark SQL expression (used
+via ``F.expr``) and a DuckDB SQL expression (used by the oracle), so the
+two engines execute one declared semantic independently.
+
+Pipeline per hash column:
+  1. per-attribute standardise: TRIM(CAST(x AS STRING)) -> escape
+     backslashes -> replace quote/null-placeholder/concat-string tokens
+     -> wrap in double quotes
+  2. IFNULL(attr, '^^')
+  3. CONCAT(attr1, '||', attr2, ...)
+  4. UPPER(...) for case-insensitive inputs (hashkeys by default)
+  5. strip \n \t \v \r  (Java regex \v = vertical-whitespace CLASS; the
+     DuckDB side replicates the full Java class, see _STRIP_* below)
+  6. NULLIF(..., '[ALL_NULL]') where [ALL_NULL] is the exact concat of
+     placeholders
+  7. LOWER(MD5(...)) with IFNULL -> zero key
+Multi-active hashdiffs feed step-6's per-row result through
+LISTAGG(..., ',') WITHIN GROUP (ORDER BY ma_keys) before step 7.
+
+Known parity constraint (documented, probe-verified): Spark renders
+DOUBLE as Java Double.toString (scientific notation for |x| >= 1e7 or
+< 1e-3); DuckDB uses shortest decimal. Hash inputs must stay inside the
+common range — all TPC-H monetary/quantity columns do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..context import GlobalConfig, DEFAULT
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# Java regex r'\v' (used by the reference on databricks) matches the
+# vertical-whitespace class, not just VT. RE2 equivalent for the oracle:
+_STRIP_SPARK = r"[\n\t\v\r]"
+_STRIP_DUCKDB = r"[\n\t\v\f\r\x{0085}\x{2028}\x{2029}]"
+
+
+def sql_str(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+@dataclass(frozen=True)
+class HashSpec:
+    """One hash column definition (hashkey or hashdiff)."""
+
+    name: str
+    columns: tuple  # column names or SQL expressions; '!x' = literal constant
+    is_hashdiff: bool = False
+    # multi-active: aggregate the standardised row-string per group
+    multi_active_key: tuple = ()
+
+
+def _as_expr(col: str) -> str:
+    """'!foo' -> literal 'foo' (reference: as_constant.sql:7-31)."""
+    if col.startswith("!"):
+        return sql_str(col[1:])
+    return col
+
+
+def _attribute_standardise(expr: str, g: GlobalConfig, dialect: str, use_trim: bool) -> str:
+    base = f"CAST({expr} AS STRING)"
+    if use_trim:
+        base = f"TRIM({base})"
+    if dialect == SPARK:
+        s = f"REGEXP_REPLACE({base}, r'\\\\', r'\\\\\\\\')"
+        s = f"REGEXP_REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)})"
+    else:
+        s = f"REGEXP_REPLACE({base}, '\\\\', '\\\\\\\\', 'g')"
+        s = f"REGEXP_REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)}, 'g')"
+    s = f"REPLACE({s}, {sql_str(g.null_placeholder_string)}, {sql_str(g.null_placeholder_string_replacement)})"
+    s = f"REPLACE({s}, {sql_str(g.concat_string)}, {sql_str(g.concat_string_replacement)})"
+    q = sql_str(g.quote_character)
+    if dialect == SPARK:
+        return f"CONCAT({q}, {s}, {q})"
+    # DuckDB CONCAT ignores NULL args (Spark's returns NULL); use || which
+    # propagates NULL so the IFNULL(-> '^^') null marker fires identically.
+    return f"({q} || {s} || {q})"
+
+
+def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
+    """Steps 1-6: the standardised, NULLIF-guarded row string."""
+    case_sensitive = (g.hashdiff_input_case_sensitive if spec.is_hashdiff
+                      else g.hashkey_input_case_sensitive)
+    use_trim = g.hashdiff_use_trim if spec.is_hashdiff else g.use_trim
+    parts = []
+    for i, col in enumerate(spec.columns):
+        std = _attribute_standardise(_as_expr(col), g, dialect, use_trim)
+        parts.append(f"IFNULL(({std}), {sql_str(g.null_placeholder_string)})")
+        if i < len(spec.columns) - 1:
+            parts.append(sql_str(g.concat_string))
+    concat = "CONCAT(" + ", ".join(parts) + ")"
+    if not case_sensitive:
+        concat = f"UPPER({concat})"
+    strip_pat = _STRIP_SPARK if dialect == SPARK else _STRIP_DUCKDB
+    if dialect == SPARK:
+        stripped = f"REGEXP_REPLACE({concat}, r'{strip_pat}', '')"
+    else:
+        stripped = f"REGEXP_REPLACE({concat}, '{strip_pat}', '', 'g')"
+    all_null = g.null_placeholder_string + (
+        (g.concat_string + g.null_placeholder_string) * (len(spec.columns) - 1))
+    row = f"NULLIF(CAST({stripped} AS STRING), {sql_str(all_null)})"
+    if spec.is_hashdiff and g.hashdiff_use_rtrim:
+        trim_chars = sql_str(g.null_placeholder_string + g.concat_string)
+        if dialect == SPARK:  # Spark: RTRIM(trimStr, str); DuckDB: RTRIM(str, chars)
+            row = f"RTRIM({trim_chars}, {row})"
+        else:
+            row = f"RTRIM({row}, {trim_chars})"
+    return row
+
+
+def hash_expr_sql(spec: HashSpec, g: GlobalConfig = DEFAULT, dialect: str = SPARK,
+                  alias: bool = True) -> str:
+    """Full hash expression (steps 1-7) in the given dialect."""
+    row = _row_string(spec, g, dialect)
+    if spec.multi_active_key:
+        keys = ", ".join(spec.multi_active_key)
+        if dialect == SPARK:
+            row = f"LISTAGG({row}, ',') WITHIN GROUP (ORDER BY {keys})"
+        else:
+            row = f"STRING_AGG({row}, ',' ORDER BY {keys})"
+    alg = g.hash_alg_spark if dialect == SPARK else g.hash_alg_duckdb
+    hashed = alg.format(x=row)
+    out = f"IFNULL(LOWER({hashed}), {sql_str(g.unknown_key)})"
+    if alias:
+        out = f"{out} AS {spec.name}"
+    return out
+
+
+def hash_col(spec: HashSpec, g: GlobalConfig = DEFAULT):
+    """Spark Column for the hash expression (Catalyst-optimizable,
+    whole-stage-codegen friendly: built-in functions only)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(hash_expr_sql(spec, g, SPARK, alias=False)).alias(spec.name)

@@ -1,0 +1,93 @@
+"""Insert-only incremental loading: HWM pruning + anti-join appends.
+
+Re-implements the reference's incremental pattern (reference:
+macros/tables/databricks/hub.sql:165-179 HWM; 248-257 anti-join;
+sat_v0.sql:56-62) as engine logic: the high-water mark is collected as
+one driver-side scalar and injected as a literal filter, which lets the
+parquet/Delta scan do min-max skipping at 100 TB scale; new records are
+appended insert-only (no MERGE/UPDATE anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT
+
+
+def max_ldts(target: DataFrame, g: GlobalConfig = DEFAULT,
+             coalesce_to_beginning: bool = False):
+    """MAX(ldts) in target excluding the end-of-times ghost row.
+
+    Driver-side action replacing the reference's compile-time
+    ``run_query`` probe (reference: hub.sql:173-179).
+    """
+    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+    agg = target.filter(F.col(g.ldts_alias) != eot).agg(
+        F.max(g.ldts_alias).alias("m")).collect()[0]["m"]
+    if agg is None and coalesce_to_beginning:
+        import datetime
+        return datetime.datetime.fromisoformat(g.beginning_of_all_times)
+    return agg
+
+
+def hwm_filter(src: DataFrame, target: DataFrame | None,
+               g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Keep only source rows newer than the target's high-water mark."""
+    if target is None:
+        return src
+    m = max_ldts(target, g)
+    if m is None:
+        return src
+    return src.filter(F.col(g.ldts_alias) > F.lit(m))
+
+
+def anti_join_new(candidates: DataFrame, target: DataFrame | None,
+                  keys: list) -> DataFrame:
+    """records_to_insert: candidates whose key is absent from target.
+
+    Hash keys are never NULL post-staging, so LEFT ANTI JOIN is exactly
+    the reference's NOT IN (reference: hub.sql:248-257; SURVEY §2.3).
+    """
+    if target is None:
+        return candidates
+    return candidates.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+class ParquetStore:
+    """Minimal insert-only table store over a directory of parquet tables.
+
+    Stands in for Delta in this container (delta-spark is not baked in);
+    the write pattern (append of records_to_insert) is identical.
+    """
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def exists(self, name: str) -> bool:
+        import os
+        return os.path.isdir(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def append(self, name: str, df: DataFrame):
+        df.write.mode("append").parquet(self.path(name))
+
+    def overwrite(self, name: str, df: DataFrame):
+        # Read-modify-write needs a materialized source: parquet overwrite
+        # of the input path would clobber before read.
+        rows = df.collect() if df.isStreaming is False else None
+        out = self.spark.createDataFrame(rows, df.schema)
+        out.write.mode("overwrite").parquet(self.path(name))
+
+    def delete_where(self, name: str, condition):
+        """DELETE FROM name WHERE condition (reference:
+        macros/hooks/clean_up_pits.sql:128-137 uses warehouse DELETE;
+        with Delta this would be DeltaTable.delete)."""
+        df = self.read(name).filter(~condition)
+        self.overwrite(name, df)
