@@ -21,6 +21,21 @@ from .operators.hub import HubConfig, EntitySource, build_hub, hub_oracle
 from .operators.link import LinkConfig, build_link, link_oracle
 from .operators.sat import (SatConfig, SatV1Config, build_sat_v0, build_sat_v1,
                             sat_v0_oracle, sat_v1_oracle)
+from .operators.nh import (NhSatConfig, NhLinkConfig, build_nh_sat, build_nh_link,
+                           nh_sat_oracle, nh_link_oracle)
+from .operators.ma_sat import (MaSatConfig, MaSatV1Config, build_ma_sat_v0,
+                               build_ma_sat_v1, ma_sat_v0_oracle, ma_sat_v1_oracle)
+from .operators.rec_track import (RecTrackConfig, build_rec_track_sat,
+                                  rec_track_oracle)
+from .operators.eff_sat import EffSatConfig, build_eff_sat_v0, eff_sat_v0_oracle
+from .operators.ref_entities import (
+    RefHubConfig, RefSatConfig, RefSatV1Config, RefTableConfig,
+    build_ref_hub, build_ref_sat_v0, build_ref_sat_v1, build_ref_table,
+    ref_hub_oracle, ref_sat_v0_oracle, ref_sat_v1_oracle, ref_table_oracle)
+from .operators.snapshots import (SnapV0Config, SnapV1Config, LogLogic,
+                                  build_snap_v0, build_snap_v1,
+                                  snap_v0_oracle, snap_v1_oracle)
+from .operators.pit import PitConfig, build_pit, pit_oracle
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -185,6 +200,156 @@ SATS_V1 = {
 }
 
 
+NH_SATS = {
+    "nh_sat_user_event": NhSatConfig(
+        "nh_sat_user_event", "stage_events", "hk_event_nl",
+        payload=("user_id", "event_type", "value", "props"),
+        source_is_single_batch=False),
+}
+
+NH_LINKS = {
+    "nh_link_order_customer": NhLinkConfig(
+        "nh_link_order_customer", "hk_order_customer_nl",
+        ("hk_order_h", "hk_customer_h"), ("o_totalprice",),
+        (EntitySource("stage_orders"),), source_is_single_batch=False),
+}
+
+MA_SATS = {
+    "ma_sat_customer_orders": MaSatConfig(
+        "ma_sat_customer_orders", "stage_orders", "hk_customer_h",
+        "hd_order_ms", ("o_orderkey",),
+        payload=("o_orderstatus", "o_orderpriority")),
+}
+
+MA_SATS_V1 = {
+    "ma_sat_customer_orders_v1": MaSatV1Config(
+        "ma_sat_customer_orders_v1", "ma_sat_customer_orders",
+        "hk_customer_h", "hd_order_ms", ("o_orderkey",),
+        payload=("o_orderstatus", "o_orderpriority"),
+        add_is_current_flag=True),
+}
+
+REC_TRACKS = {
+    "rec_track_customer": RecTrackConfig(
+        "rec_track_customer", "hk_customer_h",
+        (EntitySource("stage_customer", hk_column="hk_customer_h",
+                      rsrc_static="TPCH/customer"),
+         EntitySource("stage_orders", hk_column="hk_customer_h",
+                      rsrc_static="TPCH/orders"))),
+}
+
+EFF_SATS = {
+    "eff_sat_customer_nation": EffSatConfig(
+        "eff_sat_customer_nation", "stage_customer", "hk_customer_nation_l",
+        source_is_single_batch=False),
+}
+
+REF_HUBS = {
+    "ref_hub_nation": RefHubConfig(
+        "ref_hub_nation", ("n_nationkey",), (EntitySource("stage_nation"),)),
+}
+
+REF_SATS = {
+    "ref_sat_nation_v0": RefSatConfig(
+        "ref_sat_nation_v0", "stage_nation", ("n_nationkey",), "hd_nation_s",
+        payload=("n_name", "n_regionkey")),
+}
+
+REF_SATS_V1 = {
+    "ref_sat_nation_v1": RefSatV1Config(
+        "ref_sat_nation_v1", "ref_sat_nation_v0", ("n_nationkey",),
+        "hd_nation_s", payload=("n_name", "n_regionkey")),
+}
+
+REF_TABLES = {
+    "ref_table_nation": RefTableConfig(
+        "ref_table_nation", "ref_hub_nation", ("n_nationkey",),
+        (("ref_sat_nation_v1", ("n_name", "n_regionkey")),), historized="full"),
+}
+
+SNAPS_V0 = {
+    "control_snap_v0": SnapV0Config("control_snap_v0", "2024-01-01",
+                                    "00:00:00", end_date="2024-01-31"),
+}
+
+SNAPS_V1 = {
+    # deterministic 'now' so the retention CASE logic is testable
+    "control_snap_v1": SnapV1Config(
+        "control_snap_v1", "control_snap_v0",
+        log_logic={"is_active": LogLogic(daily=("3", "MONTH"),
+                                         weekly=("1", "YEAR"),
+                                         yearly=("forever",))},
+        current_ts="2024-02-01 00:00:00"),
+}
+
+PITS = {
+    "pit_customer": PitConfig(
+        "pit_customer", "hub_customer", "hk_customer_h",
+        ("sat_customer_n0_s", "sat_customer_p0_s"), "control_snap_v1",
+        "dimension_key", snapshot_trigger_column="is_active",
+        refer_to_ghost_records=True),
+}
+
+
+# name -> (cfg-dict, spark builder, oracle builder, dependencies)
+_FAMILIES = [
+    (STAGES, build_stage, stage_oracle,
+     lambda c: []),
+    (HUBS, build_hub, hub_oracle,
+     lambda c: [sm.name for sm in c.source_models]),
+    (LINKS, build_link, link_oracle,
+     lambda c: [sm.name for sm in c.source_models]),
+    (SATS, build_sat_v0, sat_v0_oracle,
+     lambda c: [c.source_model]),
+    (SATS_V1, build_sat_v1, sat_v1_oracle,
+     lambda c: [c.sat_v0]),
+    (NH_SATS, build_nh_sat, nh_sat_oracle,
+     lambda c: [c.source_model]),
+    (NH_LINKS, build_nh_link, nh_link_oracle,
+     lambda c: [sm.name for sm in c.source_models]),
+    (MA_SATS, build_ma_sat_v0, ma_sat_v0_oracle,
+     lambda c: [c.source_model]),
+    (MA_SATS_V1, build_ma_sat_v1, ma_sat_v1_oracle,
+     lambda c: [c.ma_sat_v0]),
+    (REC_TRACKS, build_rec_track_sat, rec_track_oracle,
+     lambda c: [sm.name for sm in c.source_models]),
+    (EFF_SATS, build_eff_sat_v0, eff_sat_v0_oracle,
+     lambda c: [c.source_model]),
+    (REF_HUBS, build_ref_hub, ref_hub_oracle,
+     lambda c: [sm.name for sm in c.source_models]),
+    (REF_SATS, build_ref_sat_v0, ref_sat_v0_oracle,
+     lambda c: [c.source_model]),
+    (REF_SATS_V1, build_ref_sat_v1, ref_sat_v1_oracle,
+     lambda c: [c.ref_sat_v0]),
+    (REF_TABLES, build_ref_table, ref_table_oracle,
+     lambda c: [c.ref_hub] + [s for s, _ in c.ref_satellites]
+               + ([c.snapshot_relation] if c.snapshot_relation else [])),
+    (SNAPS_V0, None, None, lambda c: []),   # special-cased (no registry arg)
+    (SNAPS_V1, build_snap_v1, snap_v1_oracle,
+     lambda c: [c.snap_v0]),
+    (PITS, build_pit, pit_oracle,
+     lambda c: [c.tracked_entity, c.snapshot_relation] + list(c.sat_names)),
+]
+
+
+def _entity_index():
+    idx = {}
+    for configs, bld, orc, deps in _FAMILIES:
+        for name, cfg in configs.items():
+            idx[name] = (cfg, bld, orc, deps)
+    return idx
+
+
+_INDEX = None
+
+
+def _index():
+    global _INDEX
+    if _INDEX is None:
+        _INDEX = _entity_index()
+    return _INDEX
+
+
 def ensure_session_conf(spark):
     """Set runtime-settable confs the fixtures rely on (the driver may
     hand us a session built without them)."""
@@ -198,85 +363,65 @@ def ensure_session_conf(spark):
 
 
 def registry(spark, sf_dir: str) -> Registry:
-    """Spark-side registry: raw tables + lazily-built stage/sat plans."""
+    """Spark-side registry: raw tables + lazily-built entity plans.
+    Every declared entity is registered so downstream entities (PIT over
+    sats over stages) resolve recursively."""
     ensure_session_conf(spark)
     reg = testdata_registry(sf_dir)
-    for name, cfg in STAGES.items():
-        reg.spark_loaders[name] = (
-            lambda spark, c=cfg: build_stage(spark, reg, c, G))
-    for name, cfg in SATS.items():
-        reg.spark_loaders[name] = (
-            lambda spark, c=cfg: build_sat_v0(spark, reg, c, G))
+    for name, (cfg, bld, _orc, _deps) in _index().items():
+        if name in SNAPS_V0:
+            reg.spark_loaders[name] = (
+                lambda spark, c=cfg: build_snap_v0(spark, c, G))
+        else:
+            reg.spark_loaders[name] = (
+                lambda spark, c=cfg, f=bld: f(spark, reg, c, G))
     return reg
 
 
 def oracle_registry() -> Registry:
     """Oracle-side registry: raw tables are driver-registered DuckDB views;
-    stages/sats resolve to their CTE names."""
+    entities resolve to their CTE names."""
     reg = Registry()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
+              "lineitem", "documents", "embeddings"):
         reg.duckdb_relations[t] = t
-    for name in list(STAGES) + list(SATS):
+    reg.duckdb_relations["events"] = (
+        "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)")
+    for name in _index():
         reg.duckdb_relations[name] = name
     return reg
 
 
-def _add_stage_ctes(b: SqlBuilder, reg: Registry, stage_names):
-    for s in stage_names:
-        stage_oracle(b, reg, STAGES[s], G)
-
-
-def _add_sat_ctes(b: SqlBuilder, reg: Registry, sat_names):
-    for s in sat_names:
-        _add_stage_ctes(b, reg, [SATS[s].source_model])
-        sat_v0_oracle(b, reg, SATS[s], G)
+def _add_oracle_cte(b: SqlBuilder, reg: Registry, name: str) -> str:
+    if b.has(name):
+        return name
+    cfg, _bld, orc, deps = _index()[name]
+    for dep in deps(cfg):
+        if dep in _index():
+            _add_oracle_cte(b, reg, dep)
+    if name in SNAPS_V0:
+        return snap_v0_oracle(b, cfg, G)
+    return orc(b, reg, cfg, G)
 
 
 def entity_oracle_sql(name: str) -> str:
     """Full DuckDB oracle SQL for one declared entity query."""
     b = SqlBuilder()
     reg = oracle_registry()
-    if name in STAGES:
-        final = stage_oracle(b, reg, STAGES[name], G)
-    elif name in HUBS:
-        cfg = HUBS[name]
-        _add_stage_ctes(b, reg, [sm.name for sm in cfg.source_models])
-        final = hub_oracle(b, reg, cfg, G)
-    elif name in LINKS:
-        cfg = LINKS[name]
-        _add_stage_ctes(b, reg, [sm.name for sm in cfg.source_models])
-        final = link_oracle(b, reg, cfg, G)
-    elif name in SATS:
-        cfg = SATS[name]
-        _add_stage_ctes(b, reg, [cfg.source_model])
-        final = sat_v0_oracle(b, reg, cfg, G)
-    elif name in SATS_V1:
-        cfg = SATS_V1[name]
-        _add_sat_ctes(b, reg, [cfg.sat_v0])
-        final = sat_v1_oracle(b, reg, cfg, G)
-    else:
-        raise KeyError(name)
+    final = _add_oracle_cte(b, reg, name)
     return b.render(f"SELECT * FROM {final}")
 
 
 def entity_query(name: str):
     """(spark, sf_dir) -> DataFrame builder for one declared entity."""
+    if name not in _index():
+        raise KeyError(name)
+
     def run(spark, sf_dir):
         reg = registry(spark, sf_dir)
-        if name in STAGES:
-            return build_stage(spark, reg, STAGES[name], G)
-        if name in HUBS:
-            return build_hub(spark, reg, HUBS[name], G)
-        if name in LINKS:
-            return build_link(spark, reg, LINKS[name], G)
-        if name in SATS:
-            return build_sat_v0(spark, reg, SATS[name], G)
-        if name in SATS_V1:
-            return build_sat_v1(spark, reg, SATS_V1[name], G)
-        raise KeyError(name)
+        return reg.load(spark, name)
     return run
 
 
 def all_entity_names() -> list:
-    return (list(STAGES) + list(HUBS) + list(LINKS) + list(SATS) + list(SATS_V1))
+    return list(_index())

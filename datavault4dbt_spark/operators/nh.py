@@ -1,0 +1,119 @@
+"""Non-historized (transactional) satellite and link.
+
+nh_sat — reference: macros/tables/nh_sat.sql:11 /
+macros/tables/databricks/nh_sat.sql:25-81 (first row per hashkey when
+multi-batch at 42-43, NOT-IN insert at 68-75).
+
+nh_link — reference: macros/tables/nh_link.sql:9 /
+macros/tables/databricks/nh_link.sql:1-298 (per-source payload mapping
+at 219-235, union_strategy 'all'|'distinct' at 33-42, optional
+earliest-per-hashkey dedup at 253-264).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from ..plans.incremental import hwm_filter, anti_join_new
+
+
+@dataclass(frozen=True)
+class NhSatConfig:
+    name: str
+    source_model: str
+    parent_hashkey: str
+    payload: tuple
+    source_is_single_batch: bool = True
+    additional_columns: tuple = ()
+
+
+def build_nh_sat(spark, reg: Registry, cfg: NhSatConfig, g: GlobalConfig = DEFAULT,
+                 target: DataFrame | None = None, disable_hwm: bool = False) -> DataFrame:
+    cols = [cfg.parent_hashkey, g.ldts_alias, g.rsrc_alias, *cfg.payload,
+            *cfg.additional_columns]
+    src = reg.load(spark, cfg.source_model).select(*cols)
+    if target is not None and not disable_hwm:
+        src = hwm_filter(src, target, g)
+    if not cfg.source_is_single_batch:
+        w = Window.partitionBy(cfg.parent_hashkey).orderBy(g.ldts_alias)
+        src = (src.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    return anti_join_new(src, target, [cfg.parent_hashkey])
+
+
+def nh_sat_oracle(b: SqlBuilder, reg: Registry, cfg: NhSatConfig,
+                  g: GlobalConfig = DEFAULT) -> str:
+    cols = [cfg.parent_hashkey, g.ldts_alias, g.rsrc_alias, *cfg.payload,
+            *cfg.additional_columns]
+    sel = f"SELECT {', '.join(cols)} FROM {reg.duckdb_relation(cfg.source_model)}"
+    if not cfg.source_is_single_batch:
+        sel += (f"\nQUALIFY ROW_NUMBER() OVER (PARTITION BY {cfg.parent_hashkey} "
+                f"ORDER BY {g.ldts_alias}) = 1")
+    return b.cte(cfg.name, sel)
+
+
+@dataclass(frozen=True)
+class NhLinkConfig:
+    name: str
+    link_hashkey: str
+    foreign_hashkeys: tuple
+    payload: tuple  # target payload names
+    source_models: tuple  # EntitySource with fk_columns / payload mapping
+    union_strategy: str = "all"  # 'all' | 'distinct'
+    source_is_single_batch: bool = True
+    additional_columns: tuple = ()
+
+
+def build_nh_link(spark, reg: Registry, cfg: NhLinkConfig, g: GlobalConfig = DEFAULT,
+                  target: DataFrame | None = None, disable_hwm: bool = False) -> DataFrame:
+    parts = []
+    for sm in cfg.source_models:
+        df = reg.load(spark, sm.name)
+        hk = sm.hk_column or cfg.link_hashkey
+        fks = sm.fk_columns or cfg.foreign_hashkeys
+        pay = sm.payload or cfg.payload
+        sel = [F.col(hk).alias(cfg.link_hashkey)]
+        sel += [F.col(s).alias(t) for s, t in zip(fks, cfg.foreign_hashkeys)]
+        sel += [F.col(c) for c in cfg.additional_columns]
+        sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
+        sel += [F.col(s).alias(t) for s, t in zip(pay, cfg.payload)]
+        src = df.select(*sel)
+        if target is not None and not disable_hwm:
+            src = hwm_filter(src, target, g)
+        parts.append(src)
+    union = reduce(lambda a, b: a.unionByName(b), parts)
+    if cfg.union_strategy == "distinct" and len(parts) > 1:
+        union = union.distinct()
+    if not cfg.source_is_single_batch:
+        w = Window.partitionBy(cfg.link_hashkey).orderBy(g.ldts_alias, g.rsrc_alias)
+        union = (union.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+    return anti_join_new(union, target, [cfg.link_hashkey])
+
+
+def nh_link_oracle(b: SqlBuilder, reg: Registry, cfg: NhLinkConfig,
+                   g: GlobalConfig = DEFAULT) -> str:
+    selects = []
+    for sm in cfg.source_models:
+        hk = sm.hk_column or cfg.link_hashkey
+        fks = sm.fk_columns or cfg.foreign_hashkeys
+        pay = sm.payload or cfg.payload
+        cols = [f"{hk} AS {cfg.link_hashkey}"]
+        cols += [f"{s} AS {t}" for s, t in zip(fks, cfg.foreign_hashkeys)]
+        cols += list(cfg.additional_columns)
+        cols += [g.ldts_alias, g.rsrc_alias]
+        cols += [f"{s} AS {t}" for s, t in zip(pay, cfg.payload)]
+        selects.append(f"SELECT {', '.join(cols)} FROM {reg.duckdb_relation(sm.name)}")
+    joiner = "\nUNION\n" if (cfg.union_strategy == "distinct"
+                             and len(selects) > 1) else "\nUNION ALL\n"
+    u = b.cte(f"{cfg.name}__union", joiner.join(selects))
+    sel = f"SELECT * FROM {u}"
+    if not cfg.source_is_single_batch:
+        sel += (f"\nQUALIFY ROW_NUMBER() OVER (PARTITION BY {cfg.link_hashkey} "
+                f"ORDER BY {g.ldts_alias}, {g.rsrc_alias}) = 1")
+    return b.cte(cfg.name, sel)

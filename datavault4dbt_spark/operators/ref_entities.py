@@ -1,0 +1,238 @@
+"""Reference-data family: ref_hub, ref_sat_v0, ref_sat_v1, ref_table.
+
+ref_hub — reference: macros/tables/ref_hub.sql:1 /
+macros/tables/databricks/ref_hub.sql:150-233: hub keyed on natural ref
+keys (no hashkey), earliest-ldts dedup per ref-key tuple.
+
+ref_sat_v0/v1 — reference: macros/tables/databricks/ref_sat_v0.sql:60-150
+(sat_v0 keyed on composite ref keys), ref_sat_v1.sql:35-73.
+
+ref_table — reference: macros/tables/databricks/ref_table.sql:46-151:
+date spine (distinct sat ldts for historized='full', MAX for 'latest',
+or an active snapshot) x ref hub, LEFT JOIN each (end-dated) ref sat on
+ref keys AND date BETWEEN ldts AND ledts, excluding business objects
+before their first appearance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from ..plans.incremental import hwm_filter
+
+
+@dataclass(frozen=True)
+class RefHubConfig:
+    name: str
+    ref_keys: tuple
+    source_models: tuple  # EntitySource (bk_columns = per-source ref keys)
+    additional_columns: tuple = ()
+
+
+def build_ref_hub(spark, reg: Registry, cfg: RefHubConfig, g: GlobalConfig = DEFAULT,
+                  target: DataFrame | None = None) -> DataFrame:
+    parts = []
+    for sm in cfg.source_models:
+        df = reg.load(spark, sm.name)
+        keys = sm.bk_columns or cfg.ref_keys
+        sel = [F.col(s).alias(t) for s, t in zip(keys, cfg.ref_keys)]
+        sel += [F.col(c) for c in cfg.additional_columns]
+        sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
+        src = df.select(*sel)
+        if target is not None:
+            src = hwm_filter(src, target, g)
+        parts.append(src)
+    union = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy(*cfg.ref_keys).orderBy(g.ldts_alias, g.rsrc_alias)
+    dedup = (union.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    if target is not None:
+        dedup = dedup.join(target.select(*cfg.ref_keys).distinct(),
+                           on=list(cfg.ref_keys), how="left_anti")
+    return dedup
+
+
+def ref_hub_oracle(b: SqlBuilder, reg: Registry, cfg: RefHubConfig,
+                   g: GlobalConfig = DEFAULT) -> str:
+    selects = []
+    for sm in cfg.source_models:
+        keys = sm.bk_columns or cfg.ref_keys
+        cols = [f"{s} AS {t}" for s, t in zip(keys, cfg.ref_keys)]
+        cols += list(cfg.additional_columns) + [g.ldts_alias, g.rsrc_alias]
+        selects.append(f"SELECT {', '.join(cols)} FROM {reg.duckdb_relation(sm.name)}")
+    u = b.cte(f"{cfg.name}__union", "\nUNION ALL\n".join(selects))
+    keys = ", ".join(cfg.ref_keys)
+    return b.cte(cfg.name, f"""SELECT * FROM {u}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {g.ldts_alias}, {g.rsrc_alias}) = 1""")
+
+
+@dataclass(frozen=True)
+class RefSatConfig:
+    name: str
+    source_model: str
+    parent_ref_keys: tuple
+    src_hashdiff: str
+    payload: tuple = ()
+    source_is_single_batch: bool = False
+
+
+def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
+                     g: GlobalConfig = DEFAULT,
+                     target: DataFrame | None = None) -> DataFrame:
+    src = reg.load(spark, cfg.source_model).select(
+        *cfg.parent_ref_keys, cfg.src_hashdiff, g.rsrc_alias, g.ldts_alias,
+        *cfg.payload)
+    if target is not None:
+        src = hwm_filter(src, target, g)
+    if not cfg.source_is_single_batch:
+        w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
+        prev = F.lag(cfg.src_hashdiff).over(w)
+        src = (src.withColumn("__keep",
+                              prev.isNull() | (F.col(cfg.src_hashdiff) != prev))
+               .filter(F.col("__keep")).drop("__keep"))
+    if target is not None:
+        wt = Window.partitionBy(*cfg.parent_ref_keys).orderBy(F.col(g.ldts_alias).desc())
+        latest = (target.withColumn("__rn", F.row_number().over(wt))
+                  .filter(F.col("__rn") == 1)
+                  .select(*cfg.parent_ref_keys, cfg.src_hashdiff))
+        src = src.join(latest, on=[*cfg.parent_ref_keys, cfg.src_hashdiff],
+                       how="left_anti")
+    return src
+
+
+def ref_sat_v0_oracle(b: SqlBuilder, reg: Registry, cfg: RefSatConfig,
+                      g: GlobalConfig = DEFAULT) -> str:
+    cols = [*cfg.parent_ref_keys, cfg.src_hashdiff, g.rsrc_alias, g.ldts_alias,
+            *cfg.payload]
+    src = b.cte(f"{cfg.name}__source",
+                f"SELECT {', '.join(cols)} FROM {reg.duckdb_relation(cfg.source_model)}")
+    if cfg.source_is_single_batch:
+        return b.cte(cfg.name, f"SELECT * FROM {src}")
+    keys = ", ".join(cfg.parent_ref_keys)
+    return b.cte(cfg.name, f"""SELECT * FROM {src}
+QUALIFY CASE WHEN {cfg.src_hashdiff} = LAG({cfg.src_hashdiff}) OVER
+  (PARTITION BY {keys} ORDER BY {g.ldts_alias}) THEN FALSE ELSE TRUE END""")
+
+
+@dataclass(frozen=True)
+class RefSatV1Config:
+    name: str
+    ref_sat_v0: str
+    parent_ref_keys: tuple
+    hashdiff: str
+    payload: tuple = ()
+    add_is_current_flag: bool = False
+
+
+def build_ref_sat_v1(spark, reg: Registry, cfg: RefSatV1Config,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    src = reg.load(spark, cfg.ref_sat_v0)
+    w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
+    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+    out = src.select(
+        *cfg.parent_ref_keys, cfg.hashdiff, g.rsrc_alias, g.ldts_alias,
+        F.coalesce(F.lead(F.expr(f"{g.ldts_alias} - INTERVAL 1 MICROSECOND")).over(w),
+                   eot).alias(g.ledts_alias),
+        *[F.col(c) for c in cfg.payload])
+    if cfg.add_is_current_flag:
+        out = out.withColumn(g.is_current_col_alias, F.col(g.ledts_alias) == eot)
+    return out
+
+
+def ref_sat_v1_oracle(b: SqlBuilder, reg: Registry, cfg: RefSatV1Config,
+                      g: GlobalConfig = DEFAULT) -> str:
+    rel = reg.duckdb_relation(cfg.ref_sat_v0)
+    keys = ", ".join(cfg.parent_ref_keys)
+    eot = f"CAST('{g.end_of_all_times}' AS TIMESTAMP)"
+    payload = ("," + ", ".join(cfg.payload)) if cfg.payload else ""
+    inner = b.cte(f"{cfg.name}__ed", f"""SELECT {keys}, {cfg.hashdiff}, {g.rsrc_alias}, {g.ldts_alias},
+COALESCE(LEAD({g.ldts_alias} - INTERVAL 1 MICROSECOND) OVER
+  (PARTITION BY {keys} ORDER BY {g.ldts_alias}), {eot}) AS {g.ledts_alias}{payload}
+FROM {rel}""")
+    cur = (f", ({g.ledts_alias} = {eot}) AS {g.is_current_col_alias}"
+           if cfg.add_is_current_flag else "")
+    return b.cte(cfg.name, f"SELECT *{cur} FROM {inner}")
+
+
+@dataclass(frozen=True)
+class RefTableConfig:
+    name: str
+    ref_hub: str
+    ref_keys: tuple
+    ref_satellites: tuple  # (sat_name, (payload cols...)) — v1 sats with ledts
+    historized: str = "full"  # 'full' | 'latest'
+    snapshot_relation: str | None = None
+
+
+def build_ref_table(spark, reg: Registry, cfg: RefTableConfig,
+                    g: GlobalConfig = DEFAULT) -> DataFrame:
+    hub = reg.load(spark, cfg.ref_hub)
+    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+
+    if cfg.historized in ("full", "latest"):
+        spines = [reg.load(spark, s).select(g.ldts_alias).filter(
+            F.col(g.ldts_alias) != eot).distinct()
+            for s, _ in cfg.ref_satellites]
+        dates = reduce(lambda a, b: a.unionByName(b), spines).distinct()
+        if cfg.historized == "latest":
+            dates = dates.agg(F.max(g.ldts_alias).alias(g.ldts_alias))
+        date_col = g.ldts_alias
+    else:
+        dates = reg.load(spark, cfg.snapshot_relation).filter(
+            F.col(g.snapshot_trigger_column)).select(g.sdts_alias)
+        date_col = g.sdts_alias
+
+    dates = dates.withColumnRenamed(date_col, "__date")
+    out = hub.alias("h").crossJoin(F.broadcast(dates)).filter(
+        F.col(f"h.{g.ldts_alias}") <= F.col("__date"))
+    sel = [F.col(f"h.{k}") for k in cfg.ref_keys] + \
+          [F.col("__date").alias(date_col), F.col(f"h.{g.rsrc_alias}")]
+    for i, (sat, payload) in enumerate(cfg.ref_satellites):
+        s = reg.load(spark, sat).alias(f"s{i}")
+        cond = reduce(lambda a, c: a & c,
+                      [F.col(f"h.{k}") == F.col(f"s{i}.{k}") for k in cfg.ref_keys])
+        cond = cond & F.col("__date").between(
+            F.col(f"s{i}.{g.ldts_alias}"), F.col(f"s{i}.{g.ledts_alias}"))
+        out = out.join(s, cond, "left")
+        sel += [F.col(f"s{i}.{c}") for c in payload]
+    return out.select(*sel)
+
+
+def ref_table_oracle(b: SqlBuilder, reg: Registry, cfg: RefTableConfig,
+                     g: GlobalConfig = DEFAULT) -> str:
+    eot = f"CAST('{g.end_of_all_times}' AS TIMESTAMP)"
+    if cfg.historized in ("full", "latest"):
+        date_col = g.ldts_alias
+        spine = "\nUNION\n".join(
+            f"SELECT DISTINCT {g.ldts_alias} FROM {reg.duckdb_relation(s)} "
+            f"WHERE {g.ldts_alias} != {eot}" for s, _ in cfg.ref_satellites)
+        if cfg.historized == "latest":
+            spine = (f"SELECT MAX({g.ldts_alias}) AS {g.ldts_alias} "
+                     f"FROM ({spine})")
+        dates = b.cte(f"{cfg.name}__dates", spine)
+    else:
+        date_col = g.sdts_alias
+        dates = b.cte(f"{cfg.name}__dates",
+                      f"SELECT {g.sdts_alias} FROM "
+                      f"{reg.duckdb_relation(cfg.snapshot_relation)} "
+                      f"WHERE {g.snapshot_trigger_column}")
+
+    keys = ", ".join(f"h.{k}" for k in cfg.ref_keys)
+    sel = [keys, f"ld.{date_col}", f"h.{g.rsrc_alias}"]
+    joins = []
+    for i, (sat, payload) in enumerate(cfg.ref_satellites):
+        on = " AND ".join(f"h.{k} = s_{i}.{k}" for k in cfg.ref_keys)
+        joins.append(
+            f"LEFT JOIN {reg.duckdb_relation(sat)} s_{i} ON {on} "
+            f"AND ld.{date_col} BETWEEN s_{i}.{g.ldts_alias} AND s_{i}.{g.ledts_alias}")
+        sel += [f"s_{i}.{c}" for c in payload]
+    return b.cte(cfg.name, f"""SELECT {', '.join(sel)}
+FROM {reg.duckdb_relation(cfg.ref_hub)} h
+CROSS JOIN {dates} ld
+{chr(10).join(joins)}
+WHERE h.{g.ldts_alias} <= ld.{date_col}""")
