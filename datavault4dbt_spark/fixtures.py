@@ -36,6 +36,19 @@ from .operators.snapshots import (SnapV0Config, SnapV1Config, LogLogic,
                                   build_snap_v0, build_snap_v1,
                                   snap_v0_oracle, snap_v1_oracle)
 from .operators.pit import PitConfig, build_pit, pit_oracle
+from .llm.dedup import (
+    ExactDedupConfig, MinHashLshConfig, SimHashConfig, NgramJaccardConfig,
+    EmbeddingCosineConfig, build_exact_dedup, build_minhash_lsh,
+    build_simhash_dedup, build_ngram_jaccard, build_embedding_cosine,
+    exact_dedup_oracle, minhash_lsh_oracle, simhash_dedup_oracle,
+    ngram_jaccard_oracle, embedding_cosine_oracle)
+from .llm.similarity import AnnConfig, build_ann_topk, ann_topk_oracle
+from .llm.textstats import (
+    LangIdConfig, QualityConfig, TokenCountConfig, FingerprintConfig,
+    build_langid, build_quality, build_token_count, build_fingerprint,
+    langid_oracle, quality_oracle, token_count_oracle, fingerprint_oracle)
+from .llm.multimodal import (MultimodalConfig, build_multimodal_features,
+                             multimodal_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -291,6 +304,27 @@ PITS = {
 }
 
 
+# ---- LLM training-data pipeline operators (documents / embeddings) ----
+
+DEDUP_EXACT = {"dedup_exact": ExactDedupConfig("dedup_exact")}
+DEDUP_MINHASH = {"dedup_minhash_lsh": MinHashLshConfig("dedup_minhash_lsh")}
+DEDUP_SIMHASH = {"dedup_simhash": SimHashConfig("dedup_simhash")}
+DEDUP_JACCARD = {"dedup_ngram_jaccard": NgramJaccardConfig("dedup_ngram_jaccard")}
+DEDUP_COSINE = {"dedup_embedding_cosine":
+                EmbeddingCosineConfig("dedup_embedding_cosine")}
+ANNS = {
+    "ann_cosine_topk": AnnConfig("ann_cosine_topk"),
+    "ann_lsh_topk": AnnConfig("ann_lsh_topk", lsh_bits=6),
+}
+TEXT_LANGID = {"text_langid": LangIdConfig("text_langid")}
+TEXT_QUALITY = {"text_quality": QualityConfig("text_quality")}
+TEXT_TOKENS = {"text_token_count": TokenCountConfig("text_token_count")}
+TEXT_FPRINT = {"text_fingerprint": FingerprintConfig("text_fingerprint")}
+MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
+
+_NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
+
+
 # name -> (cfg-dict, spark builder, oracle builder, dependencies)
 _FAMILIES = [
     (STAGES, build_stage, stage_oracle,
@@ -329,6 +363,17 @@ _FAMILIES = [
      lambda c: [c.snap_v0]),
     (PITS, build_pit, pit_oracle,
      lambda c: [c.tracked_entity, c.snapshot_relation] + list(c.sat_names)),
+    (DEDUP_EXACT, build_exact_dedup, exact_dedup_oracle, _NO_DEPS),
+    (DEDUP_MINHASH, build_minhash_lsh, minhash_lsh_oracle, _NO_DEPS),
+    (DEDUP_SIMHASH, build_simhash_dedup, simhash_dedup_oracle, _NO_DEPS),
+    (DEDUP_JACCARD, build_ngram_jaccard, ngram_jaccard_oracle, _NO_DEPS),
+    (DEDUP_COSINE, build_embedding_cosine, embedding_cosine_oracle, _NO_DEPS),
+    (ANNS, build_ann_topk, ann_topk_oracle, _NO_DEPS),
+    (TEXT_LANGID, build_langid, langid_oracle, _NO_DEPS),
+    (TEXT_QUALITY, build_quality, quality_oracle, _NO_DEPS),
+    (TEXT_TOKENS, build_token_count, token_count_oracle, _NO_DEPS),
+    (TEXT_FPRINT, build_fingerprint, fingerprint_oracle, _NO_DEPS),
+    (MULTIMODAL, build_multimodal_features, multimodal_oracle, _NO_DEPS),
 ]
 
 

@@ -1,0 +1,418 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup strategies over the ``documents`` / ``embeddings`` tables,
+each with a Spark DataFrame plan and a DuckDB oracle generator built
+from the same config (the repo-wide dual-build pattern):
+
+- exact           : content-hash grouping -> canonical-id mapping
+- minhash_lsh     : word-shingle MinHash signatures, banded LSH join
+- simhash         : 32-bit token SimHash, banded candidate join +
+                    Hamming verification
+- ngram_jaccard   : exact n-gram Jaccard via inverted shingle index
+- embedding_cosine: near-duplicate vectors by cosine similarity
+
+Scale design (100 TB): every operator is expressed with built-in
+array/higher-order functions — signature computation stays inside the
+scan's whole-stage codegen with NO shuffle; the only shuffles are the
+candidate-generation joins, which key on uniformly-distributed hash
+signatures (no skew). The LSH band join touches only bucket collisions
+(|candidates| << |pairs|); the brute-force ops (ngram inverted index,
+cosine) prune with doc-frequency / threshold filters and are the
+verification tier, not the discovery tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from .textprep import (spark_tokens, duck_tokens, spark_shingles,
+                       duck_shingles, spark_minhash, duck_minhash)
+
+
+# ---------------------------------------------------------------- exact --
+
+@dataclass(frozen=True)
+class ExactDedupConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    content_col: str = "text"
+
+
+def build_exact_dedup(spark, reg: Registry, cfg: ExactDedupConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Canonical-id mapping per content hash: every row keeps its id,
+    plus the minimum id sharing the same md5(content) — the standard
+    exact-dedup 'keep first' decision as a reusable mapping table.
+
+    Scale: one hash-partitioned shuffle on the 32-char digest (uniform);
+    map-side partial min aggregation; broadcast-joins back only when the
+    dup-group table is small (Catalyst/AQE decides).
+    """
+    df = reg.load(spark, cfg.source)
+    hashed = df.select(
+        F.col(cfg.id_col),
+        F.md5(F.col(cfg.content_col)).alias("content_hash"))
+    canon = (hashed.groupBy("content_hash")
+             .agg(F.min(cfg.id_col).alias("canonical_id")))
+    return hashed.join(canon, "content_hash").select(
+        cfg.id_col, "canonical_id", "content_hash")
+
+
+def exact_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: ExactDedupConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    h = b.cte(f"{cfg.name}__h",
+              f"SELECT {cfg.id_col}, md5({cfg.content_col}) AS content_hash "
+              f"FROM {src}")
+    c = b.cte(f"{cfg.name}__c",
+              f"SELECT content_hash, min({cfg.id_col}) AS canonical_id "
+              f"FROM {h} GROUP BY content_hash")
+    return b.cte(cfg.name,
+                 f"SELECT {cfg.id_col}, canonical_id, a.content_hash AS content_hash "
+                 f"FROM {h} a JOIN {c} USING (content_hash)")
+
+
+# ---------------------------------------------------------- minhash LSH --
+
+@dataclass(frozen=True)
+class MinHashLshConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    shingle_n: int = 3
+    num_perm: int = 16       # permutations (simulated via seeded md5)
+    bands: int = 4           # num_perm/bands rows per band
+
+
+def _minhash_signature_exprs(cfg: MinHashLshConfig, shingles: str, dialect: str):
+    mk = spark_minhash if dialect == "spark" else duck_minhash
+    return [f"{mk(shingles, i)} AS mh{i}" for i in range(cfg.num_perm)]
+
+
+def _band_width(cfg: MinHashLshConfig) -> int:
+    assert cfg.num_perm % cfg.bands == 0
+    return cfg.num_perm // cfg.bands
+
+
+def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Candidate duplicate pairs via banded MinHash (Broder '97 /
+    Leskovec MMDS ch.3). Signature + banding are pure projections; the
+    single shuffle is the self-join on (band, signature) — at 100 TB
+    this is the canonical shingle->minhash->band->bucket-join plan, and
+    bucket keys are md5 outputs so the join is skew-free by construction.
+    """
+    r = _band_width(cfg)
+    df = reg.load(spark, cfg.source)
+    w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
+    sh = w.selectExpr(cfg.id_col, f"{spark_shingles('w', cfg.shingle_n)} AS sh") \
+          .filter(F.expr("size(sh) > 0"))
+    sig = sh.selectExpr(cfg.id_col,
+                        *_minhash_signature_exprs(cfg, "sh", "spark"))
+    band_rows = []
+    for bidx in range(cfg.bands):
+        cols = ", ".join(f"mh{bidx * r + j}" for j in range(r))
+        band_rows.append(sig.selectExpr(
+            cfg.id_col, f"{bidx} AS band", f"md5(concat_ws('|', {cols})) AS sig"))
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+    a = buckets.alias("a")
+    bb = buckets.alias("b")
+    pairs = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),
+                            F.col("a.sig") == F.col("b.sig"),
+                            F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}")])
+             .groupBy(F.col(f"a.{cfg.id_col}").alias("id_a"),
+                      F.col(f"b.{cfg.id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_bands")))
+    return pairs
+
+
+def minhash_lsh_oracle(b: SqlBuilder, reg: Registry, cfg: MinHashLshConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    r = _band_width(cfg)
+    src = reg.duckdb_relation(cfg.source)
+    w = b.cte(f"{cfg.name}__w",
+              f"SELECT {cfg.id_col}, {duck_tokens(cfg.text_col)} AS w FROM {src}")
+    sh = b.cte(f"{cfg.name}__sh",
+               f"SELECT {cfg.id_col}, {duck_shingles('w', cfg.shingle_n)} AS sh "
+               f"FROM {w} WHERE len({duck_shingles('w', cfg.shingle_n)}) > 0")
+    sig_cols = ", ".join(_minhash_signature_exprs(cfg, "sh", "duck"))
+    sig = b.cte(f"{cfg.name}__sig",
+                f"SELECT {cfg.id_col}, {sig_cols} FROM {sh}")
+    band_selects = []
+    for bidx in range(cfg.bands):
+        cols = ", ".join(f"mh{bidx * r + j}" for j in range(r))
+        band_selects.append(
+            f"SELECT {cfg.id_col}, {bidx} AS band, "
+            f"md5(concat_ws('|', {cols})) AS sig FROM {sig}")
+    bu = b.cte(f"{cfg.name}__buckets", "\nUNION ALL\n".join(band_selects))
+    return b.cte(cfg.name,
+                 f"SELECT a.{cfg.id_col} AS id_a, b.{cfg.id_col} AS id_b, "
+                 f"count(*) AS n_bands "
+                 f"FROM {bu} a JOIN {bu} b ON a.band = b.band AND a.sig = b.sig "
+                 f"AND a.{cfg.id_col} < b.{cfg.id_col} GROUP BY 1, 2")
+
+
+# -------------------------------------------------------------- simhash --
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    bits: int = 32           # 8 hex nibbles of md5(token)
+    max_hamming: int = 3     # band count = max_hamming + 1 (pigeonhole)
+
+
+def _simhash_bit_exprs(bits: int, dialect: str):
+    """Per-token ±1 contribution for each bit j, from the leading
+    bits/4 hex nibbles of md5(token). Same values in Spark & DuckDB;
+    only the integer-division operator differs (`div` vs `//`)."""
+    idiv = " div " if dialect == "spark" else " // "
+    exprs = []
+    for j in range(bits):
+        p, q = divmod(j, 4)
+        exprs.append(
+            f"CASE WHEN ((instr('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+            f"{idiv}{2 ** q}) % 2 = 1 THEN 1 ELSE -1 END")
+    return exprs
+
+
+def _simhash_value_expr(bits: int) -> str:
+    terms = [f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits)]
+    return " + ".join(terms)
+
+
+def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Charikar SimHash near-dup: 32-bit fingerprints, 8-bit band join
+    (Hamming <= 3 guarantees >= 1 identical band), exact Hamming verify.
+
+    Scale: fingerprinting = explode + one groupBy(doc) (map-side partial
+    sums); candidate join keys on 4-bit band values — buckets are large
+    (65k distinct fingerprints max), so this op is the *verifier* for
+    moderate corpora; at extreme scale raise `bits` (wider fingerprint =
+    finer buckets), the plan shape is unchanged.
+    """
+    nb = cfg.max_hamming + 1
+    band_bits = cfg.bits // nb
+    df = reg.load(spark, cfg.source)
+    toks = df.selectExpr(cfg.id_col,
+                         f"explode({spark_tokens(cfg.text_col)}) AS t")
+    hx = toks.selectExpr(cfg.id_col, "md5(t) AS h")
+    sums = hx.groupBy(cfg.id_col).agg(
+        *[F.sum(F.expr(e)).alias(f"s{j}")
+          for j, e in enumerate(_simhash_bit_exprs(cfg.bits, "spark"))])
+    fp = sums.selectExpr(cfg.id_col,
+                         f"({_simhash_value_expr(cfg.bits)}) AS simhash")
+    bands = []
+    for q in range(nb):
+        bands.append(fp.selectExpr(
+            cfg.id_col, "simhash", f"{q} AS band",
+            f"(simhash div {2 ** (band_bits * q)}) % {2 ** band_bits} AS val"))
+    bu = bands[0]
+    for extra in bands[1:]:
+        bu = bu.unionByName(extra)
+    a, bb = bu.alias("a"), bu.alias("b")
+    cand = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),
+                           F.col("a.val") == F.col("b.val"),
+                           F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}")])
+            .select(F.col(f"a.{cfg.id_col}").alias("id_a"),
+                    F.col(f"b.{cfg.id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    out = cand.selectExpr(
+        "id_a", "id_b",
+        "bit_count(cast(sh_a AS BIGINT) ^ cast(sh_b AS BIGINT)) AS hamming").filter(
+        F.col("hamming") <= cfg.max_hamming)
+    return out
+
+
+def simhash_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: SimHashConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    nb = cfg.max_hamming + 1
+    band_bits = cfg.bits // nb
+    src = reg.duckdb_relation(cfg.source)
+    toks = b.cte(f"{cfg.name}__t",
+                 f"SELECT {cfg.id_col}, unnest({duck_tokens(cfg.text_col)}) AS t "
+                 f"FROM {src}")
+    hx = b.cte(f"{cfg.name}__h",
+               f"SELECT {cfg.id_col}, md5(t) AS h FROM {toks}")
+    sum_cols = ", ".join(f"sum({e}) AS s{j}"
+                         for j, e in enumerate(_simhash_bit_exprs(cfg.bits, "duck")))
+    sums = b.cte(f"{cfg.name}__s",
+                 f"SELECT {cfg.id_col}, {sum_cols} FROM {hx} GROUP BY {cfg.id_col}")
+    fp = b.cte(f"{cfg.name}__fp",
+               f"SELECT {cfg.id_col}, ({_simhash_value_expr(cfg.bits)}) AS simhash "
+               f"FROM {sums}")
+    band_selects = [
+        f"SELECT {cfg.id_col}, simhash, {q} AS band, "
+        f"(simhash // {2 ** (band_bits * q)}) % {2 ** band_bits} AS val FROM {fp}"
+        for q in range(nb)]
+    bu = b.cte(f"{cfg.name}__bands", "\nUNION ALL\n".join(band_selects))
+    cand = b.cte(
+        f"{cfg.name}__cand",
+        f"SELECT DISTINCT a.{cfg.id_col} AS id_a, b.{cfg.id_col} AS id_b, "
+        f"a.simhash AS sh_a, b.simhash AS sh_b "
+        f"FROM {bu} a JOIN {bu} b ON a.band = b.band AND a.val = b.val "
+        f"AND a.{cfg.id_col} < b.{cfg.id_col}")
+    return b.cte(cfg.name,
+                 f"SELECT id_a, id_b, "
+                 f"bit_count(xor(sh_a::BIGINT, sh_b::BIGINT)) AS hamming "
+                 f"FROM {cand} WHERE bit_count(xor(sh_a::BIGINT, sh_b::BIGINT)) <= "
+                 f"{cfg.max_hamming}")
+
+
+# -------------------------------------------------------- ngram jaccard --
+
+@dataclass(frozen=True)
+class NgramJaccardConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    shingle_n: int = 3
+    threshold: float = 0.5
+
+
+def build_ngram_jaccard(spark, reg: Registry, cfg: NgramJaccardConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Exact n-gram Jaccard duplicates via an inverted shingle index:
+    only pairs sharing >= 1 shingle are ever materialized.
+
+    Scale: the index join shuffles on the shingle string; hot shingles
+    (stopword runs) create skew — production would drop shingles above a
+    document-frequency cap before the join (same plan, one extra filter);
+    AQE skew-join splitting covers the remainder.
+    """
+    df = reg.load(spark, cfg.source)
+    w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
+    sh = (w.selectExpr(cfg.id_col,
+                       f"explode({spark_shingles('w', cfg.shingle_n)}) AS s")
+          .distinct())
+    sizes = sh.groupBy(cfg.id_col).agg(F.count("*").alias("n"))
+    a, bb = sh.alias("a"), sh.alias("b")
+    inter = (a.join(bb, on=[F.col("a.s") == F.col("b.s"),
+                            F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}")])
+             .groupBy(F.col(f"a.{cfg.id_col}").alias("id_a"),
+                      F.col(f"b.{cfg.id_col}").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.selectExpr(f"{cfg.id_col} AS id_a", "n AS na")
+    sb = sizes.selectExpr(f"{cfg.id_col} AS id_b", "n AS nb")
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .selectExpr("id_a", "id_b",
+                       "round(inter / (na + nb - inter), 6) AS jaccard")
+           .filter(F.col("jaccard") >= cfg.threshold))
+    return out
+
+
+def ngram_jaccard_oracle(b: SqlBuilder, reg: Registry, cfg: NgramJaccardConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    w = b.cte(f"{cfg.name}__w",
+              f"SELECT {cfg.id_col}, {duck_tokens(cfg.text_col)} AS w FROM {src}")
+    sh = b.cte(f"{cfg.name}__sh",
+               f"SELECT DISTINCT {cfg.id_col}, "
+               f"unnest({duck_shingles('w', cfg.shingle_n)}) AS s FROM {w}")
+    sizes = b.cte(f"{cfg.name}__n",
+                  f"SELECT {cfg.id_col}, count(*) AS n FROM {sh} "
+                  f"GROUP BY {cfg.id_col}")
+    inter = b.cte(f"{cfg.name}__i",
+                  f"SELECT a.{cfg.id_col} AS id_a, b.{cfg.id_col} AS id_b, "
+                  f"count(*) AS inter FROM {sh} a JOIN {sh} b "
+                  f"ON a.s = b.s AND a.{cfg.id_col} < b.{cfg.id_col} "
+                  f"GROUP BY 1, 2")
+    return b.cte(
+        cfg.name,
+        f"SELECT id_a, id_b, "
+        f"round(inter / (sa.n + sb.n - inter), 6) AS jaccard "
+        f"FROM {inter} JOIN {sizes} sa ON sa.{cfg.id_col} = id_a "
+        f"JOIN {sizes} sb ON sb.{cfg.id_col} = id_b "
+        f"WHERE round(inter / (sa.n + sb.n - inter), 6) >= {cfg.threshold}")
+
+
+# ----------------------------------------------------- embedding cosine --
+
+@dataclass(frozen=True)
+class EmbeddingCosineConfig:
+    name: str
+    source: str = "embeddings"
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    threshold: float = 0.4
+
+
+# left-fold dot product in DOUBLE: both engines fold the list in index
+# order with IEEE doubles, so the values are bit-identical.
+def _spark_dot(a: str, bcol: str) -> str:
+    return (f"aggregate(zip_with({a}, {bcol}, (x, y) -> x * y), "
+            f"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _spark_norm(v: str) -> str:
+    return (f"sqrt(aggregate({v}, cast(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x))")
+
+
+def _duck_dot(a: str, bcol: str, dim_expr: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim_expr} + 1), "
+            f"i -> {a}[i] * {bcol}[i])), (acc, v) -> acc + v)")
+
+
+def _duck_norm(v: str) -> str:
+    return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({v}, x -> x * x)), (acc, x) -> acc + x))")
+
+
+def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Embedding near-duplicates: all pairs with cosine >= threshold.
+
+    Brute force is the *verification* tier (exact recall). The plan
+    normalizes each vector once (projection, no shuffle), then the pair
+    join. At 100 TB you don't run all-pairs: the ANN LSH operator
+    (similarity.py) generates candidates and this operator's cosine
+    expression verifies them — same expression tree, join pruned by
+    bucket. AQE handles the quadratic block sizing here.
+    """
+    df = reg.load(spark, cfg.source)
+    v = df.selectExpr(
+        cfg.id_col,
+        f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v")
+    n = v.selectExpr(cfg.id_col, "v", f"{_spark_norm('v')} AS nrm")
+    a, bb = n.alias("a"), n.alias("b")
+    pairs = (a.join(bb, F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}"))
+             .selectExpr(f"a.{cfg.id_col} AS id_a", f"b.{cfg.id_col} AS id_b",
+                         f"round({_spark_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6)"
+                         f" AS cosine")
+             .filter(F.col("cosine") >= cfg.threshold))
+    return pairs
+
+
+def embedding_cosine_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: EmbeddingCosineConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    v = b.cte(f"{cfg.name}__v",
+              f"SELECT {cfg.id_col}, "
+              f"list_transform({cfg.vec_col}, x -> CAST(x AS DOUBLE)) AS v "
+              f"FROM {src}")
+    n = b.cte(f"{cfg.name}__n",
+              f"SELECT {cfg.id_col}, v, {_duck_norm('v')} AS nrm FROM {v}")
+    dot = _duck_dot("a.v", "b.v", "len(a.v)")
+    return b.cte(
+        cfg.name,
+        f"SELECT a.{cfg.id_col} AS id_a, b.{cfg.id_col} AS id_b, "
+        f"round({dot} / (a.nrm * b.nrm), 6) AS cosine "
+        f"FROM {n} a JOIN {n} b ON a.{cfg.id_col} < b.{cfg.id_col} "
+        f"WHERE round({dot} / (a.nrm * b.nrm), 6) >= {cfg.threshold}")
