@@ -31,6 +31,13 @@ def main():
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM paths shared by every query (scheduler, codegen,
+    # parquet reader, noop sink) so per-query numbers measure the plan
+    spark.range(1000).selectExpr("md5(cast(id AS STRING)) h") \
+        .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .write.format("noop").mode("overwrite").save()
+
     names = fixtures.all_entity_names()
     timings = {}
     t0 = time.time()
@@ -39,6 +46,7 @@ def main():
         df = fixtures.entity_query(name)(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - q0, 3)
+        spark.catalog.clearCache()  # drop per-query stage caches
     total = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -107,6 +107,13 @@ class Registry:
 
     spark_loaders: dict = field(default_factory=dict)
     duckdb_relations: dict = field(default_factory=dict)
+    # entity names whose DataFrame is cache()d on first load: Spark does
+    # NOT dedupe shared plan subtrees, so an entity consumed by several
+    # branches of one query (a stage under hub+sats+PIT) would otherwise
+    # be recomputed once per branch. Caching is the DataFrame-world
+    # equivalent of a materialized staging table.
+    persist_names: set = field(default_factory=set)
+    _df_cache: dict = field(default_factory=dict)
 
     def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
         self.spark_loaders[name] = lambda spark, p=path: spark.read.parquet(p)
@@ -119,7 +126,13 @@ class Registry:
         self.duckdb_relations[name] = duckdb_sql
 
     def load(self, spark, name: str):
-        return self.spark_loaders[name](spark)
+        if name in self._df_cache:
+            return self._df_cache[name]
+        df = self.spark_loaders[name](spark)
+        if name in self.persist_names:
+            df = df.persist()  # MEMORY_AND_DISK; LRU-evicted
+        self._df_cache[name] = df
+        return df
 
     def duckdb_relation(self, name: str) -> str:
         return self.duckdb_relations[name]
@@ -151,8 +164,35 @@ def testdata_registry(sf_dir: str) -> Registry:
 
 
 def configure_session_builder(builder):
-    """Session options the engine relies on (UTC, AQE, nanos handling)."""
+    """Session options the engine relies on (UTC, AQE, nanos handling).
+
+    The two size knobs are tuned for CPU-heavy hashing over small-ish
+    inputs (local bench): finer scan splits and finer AQE coalescing
+    keep all cores busy. On a production cluster at 100 TB the defaults
+    (128m/64m) are appropriate — these are session-level, not plan-level,
+    decisions.
+    """
     return (builder
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.files.maxPartitionBytes", "16m")
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
+
+
+def ensure_min_parallelism(df, factor: int = 1):
+    """Round-robin repartition IFF the plan's scan parallelism is below
+    the session's core count.
+
+    Exists because hash/signature computation is CPU-bound: a source
+    parquet written as one row group yields ONE non-empty scan task no
+    matter how many byte-range splits Spark makes, serializing all MD5
+    work. On a real cluster a 100 TB table scan has thousands of row
+    groups and this is a no-op (npart >= cores); locally it corrects the
+    single-row-group testdata artifact for ~1.7s of shuffle.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -457,6 +457,23 @@ def entity_oracle_sql(name: str) -> str:
     return b.render(f"SELECT * FROM {final}")
 
 
+def _multi_consumed(name: str) -> set:
+    """Entities referenced MORE than once in `name`'s transitive
+    dependency tree. Spark does not dedupe shared plan subtrees, so
+    these are cache()d (materialized-staging pattern); everything
+    consumed once stays unpersisted to keep column pruning intact."""
+    counts: dict = {}
+
+    def walk(n):
+        cfg, _b, _o, deps = _index()[n]
+        for dep in deps(cfg):
+            if dep in _index():
+                counts[dep] = counts.get(dep, 0) + 1
+                walk(dep)
+    walk(name)
+    return {n for n, c in counts.items() if c > 1}
+
+
 def entity_query(name: str):
     """(spark, sf_dir) -> DataFrame builder for one declared entity."""
     if name not in _index():
@@ -464,6 +481,7 @@ def entity_query(name: str):
 
     def run(spark, sf_dir):
         reg = registry(spark, sf_dir)
+        reg.persist_names.update(_multi_consumed(name))
         return reg.load(spark, name)
     return run
 

@@ -135,6 +135,34 @@ def hash_expr_sql(spec: HashSpec, g: GlobalConfig = DEFAULT, dialect: str = SPAR
     return out
 
 
+def ma_hash_window_sql(spec: HashSpec, g: GlobalConfig = DEFAULT,
+                       partition_cols: tuple = ()) -> str:
+    """Multi-active group hashdiff as a WINDOW expression (Spark only).
+
+    Spark-first alternative to the reference's GROUP BY + re-join
+    (macros/staging/databricks/stage.sql:402-444): every row gets the
+    group's LISTAGG-equivalent hash via one window — one shuffle on
+    (main_hashkey, ldts), no join, no duplicate stage computation.
+
+    Equivalence with LISTAGG(row, ',' ORDER BY ma_keys):
+    - array_sort on struct(__k0.., __rs) orders by the ma keys
+      (uniqueness contract makes the __rs tie-break unreachable);
+    - concat_ws skips NULL elements exactly like LISTAGG skips NULL
+      inputs; the NULLIF(.., '') restores LISTAGG's NULL for the
+      all-NULL group so the zero-key IFNULL fires identically.
+    """
+    assert spec.multi_active_key
+    row = _row_string(spec, g, SPARK)
+    fields = ", ".join(f"{k} AS __k{i}"
+                       for i, k in enumerate(spec.multi_active_key))
+    part = ", ".join(partition_cols)
+    agg = (f"concat_ws(',', transform(array_sort("
+           f"collect_list(struct({fields}, {row} AS __rs)) "
+           f"OVER (PARTITION BY {part})), x -> x.__rs))")
+    hashed = g.hash_alg_spark.format(x=f"NULLIF({agg}, '')")
+    return f"IFNULL(LOWER({hashed}), {sql_str(g.unknown_key)})"
+
+
 def hash_col(spec: HashSpec, g: GlobalConfig = DEFAULT):
     """Spark Column for the hash expression (Catalyst-optimizable,
     whole-stage-codegen friendly: built-in functions only)."""

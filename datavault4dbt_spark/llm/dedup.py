@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_min_parallelism
 from ..plans.sqlbuild import SqlBuilder
 from .textprep import (spark_tokens, duck_tokens, spark_shingles,
                        duck_shingles, spark_minhash, duck_minhash)
@@ -109,7 +109,7 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     bucket keys are md5 outputs so the join is skew-free by construction.
     """
     r = _band_width(cfg)
-    df = reg.load(spark, cfg.source)
+    df = ensure_min_parallelism(reg.load(spark, cfg.source))
     w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
     sh = w.selectExpr(cfg.id_col, f"{spark_shingles('w', cfg.shingle_n)} AS sh") \
           .filter(F.expr("size(sh) > 0"))
@@ -204,7 +204,7 @@ def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
     """
     nb = cfg.max_hamming + 1
     band_bits = cfg.bits // nb
-    df = reg.load(spark, cfg.source)
+    df = ensure_min_parallelism(reg.load(spark, cfg.source))
     toks = df.selectExpr(cfg.id_col,
                          f"explode({spark_tokens(cfg.text_col)}) AS t")
     hx = toks.selectExpr(cfg.id_col, "md5(t) AS h")
@@ -294,7 +294,7 @@ def build_ngram_jaccard(spark, reg: Registry, cfg: NgramJaccardConfig,
     document-frequency cap before the join (same plan, one extra filter);
     AQE skew-join splitting covers the remainder.
     """
-    df = reg.load(spark, cfg.source)
+    df = ensure_min_parallelism(reg.load(spark, cfg.source))
     w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
     sh = (w.selectExpr(cfg.id_col,
                        f"explode({spark_shingles('w', cfg.shingle_n)}) AS s")
@@ -385,7 +385,7 @@ def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
     expression verifies them — same expression tree, join pruned by
     bucket. AQE handles the quadratic block sizing here.
     """
-    df = reg.load(spark, cfg.source)
+    df = ensure_min_parallelism(reg.load(spark, cfg.source))
     v = df.selectExpr(
         cfg.id_col,
         f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v")

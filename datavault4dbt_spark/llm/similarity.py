@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_min_parallelism
 from ..plans.sqlbuild import SqlBuilder
 from .dedup import _spark_dot, _spark_norm, _duck_dot, _duck_norm
 
@@ -56,7 +56,7 @@ def _bucket_expr(vec: str, bits: int, dialect: str) -> str:
 
 def build_ann_topk(spark, reg: Registry, cfg: AnnConfig,
                    g: GlobalConfig = DEFAULT) -> DataFrame:
-    df = reg.load(spark, cfg.source)
+    df = ensure_min_parallelism(reg.load(spark, cfg.source))
     v = df.selectExpr(
         cfg.id_col,
         f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v",

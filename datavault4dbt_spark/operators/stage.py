@@ -24,8 +24,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
-from ..functions.hashing import HashSpec, hash_expr_sql, sql_str, SPARK, DUCKDB
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_min_parallelism
+from ..functions.hashing import (HashSpec, hash_expr_sql, ma_hash_window_sql,
+                                 sql_str, SPARK, DUCKDB)
 from ..functions.ghost import (ghost_value_sql, ghost_hash_sql, ghost_ldts_sql,
                                ghost_rsrc_sql)
 from ..plans.sqlbuild import SqlBuilder
@@ -110,6 +111,9 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
     src = reg.load(spark, cfg.source_model)
     if cfg.include_source_columns:
         src = src.select(*[c for c, _ in cfg.source_schema])
+    # hashing is CPU-bound: make sure the scan's effective parallelism
+    # matches the session's cores (no-op on well-partitioned sources)
+    src = ensure_min_parallelism(src)
 
     df = src.select(
         F.expr(cfg.ldts).cast("timestamp").alias(g.ldts_alias),
@@ -152,12 +156,13 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         for h in main_specs + other_keys:
             df = df.withColumn(h.name, F.expr(hash_expr_sql(h, g, SPARK, alias=False)))
         # group hashdiff over the active set (reference: stage.sql:391-444)
+        # — Spark-first: window aggregation instead of GROUP BY + re-join
+        # (one shuffle, no duplicate computation of the stage subtree)
         ma_specs = [HashSpec(h.name, h.columns, True, tuple(ma.multi_active_key))
                     for h in hashdiffs]
-        agg = df.groupBy(ma.main_hashkey_column, g.ldts_alias).agg(
-            *[F.expr(hash_expr_sql(h, g, SPARK, alias=False)).alias(h.name)
-              for h in ma_specs])
-        df = df.join(agg, on=[ma.main_hashkey_column, g.ldts_alias], how="left")
+        part = (ma.main_hashkey_column, g.ldts_alias)
+        for h in ma_specs:
+            df = df.withColumn(h.name, F.expr(ma_hash_window_sql(h, g, part)))
 
     df = df.select(*final_columns(cfg, g))
 
