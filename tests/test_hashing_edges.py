@@ -1,0 +1,87 @@
+"""Hash byte-parity on adversarial inputs (SURVEY §7 hard-parts list):
+quotes, concat strings, null placeholders, backslashes, whitespace-only,
+NULLs, control characters — the Spark expression and the DuckDB
+expression generated from one HashSpec must agree byte-for-byte."""
+
+import pytest
+
+from conftest import duck_con
+
+from datavault4dbt_spark.context import DEFAULT, GlobalConfig
+from datavault4dbt_spark.functions.hashing import (
+    HashSpec, hash_expr_sql, SPARK, DUCKDB)
+
+ADVERSARIAL = [
+    ("plain", "value"),
+    ("quotes", 'he said "hi"'),
+    ("concat_token", "a||b||c"),
+    ("null_placeholder", "^^"),
+    ("null_placeholder_embedded", "x^^y"),
+    ("backslash", r"c:\temp\file"),
+    ("double_backslash", r"a\\b"),
+    ("backslash_quote", r'mix\"ed'),
+    ("whitespace_only", "   "),
+    ("empty", ""),
+    ("newline_tab", "a\nb\tc"),
+    ("carriage", "a\rb"),
+    ("vertical_tab", "a\x0bb"),
+    ("formfeed", "a\x0cb"),
+    ("sql_null", None),
+    ("unicode", "päx–ü"),
+    ("replacement_collision", "dv4dbt-quote-replacement"),
+    ("trim_sensitive", "  padded  "),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rows = [(k, v) for k, v in ADVERSARIAL]
+    df = spark.createDataFrame(rows, "k string, v string")
+    df.createOrReplaceTempView("adversarial")
+    return df
+
+
+def _duck_values():
+    parts = []
+    for k, v in ADVERSARIAL:
+        if v is None:
+            parts.append(f"('{k}', NULL)")
+        else:
+            lit = v.replace("'", "''")
+            parts.append(f"('{k}', '{lit}')")
+    return f"(SELECT * FROM (VALUES {', '.join(parts)}) AS t(k, v))"
+
+
+@pytest.mark.parametrize("g", [
+    DEFAULT,
+    GlobalConfig(hash="SHA256"),
+    GlobalConfig(hashkey_input_case_sensitive=True),
+    GlobalConfig(use_trim=False, hashdiff_use_trim=False),
+], ids=["md5", "sha256", "case_sensitive", "no_trim"])
+@pytest.mark.parametrize("spec", [
+    HashSpec("h", ("v",)),
+    HashSpec("h", ("v", "v")),
+    HashSpec("h", ("v", "k"), is_hashdiff=True),
+    HashSpec("h", ("v", "!const")),
+], ids=["single", "pair", "hashdiff", "with_literal"])
+def test_hash_parity(spark, frames, spec, g):
+    import duckdb
+    s = spark.sql(
+        f"SELECT k, {hash_expr_sql(spec, g, SPARK)} FROM adversarial"
+    ).collect()
+    got = {r.k: r.h for r in s}
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT k, {hash_expr_sql(spec, g, DUCKDB)} FROM {_duck_values()}"
+    ).fetchall()
+    want = {k: h for k, h in d}
+    assert got == want
+
+
+def test_all_null_yields_zero_key(spark):
+    spark.createDataFrame([(None, None)], "a string, b string") \
+        .createOrReplaceTempView("allnull")
+    spec = HashSpec("h", ("a", "b"))
+    r = spark.sql(
+        f"SELECT {hash_expr_sql(spec, DEFAULT, SPARK)} FROM allnull").first()
+    assert r.h == DEFAULT.unknown_key
