@@ -32,11 +32,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM paths shared by every query (scheduler, codegen,
-    # parquet reader, noop sink) so per-query numbers measure the plan
-    spark.range(1000).selectExpr("md5(cast(id AS STRING)) h") \
+    # parquet reader, shuffle, window, noop sink) so per-query numbers
+    # measure the plan, not first-use JIT: run the smallest real stage
+    fixtures.entity_query("stage_nation")(spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
-    spark.read.parquet(f"{sf_dir}/nation.parquet") \
-        .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     names = fixtures.all_entity_names()
     timings = {}

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..context import GlobalConfig, DEFAULT, Registry, ensure_min_parallelism
 from ..plans.sqlbuild import SqlBuilder
 from .textprep import (spark_tokens, duck_tokens, spark_shingles,
-                       duck_shingles, spark_minhash, duck_minhash)
+                       duck_shingles, n_digests)
 
 
 # ---------------------------------------------------------------- exact --
@@ -90,11 +90,6 @@ class MinHashLshConfig:
     bands: int = 4           # num_perm/bands rows per band
 
 
-def _minhash_signature_exprs(cfg: MinHashLshConfig, shingles: str, dialect: str):
-    mk = spark_minhash if dialect == "spark" else duck_minhash
-    return [f"{mk(shingles, i)} AS mh{i}" for i in range(cfg.num_perm)]
-
-
 def _band_width(cfg: MinHashLshConfig) -> int:
     assert cfg.num_perm % cfg.bands == 0
     return cfg.num_perm // cfg.bands
@@ -111,10 +106,17 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     r = _band_width(cfg)
     df = ensure_min_parallelism(reg.load(spark, cfg.source))
     w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
-    sh = w.selectExpr(cfg.id_col, f"{spark_shingles('w', cfg.shingle_n)} AS sh") \
-          .filter(F.expr("size(sh) > 0"))
-    sig = sh.selectExpr(cfg.id_col,
-                        *_minhash_signature_exprs(cfg, "sh", "spark"))
+    # single pass: explode shingles once, digest once, take all k
+    # minima in ONE partial-aggregating groupBy (no per-permutation
+    # array materialization)
+    nd = n_digests(cfg.num_perm)
+    dig = ", ".join(f"md5(concat('{j}:', s))" for j in range(nd))
+    ex = w.selectExpr(cfg.id_col,
+                      f"explode({spark_shingles('w', cfg.shingle_n)}) AS s") \
+          .selectExpr(cfg.id_col, f"concat({dig}) AS h")
+    sig = ex.groupBy(cfg.id_col).agg(
+        *[F.min(F.expr(f"substr(h, {1 + 4 * i}, 4)")).alias(f"mh{i}")
+          for i in range(cfg.num_perm)])
     band_rows = []
     for bidx in range(cfg.bands):
         cols = ", ".join(f"mh{bidx * r + j}" for j in range(r))
@@ -140,12 +142,17 @@ def minhash_lsh_oracle(b: SqlBuilder, reg: Registry, cfg: MinHashLshConfig,
     src = reg.duckdb_relation(cfg.source)
     w = b.cte(f"{cfg.name}__w",
               f"SELECT {cfg.id_col}, {duck_tokens(cfg.text_col)} AS w FROM {src}")
-    sh = b.cte(f"{cfg.name}__sh",
-               f"SELECT {cfg.id_col}, {duck_shingles('w', cfg.shingle_n)} AS sh "
-               f"FROM {w} WHERE len({duck_shingles('w', cfg.shingle_n)}) > 0")
-    sig_cols = ", ".join(_minhash_signature_exprs(cfg, "sh", "duck"))
+    nd = n_digests(cfg.num_perm)
+    dig = ", ".join(f"md5(concat('{j}:', s))" for j in range(nd))
+    ex = b.cte(f"{cfg.name}__ex",
+               f"SELECT {cfg.id_col}, concat({dig}) AS h FROM ("
+               f"SELECT {cfg.id_col}, "
+               f"unnest({duck_shingles('w', cfg.shingle_n)}) AS s FROM {w})")
+    sig_cols = ", ".join(f"min(substr(h, {1 + 4 * i}, 4)) AS mh{i}"
+                         for i in range(cfg.num_perm))
     sig = b.cte(f"{cfg.name}__sig",
-                f"SELECT {cfg.id_col}, {sig_cols} FROM {sh}")
+                f"SELECT {cfg.id_col}, {sig_cols} FROM {ex} "
+                f"GROUP BY {cfg.id_col}")
     band_selects = []
     for bidx in range(cfg.bands):
         cols = ", ".join(f"mh{bidx * r + j}" for j in range(r))

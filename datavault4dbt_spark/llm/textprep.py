@@ -50,14 +50,35 @@ def duck_shingles(w: str, n: int = 3) -> str:
             f"i -> array_to_string({w}[i:i+{n - 1}], ' '))")
 
 
-# -- MinHash: one permutation = min md5 over seeded shingles ---------------
+# -- MinHash -----------------------------------------------------------------
+# k permutations are derived from ceil(k/8) md5 digests per shingle, not
+# k digests: each 32-hex digest yields eight 4-hex (16-bit) slices, and
+# the lexicographic min of a fixed slice across shingles is a valid
+# minhash (uniform 16-bit hash family). 8x fewer md5 calls — md5 is the
+# dominant CPU cost of the signature stage at scale.
 
-def spark_minhash(shingles: str, seed: int) -> str:
-    return f"array_min(transform({shingles}, s -> md5(concat('{seed}:', s))))"
+def n_digests(num_perm: int) -> int:
+    return (num_perm + 7) // 8
 
 
-def duck_minhash(shingles: str, seed: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5(concat('{seed}:', s))))"
+def spark_shingle_digests(shingles: str, num_perm: int) -> str:
+    parts = ", ".join(f"md5(concat('{j}:', s))" for j in range(n_digests(num_perm)))
+    return f"transform({shingles}, s -> concat({parts}))"
+
+
+def duck_shingle_digests(shingles: str, num_perm: int) -> str:
+    parts = ", ".join(f"md5(concat('{j}:', s))" for j in range(n_digests(num_perm)))
+    return f"list_transform({shingles}, s -> concat({parts}))"
+
+
+def spark_minhash(digests: str, perm: int) -> str:
+    return (f"array_min(transform({digests}, "
+            f"h -> substr(h, {1 + 4 * perm}, 4)))")
+
+
+def duck_minhash(digests: str, perm: int) -> str:
+    return (f"list_min(list_transform({digests}, "
+            f"h -> substr(h, {1 + 4 * perm}, 4)))")
 
 
 # -- hex nibble -> int (both engines lack a shared hex->int cast) ----------
