@@ -63,7 +63,11 @@ class StageConfig:
     source_model: str
     ldts: str  # SQL expression over source columns (dialect-neutral)
     rsrc: str  # SQL expression or '!literal'
-    source_schema: tuple  # ((col, dtype), ...) — projection + ghost typing
+    # ((col, dtype), ...) — projection + ghost typing. None = introspect
+    # from the source DataFrame at plan-build time (the reference's
+    # adapter.get_columns_in_relation, stage.sql:103); the oracle
+    # generator needs it explicit.
+    source_schema: tuple | None = None
     hashed_columns: tuple = ()  # HashSpec
     derived_columns: tuple = ()
     prejoined_columns: tuple = ()
@@ -109,6 +113,10 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
     literal — rows with ldts <= hwm are filtered at the source (enables
     parquet min-max skipping at scale; reference: stage.sql:200-205)."""
     src = reg.load(spark, cfg.source_model)
+    if cfg.source_schema is None:
+        from dataclasses import replace
+        cfg = replace(cfg, source_schema=tuple(
+            (c, t.upper()) for c, t in src.dtypes))
     if cfg.include_source_columns:
         src = src.select(*[c for c, _ in cfg.source_schema])
     # hashing is CPU-bound: make sure the scan's effective parallelism

@@ -1,0 +1,251 @@
+"""yaml_metadata front-end — the reference package's primary config
+surface, accepted verbatim.
+
+Every table macro in the reference takes a ``yaml_metadata`` string
+(reference: macros/internal/metadata_processing/yaml_metadata_parser.sql:1-29;
+per-macro key documentation in each dispatcher, e.g.
+macros/staging/stage.sql:8-122, macros/tables/hub.sql:13-105). This
+module parses those exact YAML shapes into this engine's config
+dataclasses, so a datavault4dbt user can carry their metadata blocks
+over unchanged:
+
+    cfg = parse_stage('''
+      source_model: source_account
+      ldts: edwLoadDate
+      rsrc: '!SAP.Accounts'
+      hashed_columns:
+        hk_account_h: [account_number]
+        hd_account_s:
+          is_hashdiff: true
+          columns: [name, address]
+    ''', name="stage_account")
+    df = build_stage(spark, registry, cfg)
+
+Source-column schemas are introspected from the registry DataFrame at
+plan-build time (as dbt does via get_columns_in_relation), so the YAML
+needs nothing the reference's YAML does not have.
+"""
+
+from __future__ import annotations
+
+import yaml
+
+from .functions.hashing import HashSpec
+from .operators.stage import (StageConfig, DerivedColumn, Prejoin,
+                              MultiActiveConfig)
+from .operators.hub import HubConfig, EntitySource
+from .operators.link import LinkConfig
+from .operators.sat import SatConfig, SatV1Config
+from .operators.nh import NhSatConfig, NhLinkConfig
+from .operators.ma_sat import MaSatConfig
+from .operators.rec_track import RecTrackConfig
+from .operators.eff_sat import EffSatConfig
+from .operators.pit import PitConfig
+
+
+def _load(yaml_metadata) -> dict:
+    if isinstance(yaml_metadata, dict):
+        return dict(yaml_metadata)
+    return yaml.safe_load(yaml_metadata) or {}
+
+
+def _hashed_columns(d: dict) -> tuple:
+    """Reference shape (stage.sql:44-54): hashkey -> [cols];
+    hashdiff -> {is_hashdiff: true, columns: [...]}."""
+    out = []
+    for name, spec in (d or {}).items():
+        if isinstance(spec, dict):
+            out.append(HashSpec(name, tuple(spec["columns"]),
+                                is_hashdiff=bool(spec.get("is_hashdiff"))))
+        else:
+            cols = (spec,) if isinstance(spec, str) else tuple(spec)
+            out.append(HashSpec(name, cols))
+    return tuple(out)
+
+
+def _derived_columns(d: dict) -> tuple:
+    """Reference shape (stage.sql:56-68): name -> {value, datatype} or
+    name -> value."""
+    out = []
+    for name, spec in (d or {}).items():
+        if isinstance(spec, dict):
+            out.append(DerivedColumn(name, str(spec["value"]),
+                                     str(spec.get("datatype", "STRING"))))
+        else:
+            out.append(DerivedColumn(name, str(spec)))
+    return tuple(out)
+
+
+def _prejoined_columns(d: dict) -> tuple:
+    """Reference shapes (stage.sql:78-122): old syntax
+    alias -> {src_table, bk, this_column_name, ref_column_name} and new
+    syntax ref_model -> {ref_model/src_table, bk/extract_columns,
+    this_column_name, ref_column_name} (lists allowed)."""
+    joins: dict = {}
+    for alias, spec in (d or {}).items():
+        ref = spec.get("ref_model") or spec.get("src_table")
+        this = spec["this_column_name"]
+        that = spec["ref_column_name"]
+        on = tuple(zip((this,) if isinstance(this, str) else tuple(this),
+                       (that,) if isinstance(that, str) else tuple(that)))
+        extracts = spec.get("extract_columns")
+        if extracts:  # new syntax: alias key IS the ref model
+            ref = ref or alias
+            ext = tuple((e, e, "STRING") for e in extracts)
+        else:
+            ext = ((alias, spec["bk"], spec.get("datatype", "STRING")),)
+        key = (ref, on)
+        joins.setdefault(key, []).extend(ext)
+    return tuple(Prejoin(ref, on, tuple(ext))
+                 for (ref, on), ext in joins.items())
+
+
+def parse_stage(yaml_metadata, name: str) -> StageConfig:
+    m = _load(yaml_metadata)
+    src = m["source_model"]
+    if isinstance(src, dict):  # {'source_name': 'table'} -> table name
+        src = next(iter(src.values()))
+    ma = None
+    if m.get("multi_active_config"):
+        mac = m["multi_active_config"]
+        keys = mac["multi_active_key"]
+        ma = MultiActiveConfig(
+            (keys,) if isinstance(keys, str) else tuple(keys),
+            mac["main_hashkey_column"])
+    return StageConfig(
+        name=name, source_model=src,
+        ldts=str(m.get("ldts", "current_timestamp()")),
+        rsrc=str(m.get("rsrc", "!UNKNOWN")),
+        source_schema=(tuple(tuple(p) for p in m["source_schema"])
+                       if m.get("source_schema") else None),
+        hashed_columns=_hashed_columns(m.get("hashed_columns")),
+        derived_columns=_derived_columns(m.get("derived_columns")),
+        prejoined_columns=_prejoined_columns(m.get("prejoined_columns")),
+        missing_columns=tuple((c, t) for c, t in
+                              (m.get("missing_columns") or {}).items()),
+        multi_active=ma,
+        enable_ghost_records=bool(m.get("enable_ghost_records", True)),
+        include_source_columns=bool(m.get("include_source_columns", True)))
+
+
+def _sources(m, bk_key: str = "business_keys") -> tuple:
+    """Reference source_models shapes (hub.sql:26-60): string, list of
+    strings, or list of dicts with name/hk_column/bk_columns/rsrc_static."""
+    sm = m["source_models"]
+    if isinstance(sm, (str, dict)):
+        sm = [sm]
+    out = []
+    for s in sm:
+        if isinstance(s, str):
+            out.append(EntitySource(s))
+        else:
+            bks = s.get("bk_columns")
+            fks = s.get("fk_columns") or s.get("link_hashkeys")
+            pay = s.get("payload")
+            out.append(EntitySource(
+                s["name"],
+                hk_column=s.get("hk_column"),
+                bk_columns=(tuple(bks) if bks else None),
+                rsrc_static=s.get("rsrc_static"),
+                fk_columns=(tuple(fks) if fks else None),
+                payload=(tuple(pay) if pay else None)))
+    return tuple(out)
+
+
+def _tuple(v) -> tuple:
+    if v is None:
+        return ()
+    return (v,) if isinstance(v, str) else tuple(v)
+
+
+def parse_hub(yaml_metadata, name: str) -> HubConfig:
+    m = _load(yaml_metadata)
+    return HubConfig(name, m["hashkey"], _tuple(m["business_keys"]),
+                     _sources(m), _tuple(m.get("additional_columns")))
+
+
+def parse_link(yaml_metadata, name: str) -> LinkConfig:
+    m = _load(yaml_metadata)
+    return LinkConfig(name, m["link_hashkey"], _tuple(m["foreign_hashkeys"]),
+                      _sources(m))
+
+
+def parse_sat_v0(yaml_metadata, name: str) -> SatConfig:
+    m = _load(yaml_metadata)
+    return SatConfig(name, m["source_model"], m["parent_hashkey"],
+                     m["src_hashdiff"],
+                     hashdiff_alias=m.get("hashdiff_alias"),
+                     payload=_tuple(m.get("src_payload")),
+                     source_is_single_batch=bool(
+                         m.get("source_is_single_batch", False)))
+
+
+def parse_sat_v1(yaml_metadata, name: str) -> SatV1Config:
+    m = _load(yaml_metadata)
+    return SatV1Config(name, m["sat_v0"], m["parent_hashkey"],
+                       m["src_hashdiff"],
+                       payload=_tuple(m.get("src_payload")),
+                       add_is_current_flag=bool(
+                           m.get("add_is_current_flag", False)))
+
+
+def parse_nh_sat(yaml_metadata, name: str) -> NhSatConfig:
+    m = _load(yaml_metadata)
+    return NhSatConfig(name, m["source_model"], m["parent_hashkey"],
+                       _tuple(m.get("src_payload")),
+                       source_is_single_batch=bool(
+                           m.get("source_is_single_batch", True)))
+
+
+def parse_nh_link(yaml_metadata, name: str) -> NhLinkConfig:
+    m = _load(yaml_metadata)
+    return NhLinkConfig(name, m["link_hashkey"], _tuple(m["foreign_hashkeys"]),
+                        _tuple(m.get("payload")), _sources(m),
+                        union_strategy=m.get("union_strategy", "all"),
+                        source_is_single_batch=bool(
+                            m.get("source_is_single_batch", True)))
+
+
+def parse_ma_sat_v0(yaml_metadata, name: str) -> MaSatConfig:
+    m = _load(yaml_metadata)
+    return MaSatConfig(name, m["source_model"], m["parent_hashkey"],
+                       m["src_hashdiff"], _tuple(m["src_ma_key"]),
+                       payload=_tuple(m.get("src_payload")))
+
+
+def parse_rec_track_sat(yaml_metadata, name: str) -> RecTrackConfig:
+    m = _load(yaml_metadata)
+    return RecTrackConfig(name, m["tracked_hashkey"], _sources(m))
+
+
+def parse_eff_sat_v0(yaml_metadata, name: str) -> EffSatConfig:
+    m = _load(yaml_metadata)
+    return EffSatConfig(name, m["source_model"], m["tracked_hashkey"],
+                        source_is_single_batch=bool(
+                            m.get("source_is_single_batch", False)))
+
+
+def parse_pit(yaml_metadata, name: str) -> PitConfig:
+    m = _load(yaml_metadata)
+    return PitConfig(name, m["tracked_entity"], m["hashkey"],
+                     _tuple(m["sat_names"]), m["snapshot_relation"],
+                     m.get("dimension_key", "dimension_key"),
+                     snapshot_trigger_column=m.get("snapshot_trigger_column"),
+                     refer_to_ghost_records=bool(
+                         m.get("refer_to_ghost_records", True)),
+                     custom_rsrc=m.get("custom_rsrc"),
+                     pit_type=m.get("pit_type"))
+
+
+PARSERS = {
+    "stage": parse_stage, "hub": parse_hub, "link": parse_link,
+    "sat_v0": parse_sat_v0, "sat_v1": parse_sat_v1,
+    "nh_sat": parse_nh_sat, "nh_link": parse_nh_link,
+    "ma_sat_v0": parse_ma_sat_v0, "rec_track_sat": parse_rec_track_sat,
+    "eff_sat_v0": parse_eff_sat_v0, "pit": parse_pit,
+}
+
+
+def parse(kind: str, yaml_metadata, name: str):
+    """Generic entry: parse(kind, yaml_metadata, name) -> config."""
+    return PARSERS[kind](yaml_metadata, name)
