@@ -1,0 +1,108 @@
+"""Physical-plan assertions: the scale-critical plan properties
+(predicate pushdown to the scan, column pruning, broadcast of small
+sides, no redundant shuffles) must hold — these are the properties the
+operators' docstrings claim for 100 TB behavior."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from datavault4dbt_spark import fixtures
+from datavault4dbt_spark.context import DEFAULT, Registry, testdata_registry as make_registry
+from datavault4dbt_spark.operators.stage import build_stage
+from datavault4dbt_spark.operators.hub import build_hub
+from datavault4dbt_spark.operators.sat import build_sat_v0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_hwm_filter_is_pushed_to_scan(spark, sf_dir):
+    """When ldts is a plain source column, the high-water-mark literal
+    must reach the parquet scan as a pushed filter (min-max row-group
+    skipping at scale depends on this)."""
+    import datetime
+    from datavault4dbt_spark.operators.stage import StageConfig
+    from datavault4dbt_spark.functions.hashing import HashSpec
+    fixtures.ensure_session_conf(spark)
+    reg = make_registry(sf_dir)
+    cfg = StageConfig(
+        name="stage_orders_direct", source_model="orders",
+        ldts="o_orderdate", rsrc="!TPCH/orders",
+        source_schema=(("o_orderkey", "BIGINT"), ("o_orderdate", "TIMESTAMP")),
+        hashed_columns=(HashSpec("hk_order_h", ("o_orderkey",)),),
+        enable_ghost_records=False)
+    hwm = datetime.datetime(1995, 1, 1)
+    df = build_stage(spark, reg, cfg, hwm_ldts=hwm)
+    plan = _formatted(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "o_orderdate" in m.group(1), plan
+
+
+def test_sat_column_pruning_reaches_scan(spark, sf_dir):
+    """A satellite over a stage must not scan columns it never uses:
+    the parquet ReadSchema must exclude untouched source columns."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("sat_part_s")(spark, sf_dir)
+    plan = _formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = m.group(1)
+    # p_name feeds no hash/payload of sat_part_s -> must be pruned
+    assert "p_name" not in read_cols
+    assert "p_brand" in read_cols
+
+
+def test_stage_prejoin_is_broadcast(spark, sf_dir):
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("stage_customer")(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_hub_load_is_single_shuffle(spark, sf_dir):
+    """Initial hub load: exactly one exchange (the window partitioning
+    on the hashkey) downstream of the stage; dedup + output reuse it."""
+    fixtures.ensure_session_conf(spark)
+    reg = make_registry(sf_dir)
+    stage = build_stage(spark, reg, fixtures.STAGES["stage_nation"])
+    reg.spark_loaders["stage_nation"] = lambda _s: stage
+    hub = build_hub(spark, reg, fixtures.HUBS["hub_nation"])
+    plan = _plan(hub)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_pit_snapshot_spine_is_broadcast(spark, sf_dir):
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_query_side_is_broadcast(spark, sf_dir):
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("ann_cosine_topk")(spark, sf_dir)
+    assert "BroadcastExchange" in _plan(df)
+
+
+def test_anti_join_not_expanded_to_cartesian(spark, sf_dir):
+    """Incremental insert filter must stay an anti JOIN."""
+    fixtures.ensure_session_conf(spark)
+    reg = make_registry(sf_dir)
+    stage = build_stage(spark, reg, fixtures.STAGES["stage_nation"])
+    reg.spark_loaders["stage_nation"] = lambda _s: stage
+    full = build_hub(spark, reg, fixtures.HUBS["hub_nation"])
+    inc = build_hub(spark, reg, fixtures.HUBS["hub_nation"],
+                    target=full.limit(5), disable_hwm=True)
+    assert "LeftAnti" in _plan(inc)
