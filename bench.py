@@ -36,6 +36,11 @@ def main():
     # measure the plan, not first-use JIT: run the smallest real stage
     fixtures.entity_query("stage_nation")(spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
+    # warm the higher-order-function eval path (cosine/ANN fold lambdas)
+    spark.range(256).selectExpr(
+        "aggregate(zip_with(array(cast(id AS DOUBLE)), array(2.0d), "
+        "(x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v) s") \
+        .write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     names = fixtures.all_entity_names()

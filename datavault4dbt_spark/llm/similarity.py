@@ -40,6 +40,7 @@ class AnnConfig:
     k: int = 5
     query_filter: str = "vec_id < 16"   # defines the query subset
     lsh_bits: int = 0                   # 0 = brute force; >0 = sign-LSH
+    dim: int = 0                        # 0 = HOF fold (see dedup.py note)
 
 
 def _bucket_expr(vec: str, bits: int, dialect: str) -> str:
@@ -61,7 +62,8 @@ def build_ann_topk(spark, reg: Registry, cfg: AnnConfig,
         cfg.id_col,
         f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v",
         f"({cfg.query_filter}) AS is_q")
-    n = v.selectExpr(cfg.id_col, "v", "is_q", f"{_spark_norm('v')} AS nrm")
+    n = v.selectExpr(cfg.id_col, "v", "is_q", f"{_spark_norm('v')} AS nrm") \
+         .persist()  # queries + candidates both read it
     if cfg.lsh_bits:
         n = n.selectExpr(cfg.id_col, "v", "is_q", "nrm",
                          f"{_bucket_expr('v', cfg.lsh_bits, 'spark')} AS bkt")
@@ -73,7 +75,7 @@ def build_ann_topk(spark, reg: Registry, cfg: AnnConfig,
     scored = (queries.alias("q").join(cands.alias("c"), join_cond)
               .selectExpr(f"q.{cfg.id_col} AS query_id",
                           f"c.{cfg.id_col} AS neighbor_id",
-                          f"round({_spark_dot('q.v', 'c.v')} / (q.nrm * c.nrm), 6)"
+                          f"round({_spark_dot('q.v', 'c.v', cfg.dim)} / (q.nrm * c.nrm), 6)"
                           " AS cosine"))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
@@ -97,7 +99,7 @@ def ann_topk_oracle(b: SqlBuilder, reg: Registry, cfg: AnnConfig,
     cond = f"q.{cfg.id_col} <> c.{cfg.id_col}"
     if cfg.lsh_bits:
         cond += " AND q.bkt = c.bkt"
-    dot = _duck_dot("q.v", "c.v", "len(q.v)")
+    dot = _duck_dot("q.v", "c.v", "len(q.v)", cfg.dim)
     scored = b.cte(f"{cfg.name}__scored",
                    f"SELECT q.{cfg.id_col} AS query_id, "
                    f"c.{cfg.id_col} AS neighbor_id, "

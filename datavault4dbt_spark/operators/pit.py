@@ -61,9 +61,7 @@ def build_pit(spark, reg: Registry, cfg: PitConfig, g: GlobalConfig = DEFAULT,
         sel.append(F.lit(cfg.pit_type).alias("type"))
     if cfg.custom_rsrc:
         sel.append(F.lit(cfg.custom_rsrc).alias(g.rsrc_alias))
-    sel += [F.expr(hash_expr_sql(_dim_hash_spec(cfg, g), g, SPARK, alias=False))
-            .alias(cfg.dimension_key),
-            F.col(cfg.hashkey), F.col(g.sdts_alias)]
+    sel += [F.col(cfg.hashkey), F.col(g.sdts_alias)]
 
     out = base
     for sat in cfg.sat_names:
@@ -92,7 +90,12 @@ def build_pit(spark, reg: Registry, cfg: PitConfig, g: GlobalConfig = DEFAULT,
             sel += [F.col(f"__hk_{sat}").alias(f"hk_{sat}"),
                     F.col(f"__ldts_{sat}").alias(f"{g.ldts_alias}_{sat}")]
 
-    result = out.select(*sel).distinct()
+    # dimension_key = hash(hk, sdts) is a pure function of columns in
+    # the DISTINCT set: computing it AFTER the dedup halves the string
+    # bytes through the exchange and hashes each surviving row once
+    result = out.select(*sel).distinct().select(
+        F.expr(hash_expr_sql(_dim_hash_spec(cfg, g), g, SPARK, alias=False))
+        .alias(cfg.dimension_key), "*")
     if target is not None:
         result = result.join(target.select(cfg.dimension_key).distinct(),
                              on=cfg.dimension_key, how="left_anti")
