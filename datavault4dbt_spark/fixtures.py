@@ -42,13 +42,15 @@ from .llm.dedup import (
     build_simhash_dedup, build_ngram_jaccard, build_embedding_cosine,
     exact_dedup_oracle, minhash_lsh_oracle, simhash_dedup_oracle,
     ngram_jaccard_oracle, embedding_cosine_oracle)
-from .llm.similarity import AnnConfig, build_ann_topk, ann_topk_oracle
+from .llm.similarity import (AnnConfig, build_ann_topk, ann_topk_oracle,
+                             IvfConfig, build_ann_ivf, ann_ivf_oracle)
 from .llm.textstats import (
     LangIdConfig, QualityConfig, TokenCountConfig, FingerprintConfig,
     build_langid, build_quality, build_token_count, build_fingerprint,
     langid_oracle, quality_oracle, token_count_oracle, fingerprint_oracle)
 from .llm.multimodal import (MultimodalConfig, build_multimodal_features,
                              multimodal_oracle)
+from .llm.curation import CurationConfig, build_curation, curation_oracle
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -316,11 +318,13 @@ ANNS = {
     "ann_cosine_topk": AnnConfig("ann_cosine_topk"),
     "ann_lsh_topk": AnnConfig("ann_lsh_topk", lsh_bits=6),
 }
+ANN_IVFS = {"ann_ivf_topk": IvfConfig("ann_ivf_topk")}
 TEXT_LANGID = {"text_langid": LangIdConfig("text_langid")}
 TEXT_QUALITY = {"text_quality": QualityConfig("text_quality")}
 TEXT_TOKENS = {"text_token_count": TokenCountConfig("text_token_count")}
 TEXT_FPRINT = {"text_fingerprint": FingerprintConfig("text_fingerprint")}
 MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
+CURATION = {"docs_curated": CurationConfig("docs_curated")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -369,11 +373,14 @@ _FAMILIES = [
     (DEDUP_JACCARD, build_ngram_jaccard, ngram_jaccard_oracle, _NO_DEPS),
     (DEDUP_COSINE, build_embedding_cosine, embedding_cosine_oracle, _NO_DEPS),
     (ANNS, build_ann_topk, ann_topk_oracle, _NO_DEPS),
+    (ANN_IVFS, build_ann_ivf, ann_ivf_oracle, _NO_DEPS),
     (TEXT_LANGID, build_langid, langid_oracle, _NO_DEPS),
     (TEXT_QUALITY, build_quality, quality_oracle, _NO_DEPS),
     (TEXT_TOKENS, build_token_count, token_count_oracle, _NO_DEPS),
     (TEXT_FPRINT, build_fingerprint, fingerprint_oracle, _NO_DEPS),
     (MULTIMODAL, build_multimodal_features, multimodal_oracle, _NO_DEPS),
+    (CURATION, build_curation, curation_oracle,
+     lambda c: [c.quality_entity, c.langid_entity, c.dedup_entity]),
 ]
 
 

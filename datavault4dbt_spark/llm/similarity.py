@@ -84,6 +84,105 @@ def build_ann_topk(spark, reg: Registry, cfg: AnnConfig,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+@dataclass(frozen=True)
+class IvfConfig:
+    """IVF (inverted-file) ANN: coarse-quantize vectors into cells,
+    search only the query's nearest `nprobe` cells.
+
+    Centroids are the first `n_cells` vectors by id — a deterministic
+    seed choice (k-means iterations would refine them; the *search
+    structure* — assign, probe, rank — is identical and this keeps the
+    DuckDB oracle bit-exact). At scale the centroid table is broadcast
+    and each vector is scored against n_cells centroids in the scan
+    stage; the candidate join keys on cell id.
+    """
+
+    name: str
+    source: str = "embeddings"
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    k: int = 5
+    n_cells: int = 8
+    nprobe: int = 2
+    query_filter: str = "vec_id < 16"
+
+
+def build_ann_ivf(spark, reg: Registry, cfg: IvfConfig,
+                  g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = ensure_min_parallelism(reg.load(spark, cfg.source))
+    v = df.selectExpr(
+        cfg.id_col,
+        f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v",
+        f"({cfg.query_filter}) AS is_q")
+    n = v.selectExpr(cfg.id_col, "v", "is_q",
+                     f"{_spark_norm('v')} AS nrm").persist()
+    cents = (n.filter(F.col(cfg.id_col) < cfg.n_cells)
+             .selectExpr(f"{cfg.id_col} AS cell", "v AS cv", "nrm AS cnrm"))
+    scored_cells = (n.crossJoin(F.broadcast(cents))
+                    .selectExpr(cfg.id_col, "v", "is_q", "nrm", "cell",
+                                f"{_spark_dot('v', 'cv')} / (nrm * cnrm) AS csim"))
+    wc = (Window.partitionBy(cfg.id_col)
+          .orderBy(F.desc("csim"), F.asc("cell")))
+    ranked = scored_cells.withColumn("crank", F.row_number().over(wc))
+    cands = ranked.filter("crank = 1").select(cfg.id_col, "v", "nrm", "cell")
+    probes = (ranked.filter(F.col("is_q") & (F.col("crank") <= cfg.nprobe))
+              .select(F.col(cfg.id_col).alias("query_id"),
+                      F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+                      "cell"))
+    scored = (F.broadcast(probes).alias("q")
+              .join(cands.alias("c"),
+                    [F.col("q.cell") == F.col("c.cell"),
+                     F.col("q.query_id") != F.col(f"c.{cfg.id_col}")])
+              .selectExpr("q.query_id",
+                          f"c.{cfg.id_col} AS neighbor_id",
+                          f"round({_spark_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm), 6)"
+                          " AS cosine")
+              .distinct())   # a neighbor can appear via several probes
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= cfg.k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def ann_ivf_oracle(b: SqlBuilder, reg: Registry, cfg: IvfConfig,
+                   g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    v = b.cte(f"{cfg.name}__v",
+              f"SELECT {cfg.id_col}, "
+              f"list_transform({cfg.vec_col}, x -> CAST(x AS DOUBLE)) AS v, "
+              f"({cfg.query_filter}) AS is_q FROM {src}")
+    n = b.cte(f"{cfg.name}__n",
+              f"SELECT {cfg.id_col}, v, is_q, {_duck_norm('v')} AS nrm FROM {v}")
+    cents = b.cte(f"{cfg.name}__c",
+                  f"SELECT {cfg.id_col} AS cell, v AS cv, nrm AS cnrm "
+                  f"FROM {n} WHERE {cfg.id_col} < {cfg.n_cells}")
+    dot = _duck_dot("n.v", "c.cv", "len(n.v)")
+    ranked = b.cte(
+        f"{cfg.name}__ranked",
+        f"SELECT n.{cfg.id_col}, n.v, n.is_q, n.nrm, c.cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY n.{cfg.id_col} "
+        f"ORDER BY {dot} / (n.nrm * c.cnrm) DESC, c.cell ASC) AS crank "
+        f"FROM {n} n CROSS JOIN {cents} c")
+    cands = b.cte(f"{cfg.name}__cands",
+                  f"SELECT {cfg.id_col}, v, nrm, cell FROM {ranked} "
+                  f"WHERE crank = 1")
+    probes = b.cte(f"{cfg.name}__probes",
+                   f"SELECT {cfg.id_col} AS query_id, v AS qv, nrm AS qnrm, "
+                   f"cell FROM {ranked} WHERE is_q AND crank <= {cfg.nprobe}")
+    qdot = _duck_dot("q.qv", "c.v", "len(q.qv)")
+    scored = b.cte(f"{cfg.name}__scored",
+                   f"SELECT DISTINCT q.query_id, c.{cfg.id_col} AS neighbor_id, "
+                   f"round({qdot} / (q.qnrm * c.nrm), 6) AS cosine "
+                   f"FROM {probes} q JOIN {cands} c ON q.cell = c.cell "
+                   f"AND q.query_id <> c.{cfg.id_col}")
+    return b.cte(cfg.name,
+                 f"SELECT query_id, neighbor_id, rank, cosine FROM ("
+                 f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+                 f"ORDER BY cosine DESC, neighbor_id ASC) AS rank "
+                 f"FROM {scored}) WHERE rank <= {cfg.k}")
+
+
 def ann_topk_oracle(b: SqlBuilder, reg: Registry, cfg: AnnConfig,
                     g: GlobalConfig = DEFAULT) -> str:
     src = reg.duckdb_relation(cfg.source)
