@@ -211,7 +211,8 @@ SATS_V1 = {
                                         "hk_customer_h", "hd_customer_n_s",
                                         add_is_current_flag=True),
     "sat_part_s_v1": SatV1Config("sat_part_s_v1", "sat_part_s",
-                                 "hk_part_h", "hd_part_s"),
+                                 "hk_part_h", "hd_part_s",
+                                 include_payload=("p_brand", "p_type")),
 }
 
 

@@ -184,7 +184,8 @@ def parse_sat_v1(yaml_metadata, name: str) -> SatV1Config:
     m = _load(yaml_metadata)
     return SatV1Config(name, m["sat_v0"], m["parent_hashkey"],
                        m["src_hashdiff"],
-                       payload=_tuple(m.get("src_payload")),
+                       include_payload=_tuple(m.get("include_payload")
+                                              or m.get("src_payload")),
                        add_is_current_flag=bool(
                            m.get("add_is_current_flag", False)))
 
