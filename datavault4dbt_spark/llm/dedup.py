@@ -179,17 +179,24 @@ class SimHashConfig:
     max_hamming: int = 3     # band count = max_hamming + 1 (pigeonhole)
 
 
+def _simhash_nibble_exprs(bits: int):
+    """One int per hex nibble of md5(token) — computed ONCE per token
+    (substr+instr are the expensive part; the 4 bit tests per nibble
+    then run on the cached int). Identical text in Spark & DuckDB."""
+    return [f"(instr('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) AS v{p}"
+            for p in range(bits // 4)]
+
+
 def _simhash_bit_exprs(bits: int, dialect: str):
-    """Per-token ±1 contribution for each bit j, from the leading
-    bits/4 hex nibbles of md5(token). Same values in Spark & DuckDB;
-    only the integer-division operator differs (`div` vs `//`)."""
+    """Per-token ±1 contribution for each bit j, over the precomputed
+    nibble columns v0..; only the integer-division operator differs
+    between dialects (`div` vs `//`)."""
     idiv = " div " if dialect == "spark" else " // "
     exprs = []
     for j in range(bits):
         p, q = divmod(j, 4)
         exprs.append(
-            f"CASE WHEN ((instr('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
-            f"{idiv}{2 ** q}) % 2 = 1 THEN 1 ELSE -1 END")
+            f"CASE WHEN (v{p}{idiv}{2 ** q}) % 2 = 1 THEN 1 ELSE -1 END")
     return exprs
 
 
@@ -214,7 +221,8 @@ def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
     df = ensure_min_parallelism(reg.load(spark, cfg.source))
     toks = df.selectExpr(cfg.id_col,
                          f"explode({spark_tokens(cfg.text_col)}) AS t")
-    hx = toks.selectExpr(cfg.id_col, "md5(t) AS h")
+    hx = toks.selectExpr(cfg.id_col, "md5(t) AS h") \
+             .selectExpr(cfg.id_col, *_simhash_nibble_exprs(cfg.bits))
     sums = hx.groupBy(cfg.id_col).agg(
         *[F.sum(F.expr(e)).alias(f"s{j}")
           for j, e in enumerate(_simhash_bit_exprs(cfg.bits, "spark"))])
@@ -253,7 +261,9 @@ def simhash_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: SimHashConfig,
                  f"SELECT {cfg.id_col}, unnest({duck_tokens(cfg.text_col)}) AS t "
                  f"FROM {src}")
     hx = b.cte(f"{cfg.name}__h",
-               f"SELECT {cfg.id_col}, md5(t) AS h FROM {toks}")
+               f"SELECT {cfg.id_col}, "
+               + ", ".join(_simhash_nibble_exprs(cfg.bits))
+               + f" FROM (SELECT {cfg.id_col}, md5(t) AS h FROM {toks})")
     sum_cols = ", ".join(f"sum({e}) AS s{j}"
                          for j, e in enumerate(_simhash_bit_exprs(cfg.bits, "duck")))
     sums = b.cte(f"{cfg.name}__s",
