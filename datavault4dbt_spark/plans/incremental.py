@@ -79,11 +79,23 @@ class ParquetStore:
         df.write.mode("append").parquet(self.path(name))
 
     def overwrite(self, name: str, df: DataFrame):
-        # Read-modify-write needs a materialized source: parquet overwrite
-        # of the input path would clobber before read.
-        rows = df.collect() if df.isStreaming is False else None
-        out = self.spark.createDataFrame(rows, df.schema)
-        out.write.mode("overwrite").parquet(self.path(name))
+        """Read-modify-write safe overwrite: the plan may READ the path
+        being replaced, so write distributed to a sibling temp dir and
+        atomically swap directories (never collect() to the driver —
+        with Delta this whole method is a transactional overwrite)."""
+        import os
+        import shutil
+
+        final = self.path(name)
+        tmp = final + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        old = final + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
     def delete_where(self, name: str, condition):
         """DELETE FROM name WHERE condition (reference:
