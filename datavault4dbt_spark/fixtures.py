@@ -175,6 +175,12 @@ HUBS = {
                            (EntitySource("stage_orders"),)),
     "hub_part": HubConfig("hub_part", "hk_part_h", ("p_partkey",),
                           (EntitySource("stage_part"),)),
+    # additional_columns: descriptive payload carried into the hub row
+    # (reference: macros/tables/hub.sql additional_columns kwarg)
+    "hub_part_enriched": HubConfig(
+        "hub_part_enriched", "hk_part_h", ("p_partkey",),
+        (EntitySource("stage_part"),),
+        additional_columns=("p_brand", "p_type")),
     "hub_supplier": HubConfig("hub_supplier", "hk_supplier_h", ("s_suppkey",),
                               (EntitySource("stage_supplier"),)),
     "hub_user": HubConfig("hub_user", "hk_user_h", ("user_id",),

@@ -1,0 +1,123 @@
+"""Custom stateful streaming operator: user sessionization with
+``applyInPandasWithState``.
+
+Demonstrates the Spark pattern for stateful logic the built-in window
+aggregations can't express — gap-based sessions (a session ends after
+`gap` seconds of inactivity, not at fixed window boundaries). State =
+one open session per user, kept in the state store, closed either by a
+new event beyond the gap or by processing-time timeout.
+
+Batch twin: ``sessionize_batch`` computes identical sessions with
+window functions (gap-start detection via LAG + running session ids),
+so tests can assert stream == batch on drained input.
+
+Scale: state is per-user (uniformly hash-partitioned), bounded to one
+open session per key; timeouts evict idle users, so state-store size
+tracks ACTIVE users, not history.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (StructType, StructField, LongType,
+                               TimestampType, DoubleType)
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+# state: (start_epoch_us, end_epoch_us, n_events, sum_value)
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+    StructField("sv", DoubleType()),
+])
+
+
+def _session_fn(gap_seconds: int, timeout_ms: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, sv = state.get
+                closed.append((user_id, s, e, n, sv))
+                state.remove()
+        else:
+            ts_us, vals = [], []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+                vals.extend(float(v) for v in pdf["value"])
+            order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+            cur = state.get if state.exists else None
+            for i in order:
+                t, v = ts_us[i], vals[i]
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_us:
+                    closed.append((user_id,) + cur)
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutDuration(timeout_ms)
+        if not closed:
+            yield pd.DataFrame(columns=[f.name for f in SESSION_SCHEMA])
+            return
+        yield pd.DataFrame(
+            [(u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"),
+              n, sv) for u, s, e, n, sv in closed],
+            columns=[f.name for f in SESSION_SCHEMA])
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
+                      timeout_ms: int = 60_000) -> DataFrame:
+    """events(ts TIMESTAMP, user_id, value) stream -> closed sessions.
+
+    ``gap_seconds`` is the EVENT-time inactivity gap defining session
+    boundaries; ``timeout_ms`` is the PROCESSING-time idleness after
+    which a user's open session is flushed (two different clocks —
+    late-closing only, never changes session boundaries of new data).
+    """
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn(gap_seconds, timeout_ms), SESSION_SCHEMA,
+                STATE_SCHEMA, "append",
+                GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
+    """Batch twin: identical session boundaries via LAG + running sum."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.lag("ts").over(w)
+    marked = (events
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("__new", (gap.isNull() | (
+                  F.col("ts").cast("double") - gap.cast("double")
+                  > gap_seconds)).cast("int")))
+    sess = marked.withColumn(
+        "__sid", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "__sid")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .drop("__sid"))

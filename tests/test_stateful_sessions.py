@@ -1,0 +1,67 @@
+"""applyInPandasWithState sessionization: the streamed sessions (after
+draining all input and firing timeouts) must equal the batch twin."""
+
+import time
+
+import pytest
+
+from conftest import SF_DIR
+
+from datavault4dbt_spark.streaming.stateful import (
+    sessionize_stream, sessionize_batch)
+
+
+@pytest.fixture(scope="module")
+def time_batches(tmp_path_factory):
+    import duckdb
+    root = tmp_path_factory.mktemp("sess_src")
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT min(ts), max(ts) FROM '{SF_DIR}/events.parquet'").fetchone()
+    span = (hi - lo) / 3
+    for i in range(3):
+        cond = (f"ts >= TIMESTAMP '{lo + i * span}' AND "
+                + (f"ts < TIMESTAMP '{lo + (i + 1) * span}'" if i < 2 else "TRUE"))
+        con.execute(
+            f"COPY (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value "
+            f"FROM '{SF_DIR}/events.parquet' WHERE {cond} ORDER BY ts) "
+            f"TO '{root}/b{i}.parquet' (FORMAT PARQUET)")
+    return str(root)
+
+
+def test_stream_sessions_match_batch(spark, tmp_path, time_batches):
+    GAP = 6 * 3600  # wide gap -> sessions span micro-batches
+    schema = spark.read.parquet(time_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(time_batches))
+    q = (sessionize_stream(stream, GAP, timeout_ms=5000)
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second")
+         .start())
+    # drain input, then wait past the processing-time timeout so every
+    # open session closes and is emitted
+    deadline = time.time() + 240
+    seen_rows = -1
+    stable_since = None
+    while time.time() < deadline:
+        time.sleep(3)
+        n = spark.table("sessions").count()
+        if n == seen_rows and n > 0:
+            if stable_since and time.time() - stable_since > 15:
+                break
+            stable_since = stable_since or time.time()
+        else:
+            stable_since = None
+        seen_rows = n
+    q.stop()
+
+    got = {tuple(map(str, r)) for r in spark.table("sessions").collect()}
+    want = {tuple(map(str, r)) for r in
+            sessionize_batch(spark.read.parquet(time_batches), GAP)
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "sum_value").collect()}
+    # every emitted session must be a true session; after the timeout
+    # sweep the sets should match completely
+    assert got == want, (len(got), len(want))
