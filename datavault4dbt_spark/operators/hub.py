@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
-from ..plans.incremental import hwm_filter, anti_join_new
+from ..plans.incremental import hwm_filter, hwm_filter_static, anti_join_new
 
 
 @dataclass(frozen=True)
@@ -65,7 +65,12 @@ def build_hub(spark, reg: Registry, cfg: HubConfig, g: GlobalConfig = DEFAULT,
     for sm in cfg.source_models:
         src = _source_select(reg.load(spark, sm.name), sm, cfg, g)
         if target is not None and not disable_hwm:
-            src = hwm_filter(src, target, g)
+            # per-source watermark when the source declares rsrc_static
+            # (reference: hub.sql:44-131), global max(ldts) otherwise
+            if sm.rsrc_static:
+                src = hwm_filter_static(src, target, sm.rsrc_static, g)
+            else:
+                src = hwm_filter(src, target, g)
         parts.append(src)
     union = reduce(lambda a, b: a.unionByName(b), parts)
     w = Window.partitionBy(cfg.hashkey).orderBy(g.ldts_alias, g.rsrc_alias)

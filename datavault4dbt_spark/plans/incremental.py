@@ -42,6 +42,25 @@ def hwm_filter(src: DataFrame, target: DataFrame | None,
     return src.filter(F.col(g.ldts_alias) > F.lit(m))
 
 
+def hwm_filter_static(src: DataFrame, target: DataFrame | None,
+                      rsrc_static: str, g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Per-source high-water mark for multi-source entities (reference:
+    macros/tables/databricks/hub.sql:44-131): the HWM is computed over
+    target rows whose rsrc matches this source's static pattern, after
+    a probe decides whether the source has EVER loaded (a brand-new
+    source must not be filtered by other sources' watermarks). The
+    compile-time ``run_query`` probe becomes a driver-side action."""
+    if target is None:
+        return src
+    mine = target.filter(F.col(g.rsrc_alias).like(rsrc_static))
+    if not mine.limit(1).count():     # source not yet in target
+        return src
+    m = max_ldts(mine, g)
+    if m is None:
+        return src
+    return src.filter(F.col(g.ldts_alias) > F.lit(m))
+
+
 def anti_join_new(candidates: DataFrame, target: DataFrame | None,
                   keys: list) -> DataFrame:
     """records_to_insert: candidates whose key is absent from target.

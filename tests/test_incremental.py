@@ -73,3 +73,44 @@ def test_hwm_prunes_already_loaded_batches(spark, sf_dir, tmp_path):
     # and nothing already present sneaks back in
     present = {r.hk_customer_h for r in store.read("hub").collect()}
     assert all(r.hk_customer_h not in present for r in inserted)
+
+
+def test_rsrc_static_per_source_hwm(spark, sf_dir, tmp_path):
+    """A brand-new source must not be pruned by another source's
+    watermark (reference hub.sql:44-131 probe + per-rsrc_static HWM)."""
+    from datavault4dbt_spark.operators.hub import EntitySource, HubConfig
+
+    cfg2 = HubConfig(
+        "hub_nation2", "hk_nation_h", ("n_nationkey",),
+        (EntitySource("stage_nation", rsrc_static="TPCH/nation"),
+         EntitySource("stage_supplier", bk_columns=("s_nationkey",),
+                      rsrc_static="TPCH/supplier")))
+    full_nation = fixtures.entity_query("stage_nation")(spark, sf_dir)
+    full_supplier = fixtures.entity_query("stage_supplier")(spark, sf_dir)
+
+    # load 1: nation only (supplier source empty)
+    reg = Registry()
+    reg.spark_loaders["stage_nation"] = lambda _s: full_nation
+    reg.spark_loaders["stage_supplier"] = (
+        lambda _s: full_supplier.limit(0))
+    store = ParquetStore(spark, str(tmp_path))
+    store.append("hub", build_hub(spark, reg, cfg2, G, target=None))
+    target = store.read("hub")
+
+    # load 2: supplier appears. Its ldts batches start at 2024-01-01 —
+    # BELOW nation's watermark — so a global HWM would drop them; the
+    # per-rsrc_static HWM + probe must keep every new supplier key.
+    reg2 = Registry()
+    reg2.spark_loaders["stage_nation"] = lambda _s: full_nation
+    reg2.spark_loaders["stage_supplier"] = lambda _s: full_supplier
+    new = build_hub(spark, reg2, cfg2, G, target=target)
+    inserted = {r.n_nationkey for r in new.collect()}
+    sup_keys = {r.s_nationkey for r in
+                full_supplier.filter("rsrc = 'TPCH/supplier'").collect()}
+    nation_keys = {r.n_nationkey for r in
+                   full_nation.filter("rsrc = 'TPCH/nation'").collect()}
+    assert sup_keys - nation_keys <= inserted or not (sup_keys - nation_keys)
+    # and replaying load 2 inserts nothing
+    store.append("hub", new)
+    again = build_hub(spark, reg2, cfg2, G, target=store.read("hub"))
+    assert again.count() == 0
