@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
-from ..plans.incremental import hwm_filter, anti_join_new
+from ..plans.incremental import hwm_filter, hwm_filter_static, anti_join_new
 
 
 @dataclass(frozen=True)
@@ -46,7 +46,12 @@ def build_link(spark, reg: Registry, cfg: LinkConfig, g: GlobalConfig = DEFAULT,
         sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
         src = df.select(*sel)
         if target is not None and not disable_hwm:
-            src = hwm_filter(src, target, g)
+            # per-source watermark with probe when rsrc_static declared
+            # (reference: databricks/link.sql:44-131 mirror of the hub)
+            if sm.rsrc_static:
+                src = hwm_filter_static(src, target, sm.rsrc_static, g)
+            else:
+                src = hwm_filter(src, target, g)
         parts.append(src)
     union = reduce(lambda a, b: a.unionByName(b), parts)
     w = Window.partitionBy(cfg.link_hashkey).orderBy(g.ldts_alias, g.rsrc_alias)
