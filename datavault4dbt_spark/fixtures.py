@@ -79,6 +79,14 @@ STAGES = {
             HashSpec("hd_customer_n_s", ("c_acctbal", "c_mktsegment"), is_hashdiff=True),
             HashSpec("hd_customer_p_s", ("c_name",), is_hashdiff=True),
         )),
+    "stage_region": StageConfig(
+        name="stage_region", source_model="region",
+        ldts="TIMESTAMP '2024-01-01 00:00:00'", rsrc="!TPCH/region",
+        source_schema=(("r_regionkey", "INT"), ("r_name", "STRING")),
+        hashed_columns=(
+            HashSpec("hk_region_h", ("r_regionkey",)),
+            HashSpec("hd_region_s", ("r_name",), is_hashdiff=True),
+        )),
     "stage_nation": StageConfig(
         name="stage_nation", source_model="nation",
         ldts="TIMESTAMP '2024-01-01 00:00:00'", rsrc="!TPCH/nation",
@@ -164,6 +172,8 @@ HUBS = {
                               (EntitySource("stage_customer"),)),
     "hub_nation": HubConfig("hub_nation", "hk_nation_h", ("n_nationkey",),
                             (EntitySource("stage_nation"),)),
+    "hub_region": HubConfig("hub_region", "hk_region_h", ("r_regionkey",),
+                            (EntitySource("stage_region"),)),
     # multi-source hub with per-source renamed bk columns
     # (reference: macros/tables/databricks/hub.sql:150-219)
     "hub_nation_multisource": HubConfig(
