@@ -27,7 +27,8 @@ def main():
         .appName("dv4dbt-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "16g")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "false"),
+        local_bench=True,
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

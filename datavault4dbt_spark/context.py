@@ -53,15 +53,19 @@ class GlobalConfig:
     hashdiff_use_rtrim: bool = False
 
     # Ghost-record sentinels, databricks dialect (dbt_project.yml:58-67).
-    # The reference default is 0001-01-01 00:00:01; we shift one day
-    # because CPython's datetime.fromtimestamp (used by PySpark collect's
-    # non-Arrow path) probes one day earlier for DST-fold detection and
-    # crashes on year-0. Configurable, like the reference's global var.
-    beginning_of_all_times: str = "0001-01-02 00:00:01"
-    end_of_all_times: str = "8888-12-31 23:59:59"
+    # The reference default is 0001-01-01 00:00:01 / 8888-12-31 23:59:59.
+    # Our defaults sit inside pandas' datetime64[ns] window (~1677-2262)
+    # because every Arrow/pandas consumer of a vault table (including the
+    # correctness harness) converts timestamps through ns precision and
+    # raises OutOfBoundsDatetime on the reference values. The sentinels
+    # are config — a deployment on engines without the ns constraint can
+    # set the reference literals; hash parity for those exact literals is
+    # pinned by tests/test_hashing_edges.py.
+    beginning_of_all_times: str = "1700-01-01 00:00:01"
+    end_of_all_times: str = "2261-12-31 23:59:59"
     timestamp_format: str = "yyyy-MM-dd HH:mm:ss"
-    beginning_of_all_times_date: str = "0001-01-02"
-    end_of_all_times_date: str = "8888-12-31"
+    beginning_of_all_times_date: str = "1700-01-01"
+    end_of_all_times_date: str = "2261-12-31"
     date_format: str = "yyyy-MM-dd"
     default_unknown_rsrc: str = "SYSTEM"
     default_error_rsrc: str = "ERROR"
@@ -116,14 +120,31 @@ class Registry:
     _df_cache: dict = field(default_factory=dict)
 
     def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
+        self._invalidate(name)
         self.spark_loaders[name] = lambda spark, p=path: spark.read.parquet(p)
         self.duckdb_relations[name] = duckdb_relation or name
 
     def register(self, name: str, loader, duckdb_sql: str):
         """loader: callable(spark) -> DataFrame; duckdb_sql: a full SELECT
         (will be inlined as a CTE body) or bare relation name."""
+        self._invalidate(name)
         self.spark_loaders[name] = loader
         self.duckdb_relations[name] = duckdb_sql
+
+    def _invalidate(self, name: str):
+        """Drop a cached plan when its definition changes: a cached scan
+        snapshots the file listing, so after an overwrite it would point
+        at deleted files (and a persisted one at stale blocks)."""
+        df = self._df_cache.pop(name, None)
+        if df is not None and name in self.persist_names:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def invalidate_all(self):
+        for name in list(self._df_cache):
+            self._invalidate(name)
 
     def load(self, spark, name: str):
         if name in self._df_cache:
@@ -163,21 +184,23 @@ def testdata_registry(sf_dir: str) -> Registry:
     return reg
 
 
-def configure_session_builder(builder):
+def configure_session_builder(builder, local_bench: bool = False):
     """Session options the engine relies on (UTC, AQE, nanos handling).
 
-    The two size knobs are tuned for CPU-heavy hashing over small-ish
-    inputs (local bench): finer scan splits and finer AQE coalescing
-    keep all cores busy. On a production cluster at 100 TB the defaults
-    (128m/64m) are appropriate — these are session-level, not plan-level,
-    decisions.
+    ``local_bench=True`` adds two size knobs tuned for CPU-heavy hashing
+    over small-ish inputs (finer scan splits + finer AQE coalescing keep
+    all local cores busy). Production clusters at 100 TB should keep
+    Spark's defaults (128m/64m), so they are opt-in.
     """
-    return (builder
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .config("spark.sql.files.maxPartitionBytes", "16m")
-            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
+    builder = (builder
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    if local_bench:
+        builder = (builder
+                   .config("spark.sql.files.maxPartitionBytes", "16m")
+                   .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
+    return builder
 
 
 def ensure_min_parallelism(df, factor: int = 1):
@@ -190,8 +213,22 @@ def ensure_min_parallelism(df, factor: int = 1):
     work. On a real cluster a 100 TB table scan has thousands of row
     groups and this is a no-op (npart >= cores); locally it corrects the
     single-row-group testdata artifact for ~1.7s of shuffle.
+
+    Disable (e.g. on a real cluster, to skip the per-build plan->RDD
+    analysis this probe costs) with
+    ``spark.conf.set("spark.dv4dbt.minParallelism.enabled", "false")``.
+    Streaming DataFrames are returned unchanged (no RDD to probe;
+    micro-batches re-enter here as batch frames via foreachBatch).
     """
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
+    try:
+        enabled = spark.conf.get("spark.dv4dbt.minParallelism.enabled", "true")
+    except Exception:
+        enabled = "true"
+    if str(enabled).lower() == "false":
+        return df
     target = spark.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

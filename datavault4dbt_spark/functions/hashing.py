@@ -99,7 +99,16 @@ def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
             parts.append(sql_str(g.concat_string))
     concat = "CONCAT(" + ", ".join(parts) + ")"
     if not case_sensitive:
-        concat = f"UPPER({concat})"
+        # ASCII-only fold instead of UPPER (reference: hash.sql:494-500
+        # uses UPPER): Unicode case mapping diverges across engines
+        # (Java UPPER('ß')='SS', DuckDB='ẞ'), which would make the
+        # case-insensitive hashkey engine-dependent. TRANSLATE has
+        # identical char-map semantics in Spark and DuckDB; non-ASCII
+        # letters pass through unfolded — a documented, stable contract
+        # (warehouse UPPER is effectively ASCII for typical business
+        # keys, which is the reference's intent here).
+        concat = (f"TRANSLATE({concat}, 'abcdefghijklmnopqrstuvwxyz',"
+                  f" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')")
     strip_pat = _STRIP_SPARK if dialect == SPARK else _STRIP_DUCKDB
     if dialect == SPARK:
         stripped = f"REGEXP_REPLACE({concat}, r'{strip_pat}', '')"

@@ -299,23 +299,37 @@ class NgramJaccardConfig:
     text_col: str = "text"
     shingle_n: int = 3
     threshold: float = 0.5
+    # Drop shingles appearing in more than `max_doc_freq` documents
+    # BEFORE the inverted-index self-join (0 = no cap). A stopword
+    # shingle in 10^6 docs would otherwise put 10^12 pair rows in one
+    # join partition. Jaccard is then computed over the KEPT shingle
+    # sets (sizes post-filter), a well-defined contract: hot shingles
+    # carry no discriminative signal, true near-dups still share their
+    # rare shingles. The oracle applies the identical cap.
+    max_doc_freq: int = 200
 
 
 def build_ngram_jaccard(spark, reg: Registry, cfg: NgramJaccardConfig,
                         g: GlobalConfig = DEFAULT) -> DataFrame:
     """Exact n-gram Jaccard duplicates via an inverted shingle index:
-    only pairs sharing >= 1 shingle are ever materialized.
+    only pairs sharing >= 1 kept shingle are ever materialized.
 
     Scale: the index join shuffles on the shingle string; hot shingles
-    (stopword runs) create skew — production would drop shingles above a
-    document-frequency cap before the join (same plan, one extra filter);
-    AQE skew-join splitting covers the remainder.
+    (stopword runs) would skew it, so shingles above `max_doc_freq`
+    documents are dropped first. The DF count is a window over the same
+    `s` key the join shuffles on, so AQE reuses the exchange; AQE
+    skew-join splitting covers any remainder below the cap.
     """
     df = ensure_min_parallelism(reg.load(spark, cfg.source))
     w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
     sh = (w.selectExpr(cfg.id_col,
                        f"explode({spark_shingles('w', cfg.shingle_n)}) AS s")
           .distinct())
+    if cfg.max_doc_freq:
+        from pyspark.sql import Window
+        sh = (sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+              .filter(F.col("df") <= cfg.max_doc_freq)
+              .drop("df"))
     sizes = sh.groupBy(cfg.id_col).agg(F.count("*").alias("n"))
     a, bb = sh.alias("a"), sh.alias("b")
     inter = (a.join(bb, on=[F.col("a.s") == F.col("b.s"),
@@ -340,6 +354,12 @@ def ngram_jaccard_oracle(b: SqlBuilder, reg: Registry, cfg: NgramJaccardConfig,
     sh = b.cte(f"{cfg.name}__sh",
                f"SELECT DISTINCT {cfg.id_col}, "
                f"unnest({duck_shingles('w', cfg.shingle_n)}) AS s FROM {w}")
+    if cfg.max_doc_freq:
+        sh = b.cte(f"{cfg.name}__kept",
+                   f"SELECT {cfg.id_col}, s FROM ("
+                   f"SELECT {cfg.id_col}, s, "
+                   f"COUNT(*) OVER (PARTITION BY s) AS df FROM {sh}) "
+                   f"WHERE df <= {cfg.max_doc_freq}")
     sizes = b.cte(f"{cfg.name}__n",
                   f"SELECT {cfg.id_col}, count(*) AS n FROM {sh} "
                   f"GROUP BY {cfg.id_col}")
@@ -370,6 +390,15 @@ class EmbeddingCosineConfig:
     # element_at sum: the 64-term expression falls out of whole-stage
     # codegen and pays per-element bounds checks; the fold JITs well)
     dim: int = 0
+    # sign-LSH candidate generation (the scale path): `lsh_bands` bands
+    # of `lsh_bits` sign bits each, band q over coordinates
+    # [q*lsh_bits, (q+1)*lsh_bits). A pair is a candidate iff it shares
+    # >= 1 band bucket; cosine verifies. lsh_bands=0 = exact all-pairs
+    # (verification tier ONLY — O(n^2), never the default).
+    # Recall at the default (r=4, b=8): P = 1-(1-p^4)^8 with
+    # p = 1 - acos(cos)/pi -> 0.998 at cosine 0.9, 0.75 at 0.4.
+    lsh_bits: int = 4
+    lsh_bands: int = 8
 
 
 # Dot product in DOUBLE with left-to-right IEEE summation — identical
@@ -409,31 +438,66 @@ def _duck_norm(v: str) -> str:
             f"list_transform({v}, x -> x * x)), (acc, x) -> acc + x))")
 
 
+def _sign_band_expr(vec: str, band: int, bits: int, dialect: str) -> str:
+    """Sign bucket of coordinates [band*bits, (band+1)*bits): bit i set
+    iff the coordinate is >= 0 (same hyperplane family as
+    similarity._bucket_expr, offset per band)."""
+    terms = []
+    for i in range(bits):
+        pos = band * bits + i + 1
+        at = (f"element_at({vec}, {pos})" if dialect == "spark"
+              else f"{vec}[{pos}]")
+        terms.append(f"CASE WHEN {at} >= 0 THEN {2 ** i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
                            g: GlobalConfig = DEFAULT) -> DataFrame:
-    """Embedding near-duplicates: all pairs with cosine >= threshold.
+    """Embedding near-duplicates: candidate pairs from banded sign-LSH
+    buckets, verified by exact cosine >= threshold.
 
-    Brute force is the *verification* tier (exact recall). The plan
-    normalizes each vector once (projection, no shuffle), then the pair
-    join. At 100 TB you don't run all-pairs: the ANN LSH operator
-    (similarity.py) generates candidates and this operator's cosine
-    expression verifies them — same expression tree, join pruned by
-    bucket. AQE handles the quadratic block sizing here.
+    Scale (100 TB): the banded table is SLIM (id, band, val) — vectors
+    are NOT carried through the candidate self-join; verification joins
+    the distinct candidate pairs back to the normalized vector table on
+    id. Shuffles key on (band, val) and id — both uniform. No pair is
+    materialized unless it collides in >= 1 bucket, so the join is
+    O(collisions), not O(n^2). `lsh_bands=0` falls back to the exact
+    all-pairs verifier (recall baseline; never the configured default).
     """
     df = ensure_min_parallelism(reg.load(spark, cfg.source))
     v = df.selectExpr(
         cfg.id_col,
         f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v")
-    # normalized side is consumed twice by the self-join: cache it so
-    # Spark does not recompute the norm projection per branch
+    # normalized side is consumed twice (both sides of the verify join):
+    # cache it so Spark does not recompute the norm projection per branch
     n = v.selectExpr(cfg.id_col, "v", f"{_spark_norm('v')} AS nrm").persist()
-    a, bb = n.alias("a"), n.alias("b")
-    pairs = (a.join(bb, F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}"))
-             .selectExpr(f"a.{cfg.id_col} AS id_a", f"b.{cfg.id_col} AS id_b",
-                         f"round({_spark_dot('a.v', 'b.v', cfg.dim)} / (a.nrm * b.nrm), 6)"
-                         f" AS cosine")
-             .filter(F.col("cosine") >= cfg.threshold))
-    return pairs
+    if not cfg.lsh_bands:
+        a, bb = n.alias("a"), n.alias("b")
+        return (a.join(bb, F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}"))
+                .selectExpr(f"a.{cfg.id_col} AS id_a", f"b.{cfg.id_col} AS id_b",
+                            f"round({_spark_dot('a.v', 'b.v', cfg.dim)} / (a.nrm * b.nrm), 6)"
+                            f" AS cosine")
+                .filter(F.col("cosine") >= cfg.threshold))
+    slim = [n.selectExpr(cfg.id_col, f"{q} AS band",
+                         f"{_sign_band_expr('v', q, cfg.lsh_bits, 'spark')} AS val")
+            for q in range(cfg.lsh_bands)]
+    bu = slim[0]
+    for extra in slim[1:]:
+        bu = bu.unionByName(extra)
+    a, bb = bu.alias("a"), bu.alias("b")
+    cand = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),
+                           F.col("a.val") == F.col("b.val"),
+                           F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}")])
+            .select(F.col(f"a.{cfg.id_col}").alias("id_a"),
+                    F.col(f"b.{cfg.id_col}").alias("id_b"))
+            .distinct())
+    va = n.selectExpr(f"{cfg.id_col} AS id_a", "v AS va", "nrm AS na")
+    vb = n.selectExpr(f"{cfg.id_col} AS id_b", "v AS vb", "nrm AS nb")
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .selectExpr("id_a", "id_b",
+                        f"round({_spark_dot('va', 'vb', cfg.dim)} / (na * nb), 6)"
+                        f" AS cosine")
+            .filter(F.col("cosine") >= cfg.threshold))
 
 
 def embedding_cosine_oracle(b: SqlBuilder, reg: Registry,
@@ -446,10 +510,29 @@ def embedding_cosine_oracle(b: SqlBuilder, reg: Registry,
               f"FROM {src}")
     n = b.cte(f"{cfg.name}__n",
               f"SELECT {cfg.id_col}, v, {_duck_norm('v')} AS nrm FROM {v}")
-    dot = _duck_dot("a.v", "b.v", "len(a.v)", cfg.dim)
+    if not cfg.lsh_bands:
+        dot = _duck_dot("a.v", "b.v", "len(a.v)", cfg.dim)
+        return b.cte(
+            cfg.name,
+            f"SELECT a.{cfg.id_col} AS id_a, b.{cfg.id_col} AS id_b, "
+            f"round({dot} / (a.nrm * b.nrm), 6) AS cosine "
+            f"FROM {n} a JOIN {n} b ON a.{cfg.id_col} < b.{cfg.id_col} "
+            f"WHERE round({dot} / (a.nrm * b.nrm), 6) >= {cfg.threshold}")
+    band_selects = [
+        f"SELECT {cfg.id_col}, {q} AS band, "
+        f"{_sign_band_expr('v', q, cfg.lsh_bits, 'duck')} AS val FROM {n}"
+        for q in range(cfg.lsh_bands)]
+    bu = b.cte(f"{cfg.name}__bands", "\nUNION ALL\n".join(band_selects))
+    cand = b.cte(f"{cfg.name}__cand",
+                 f"SELECT DISTINCT a.{cfg.id_col} AS id_a, "
+                 f"b.{cfg.id_col} AS id_b "
+                 f"FROM {bu} a JOIN {bu} b ON a.band = b.band "
+                 f"AND a.val = b.val AND a.{cfg.id_col} < b.{cfg.id_col}")
+    dot = _duck_dot("va.v", "vb.v", "len(va.v)", cfg.dim)
     return b.cte(
         cfg.name,
-        f"SELECT a.{cfg.id_col} AS id_a, b.{cfg.id_col} AS id_b, "
-        f"round({dot} / (a.nrm * b.nrm), 6) AS cosine "
-        f"FROM {n} a JOIN {n} b ON a.{cfg.id_col} < b.{cfg.id_col} "
-        f"WHERE round({dot} / (a.nrm * b.nrm), 6) >= {cfg.threshold}")
+        f"SELECT c.id_a, c.id_b, "
+        f"round({dot} / (va.nrm * vb.nrm), 6) AS cosine "
+        f"FROM {cand} c JOIN {n} va ON va.{cfg.id_col} = c.id_a "
+        f"JOIN {n} vb ON vb.{cfg.id_col} = c.id_b "
+        f"WHERE round({dot} / (va.nrm * vb.nrm), 6) >= {cfg.threshold}")

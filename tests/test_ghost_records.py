@@ -40,14 +40,15 @@ def test_ghost_values_per_datatype(spark):
     rows = {r.rsrc: r for r in out.collect() if r.rsrc in ("SYSTEM", "ERROR")}
     unk, err = rows["SYSTEM"], rows["ERROR"]
 
-    assert str(unk.ldts) == "0001-01-02 00:00:01"
-    assert str(err.ldts) == "8888-12-31 23:59:59"
+    assert str(unk.ldts) == G.beginning_of_all_times
+    assert str(err.ldts) == G.end_of_all_times
     assert (unk.s, err.s) == ("(unknown)", "(error)")
     assert (unk.k, err.k) == (-1, -2)
     assert (float(unk.f), float(err.f)) == (-1.0, -2.0)
     assert (str(unk.dec), str(err.dec)) == ("-1.00", "-2.00")
     assert (unk.b, err.b) is not None and unk.b is False and err.b is False
-    assert str(unk.d) == "0001-01-02" and str(err.d) == "8888-12-31"
+    assert (str(unk.d) == G.beginning_of_all_times_date
+            and str(err.d) == G.end_of_all_times_date)
     assert unk.hk == G.unknown_key and err.hk == G.error_key
 
 

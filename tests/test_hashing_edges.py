@@ -85,3 +85,57 @@ def test_all_null_yields_zero_key(spark):
     r = spark.sql(
         f"SELECT {hash_expr_sql(spec, DEFAULT, SPARK)} FROM allnull").first()
     assert r.h == DEFAULT.unknown_key
+
+
+def test_reference_default_sentinels_hash_parity(spark):
+    """The reference's default ghost sentinels (dbt_project.yml:58-67 —
+    0001-01-01/8888-12-31 family) stay valid hash INPUTS even though our
+    GlobalConfig defaults moved into the pandas-ns-safe window: a user
+    configuring the reference literals must get dialect-identical hashes."""
+    import duckdb
+    ref = GlobalConfig(
+        beginning_of_all_times="0001-01-01 00:00:01",
+        end_of_all_times="8888-12-31 23:59:59",
+        beginning_of_all_times_date="0001-01-01",
+        end_of_all_times_date="8888-12-31")
+    spec = HashSpec("h", (f"!{ref.beginning_of_all_times}",
+                          f"!{ref.end_of_all_times}",
+                          f"!{ref.beginning_of_all_times_date}",
+                          f"!{ref.end_of_all_times_date}"))
+    got = spark.sql(
+        f"SELECT {hash_expr_sql(spec, ref, SPARK)}").first().h
+    want = duckdb.connect().execute(
+        f"SELECT {hash_expr_sql(spec, ref, DUCKDB)}").fetchone()[0]
+    assert got == want
+    # sentinel literals also parse as TIMESTAMP in both engines (checked
+    # in-engine: collecting year-1 datetimes trips CPython fromtimestamp)
+    s = spark.sql(
+        f"SELECT date_format(CAST('{ref.beginning_of_all_times}' AS TIMESTAMP), "
+        f"'yyyy-MM-dd HH:mm:ss') a, "
+        f"date_format(CAST('{ref.end_of_all_times}' AS TIMESTAMP), "
+        f"'yyyy-MM-dd HH:mm:ss') b").first()
+    assert s.a == ref.beginning_of_all_times and s.b == ref.end_of_all_times
+
+
+def test_ascii_case_fold_parity_non_ascii(spark):
+    """Case-insensitive hashkeys use an ASCII-only TRANSLATE fold:
+    'ß' (Java UPPER='SS', DuckDB UPPER='ẞ') must hash identically."""
+    import duckdb
+    spec = HashSpec("h", ("v",))
+    vals = ["ß", "Straße", "üMlAuT", "MiXeD ascii", "ǅ", "ﬁ"]
+    rows = [(v,) for v in vals]
+    spark.createDataFrame(rows, "v string").createOrReplaceTempView("folds")
+    got = {r.v: r.h for r in spark.sql(
+        f"SELECT v, {hash_expr_sql(spec, DEFAULT, SPARK)} FROM folds").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE folds (v VARCHAR)")
+    con.executemany("INSERT INTO folds VALUES (?)", rows)
+    want = {v: h for v, h in con.execute(
+        f"SELECT v, {hash_expr_sql(spec, DEFAULT, DUCKDB)} FROM folds").fetchall()}
+    assert got == want
+    # and plain-ASCII case variants still collide (the fold works)
+    a = spark.sql(
+        f"SELECT {hash_expr_sql(HashSpec('h', ('!abc',)), DEFAULT, SPARK)}").first().h
+    b = spark.sql(
+        f"SELECT {hash_expr_sql(HashSpec('h', ('!ABC',)), DEFAULT, SPARK)}").first().h
+    assert a == b

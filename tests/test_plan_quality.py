@@ -106,3 +106,26 @@ def test_anti_join_not_expanded_to_cartesian(spark, sf_dir):
     inc = build_hub(spark, reg, fixtures.HUBS["hub_nation"],
                     target=full.limit(5), disable_hwm=True)
     assert "LeftAnti" in _plan(inc)
+
+
+def test_embedding_cosine_no_cartesian(spark, sf_dir):
+    """Round-1 fix: the cosine dedup must generate candidates via the
+    sign-LSH band join — an all-pairs cartesian is a scale-killer."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("dedup_embedding_cosine")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_df_cap_in_plan(spark, sf_dir):
+    """Round-1 fix: the shingle doc-frequency cap must exist in the plan
+    (a window count over s + a filter) so no hot shingle reaches the
+    inverted-index self-join."""
+    fixtures.ensure_session_conf(spark)
+    cap = fixtures.DEDUP_JACCARD["dedup_ngram_jaccard"].max_doc_freq
+    assert cap > 0
+    df = fixtures.entity_query("dedup_ngram_jaccard")(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    assert f"<= {cap}" in plan, plan
