@@ -164,6 +164,17 @@ STAGES = {
             HashSpec("hk_user_h", ("user_id",)),
             HashSpec("hk_event_nl", ("event_id",)),
         )),
+    # sequence kwarg: extraction-order column surfaced as edwSequence
+    # (reference: macros/staging/stage.sql:8,134)
+    "stage_events_seq": StageConfig(
+        name="stage_events_seq", source_model="events",
+        ldts="date_trunc('hour', ts)", rsrc="!TPCH/events",
+        sequence="event_id",
+        source_schema=(("ts", "TIMESTAMP"), ("user_id", "BIGINT"),
+                       ("event_type", "STRING"), ("value", "DOUBLE")),
+        hashed_columns=(
+            HashSpec("hk_user_h", ("user_id",)),
+        )),
 }
 
 

@@ -95,6 +95,13 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     active = {r[0] for r in
               snapshot_df.filter(F.col(trigger))
               .select(g.sdts_alias).distinct().collect()}
+    if not active:
+        # An empty active set means a misconfigured trigger or an empty
+        # control table — deleting "everything not in {}" would silently
+        # drop the whole PIT. Refuse instead.
+        raise ValueError(
+            f"clean_up_pit({pit_name}): no active snapshots under "
+            f"trigger column {trigger!r}; refusing to delete all rows")
     pit = store.read(pit_name)
     before = pit.count()
     store.delete_where(pit_name, ~F.col(g.sdts_alias).isin(active))

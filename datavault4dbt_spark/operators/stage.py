@@ -75,6 +75,13 @@ class StageConfig:
     multi_active: MultiActiveConfig | None = None
     enable_ghost_records: bool = True
     include_source_columns: bool = True
+    # Name of a source column holding an extraction-time sequence
+    # number; emitted as `edwSequence` right after ldts/rsrc and
+    # removed from the plain source columns (reference:
+    # macros/staging/stage.sql:8,134,176; databricks/stage.sql:88-90,
+    # 218-220). `sequence_dtype` types the ghost-record value.
+    sequence: str | None = None
+    sequence_dtype: str = "BIGINT"
 
 
 def _rsrc_expr(rsrc: str) -> str:
@@ -83,6 +90,8 @@ def _rsrc_expr(rsrc: str) -> str:
 
 def final_columns(cfg: StageConfig, g: GlobalConfig = DEFAULT) -> list:
     cols = [g.ldts_alias, g.rsrc_alias]
+    if cfg.sequence:
+        cols.append("edwSequence")
     if cfg.include_source_columns:
         cols += [c for c, _ in cfg.source_schema]
     cols += [c for c, _ in cfg.missing_columns]
@@ -97,6 +106,8 @@ def _ghost_row_sql(cfg: StageConfig, kind: str, g: GlobalConfig, dialect: str) -
     """SELECT of one ghost record, columns in final_columns order."""
     exprs = [f"{ghost_ldts_sql(kind, g)} AS {g.ldts_alias}",
              f"{ghost_rsrc_sql(kind, g)} AS {g.rsrc_alias}"]
+    if cfg.sequence:
+        exprs.append(f"{ghost_value_sql(cfg.sequence_dtype, kind, g)} AS edwSequence")
     if cfg.include_source_columns:
         exprs += [f"{ghost_value_sql(dt, kind, g)} AS {c}" for c, dt in cfg.source_schema]
     exprs += [f"{ghost_value_sql(dt, kind, g)} AS {c}" for c, dt in cfg.missing_columns]
@@ -118,7 +129,8 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         cfg = replace(cfg, source_schema=tuple(
             (c, t.upper()) for c, t in src.dtypes))
     if cfg.include_source_columns:
-        src = src.select(*[c for c, _ in cfg.source_schema])
+        keep = ([cfg.sequence] if cfg.sequence else []) + [c for c, _ in cfg.source_schema]
+        src = src.select(*dict.fromkeys(keep))
     # hashing is CPU-bound: make sure the scan's effective parallelism
     # matches the session's cores (no-op on well-partitioned sources)
     src = ensure_min_parallelism(src)
@@ -126,6 +138,7 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
     df = src.select(
         F.expr(cfg.ldts).cast("timestamp").alias(g.ldts_alias),
         F.expr(_rsrc_expr(cfg.rsrc)).cast("string").alias(g.rsrc_alias),
+        *([F.col(cfg.sequence).alias("edwSequence")] if cfg.sequence else []),
         *([F.col(c) for c, _ in cfg.source_schema] if cfg.include_source_columns else []),
     )
     if hwm_ldts is not None:
@@ -192,13 +205,16 @@ def stage_oracle(b: SqlBuilder, reg: Registry, cfg: StageConfig,
 
     sel = [f"CAST(({cfg.ldts}) AS TIMESTAMP) AS {g.ldts_alias}",
            f"CAST(({_rsrc_expr(cfg.rsrc)}) AS STRING) AS {g.rsrc_alias}"]
+    if cfg.sequence:
+        sel.append(f"{cfg.sequence} AS edwSequence")
     if src_cols:
         sel.append(src_cols)
     base = b.cte(f"{cfg.name}__ldts_rsrc",
                  f"SELECT {', '.join(sel)} FROM {rel}")
 
-    cols = [g.ldts_alias, g.rsrc_alias] + (
-        [c for c, _ in cfg.source_schema] if cfg.include_source_columns else [])
+    cols = [g.ldts_alias, g.rsrc_alias] \
+        + (["edwSequence"] if cfg.sequence else []) \
+        + ([c for c, _ in cfg.source_schema] if cfg.include_source_columns else [])
 
     if cfg.missing_columns:
         mc = [f"CAST(NULL AS {dt}) AS {c}" for c, dt in cfg.missing_columns]

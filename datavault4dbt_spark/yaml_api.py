@@ -37,10 +37,13 @@ from .operators.hub import HubConfig, EntitySource
 from .operators.link import LinkConfig
 from .operators.sat import SatConfig, SatV1Config
 from .operators.nh import NhSatConfig, NhLinkConfig
-from .operators.ma_sat import MaSatConfig
+from .operators.ma_sat import MaSatConfig, MaSatV1Config
 from .operators.rec_track import RecTrackConfig
 from .operators.eff_sat import EffSatConfig
 from .operators.pit import PitConfig
+from .operators.ref_entities import (RefHubConfig, RefSatConfig,
+                                     RefSatV1Config, RefTableConfig)
+from .operators.snapshots import SnapV0Config, SnapV1Config, LogLogic
 
 
 def _load(yaml_metadata) -> dict:
@@ -125,7 +128,9 @@ def parse_stage(yaml_metadata, name: str) -> StageConfig:
                               (m.get("missing_columns") or {}).items()),
         multi_active=ma,
         enable_ghost_records=bool(m.get("enable_ghost_records", True)),
-        include_source_columns=bool(m.get("include_source_columns", True)))
+        include_source_columns=bool(m.get("include_source_columns", True)),
+        sequence=m.get("sequence"),
+        sequence_dtype=str(m.get("sequence_dtype", "BIGINT")))
 
 
 def _sources(m, bk_key: str = "business_keys") -> tuple:
@@ -238,12 +243,128 @@ def parse_pit(yaml_metadata, name: str) -> PitConfig:
                      pit_type=m.get("pit_type"))
 
 
+def parse_ma_sat_v1(yaml_metadata, name: str) -> MaSatV1Config:
+    """reference: macros/tables/ma_sat_v1.sql:13 (sat_v0, hashkey,
+    hashdiff, ma_attribute, add_is_current_flag)."""
+    m = _load(yaml_metadata)
+    return MaSatV1Config(name, m["sat_v0"], m["hashkey"], m["hashdiff"],
+                         _tuple(m.get("ma_attribute") or m.get("src_ma_key")),
+                         payload=_tuple(m.get("src_payload")),
+                         add_is_current_flag=bool(
+                             m.get("add_is_current_flag", False)))
+
+
+def parse_ref_hub(yaml_metadata, name: str) -> RefHubConfig:
+    """reference: macros/tables/ref_hub.sql:1 (ref_keys, source_models,
+    additional_columns)."""
+    m = _load(yaml_metadata)
+    return RefHubConfig(name, _tuple(m["ref_keys"]), _sources(m),
+                        _tuple(m.get("additional_columns")))
+
+
+def parse_ref_sat_v0(yaml_metadata, name: str) -> RefSatConfig:
+    """reference: macros/tables/ref_sat_v0.sql:1 (parent_ref_keys,
+    src_hashdiff, src_payload, source_model, source_is_single_batch)."""
+    m = _load(yaml_metadata)
+    return RefSatConfig(name, m["source_model"],
+                        _tuple(m["parent_ref_keys"]), m["src_hashdiff"],
+                        payload=_tuple(m.get("src_payload")),
+                        source_is_single_batch=bool(
+                            m.get("source_is_single_batch", False)))
+
+
+def parse_ref_sat_v1(yaml_metadata, name: str) -> RefSatV1Config:
+    """reference: macros/tables/ref_sat_v1.sql:1 (ref_sat_v0, ref_keys,
+    hashdiff, add_is_current_flag)."""
+    m = _load(yaml_metadata)
+    return RefSatV1Config(name, m["ref_sat_v0"], _tuple(m["ref_keys"]),
+                          m["hashdiff"],
+                          payload=_tuple(m.get("src_payload")
+                                         or m.get("payload")),
+                          add_is_current_flag=bool(
+                              m.get("add_is_current_flag", False)))
+
+
+def parse_ref_table(yaml_metadata, name: str) -> RefTableConfig:
+    """reference: macros/tables/ref_table.sql:1 (ref_hub,
+    ref_satellites — string | list | {sat: {include: [...]}} —
+    historized, snapshot_relation)."""
+    m = _load(yaml_metadata)
+    sats = m["ref_satellites"]
+    if isinstance(sats, str):
+        sats = [sats]
+    parsed = []
+    if isinstance(sats, dict):
+        for sat, spec in sats.items():
+            inc = tuple((spec or {}).get("include") or ())
+            parsed.append((sat, inc))
+    else:
+        for s in sats:
+            if isinstance(s, dict):  # [{sat: {include: [...]}}]
+                ((sat, spec),) = s.items()
+                parsed.append((sat, tuple((spec or {}).get("include") or ())))
+            else:
+                parsed.append((s, ()))
+    return RefTableConfig(name, m["ref_hub"], _tuple(m["ref_keys"]),
+                          tuple(parsed),
+                          historized=m.get("historized", "latest"),
+                          snapshot_relation=m.get("snapshot_relation"))
+
+
+def parse_control_snap_v0(yaml_metadata, name: str) -> SnapV0Config:
+    """reference: macros/tables/control_snap_v0.sql:51 (start_date,
+    daily_snapshot_time, end_date)."""
+    m = _load(yaml_metadata)
+    return SnapV0Config(name, str(m["start_date"]),
+                        str(m.get("daily_snapshot_time", "00:00:00")),
+                        end_date=(str(m["end_date"])
+                                  if m.get("end_date") else None))
+
+
+def _log_logic(spec: dict | None, trigger_col: str) -> dict | None:
+    """reference log_logic YAML (control_snap_v1.sql:55-68):
+    {daily: {duration: 3, unit: MONTH}, yearly: {forever: TRUE}} —
+    one implicit trigger column; a nested {col: {...}} form selects
+    explicit trigger columns."""
+    if spec is None:
+        return None
+    units = {"daily", "weekly", "monthly", "yearly"}
+
+    def one(d: dict) -> LogLogic:
+        kw = {}
+        for unit, rule in d.items():
+            if str(rule.get("forever", "")).upper() in ("TRUE", "1"):
+                kw[unit] = ("forever",)
+            else:
+                kw[unit] = (str(rule["duration"]), str(rule["unit"]))
+        return LogLogic(**kw)
+
+    if set(spec) <= units:
+        return {trigger_col: one(spec)}
+    return {col: one(d) for col, d in spec.items()}
+
+
+def parse_control_snap_v1(yaml_metadata, name: str,
+                          trigger_col: str = "is_active") -> SnapV1Config:
+    """reference: macros/tables/control_snap_v1.sql:31
+    (control_snap_v0, log_logic)."""
+    m = _load(yaml_metadata)
+    return SnapV1Config(name, m["control_snap_v0"],
+                        log_logic=_log_logic(m.get("log_logic"), trigger_col),
+                        current_ts=m.get("current_ts"))
+
+
 PARSERS = {
     "stage": parse_stage, "hub": parse_hub, "link": parse_link,
     "sat_v0": parse_sat_v0, "sat_v1": parse_sat_v1,
     "nh_sat": parse_nh_sat, "nh_link": parse_nh_link,
-    "ma_sat_v0": parse_ma_sat_v0, "rec_track_sat": parse_rec_track_sat,
+    "ma_sat_v0": parse_ma_sat_v0, "ma_sat_v1": parse_ma_sat_v1,
+    "rec_track_sat": parse_rec_track_sat,
     "eff_sat_v0": parse_eff_sat_v0, "pit": parse_pit,
+    "ref_hub": parse_ref_hub, "ref_sat_v0": parse_ref_sat_v0,
+    "ref_sat_v1": parse_ref_sat_v1, "ref_table": parse_ref_table,
+    "control_snap_v0": parse_control_snap_v0,
+    "control_snap_v1": parse_control_snap_v1,
 }
 
 

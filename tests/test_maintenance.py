@@ -69,3 +69,18 @@ def test_clean_up_pit(spark, sf_dir, tmp_path):
     left = {r[0] for r in
             store.read("pit_customer").select("sdts").distinct().collect()}
     assert left <= active
+
+
+def test_clean_up_pit_refuses_empty_active_set(spark, sf_dir, tmp_path):
+    """An empty active set (misconfigured trigger / empty control table)
+    must raise instead of silently deleting the whole PIT."""
+    store = ParquetStore(spark, str(tmp_path))
+    pit = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    store.overwrite("pit_customer", pit)
+    before = store.read("pit_customer").count()
+
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    none_active = snap.withColumn("is_active", F.lit(False))
+    with pytest.raises(ValueError, match="refusing"):
+        clean_up_pit(store, "pit_customer", none_active)
+    assert store.read("pit_customer").count() == before

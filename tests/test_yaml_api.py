@@ -95,3 +95,83 @@ dimension_key: dimension_key
 snapshot_trigger_column: is_active
 """, name="pit_customer")
     assert pit == fixtures.PITS["pit_customer"]
+
+
+def test_remaining_kind_parsers_roundtrip():
+    """Every table macro that accepts yaml_metadata in the reference has
+    a parser here; each reproduces the fixture dataclass config."""
+    ma1 = yaml_api.parse("ma_sat_v1", """
+sat_v0: ma_sat_customer_orders
+hashkey: hk_customer_h
+hashdiff: hd_order_ms
+ma_attribute: [o_orderkey]
+src_payload: [o_orderstatus, o_orderpriority]
+add_is_current_flag: true
+""", name="ma_sat_customer_orders_v1")
+    assert ma1 == fixtures.MA_SATS_V1["ma_sat_customer_orders_v1"]
+
+    rh = yaml_api.parse("ref_hub", """
+ref_keys: [n_nationkey]
+source_models: stage_nation
+""", name="ref_hub_nation")
+    assert rh == fixtures.REF_HUBS["ref_hub_nation"]
+
+    rs0 = yaml_api.parse("ref_sat_v0", """
+source_model: stage_nation
+parent_ref_keys: [n_nationkey]
+src_hashdiff: hd_nation_s
+src_payload: [n_name, n_regionkey]
+""", name="ref_sat_nation_v0")
+    assert rs0 == fixtures.REF_SATS["ref_sat_nation_v0"]
+
+    rs1 = yaml_api.parse("ref_sat_v1", """
+ref_sat_v0: ref_sat_nation_v0
+ref_keys: [n_nationkey]
+hashdiff: hd_nation_s
+src_payload: [n_name, n_regionkey]
+""", name="ref_sat_nation_v1")
+    assert rs1 == fixtures.REF_SATS_V1["ref_sat_nation_v1"]
+
+    rt = yaml_api.parse("ref_table", """
+ref_hub: ref_hub_nation
+ref_keys: [n_nationkey]
+ref_satellites:
+  ref_sat_nation_v1:
+    include: [n_name, n_regionkey]
+historized: full
+""", name="ref_table_nation")
+    assert rt == fixtures.REF_TABLES["ref_table_nation"]
+
+    s0 = yaml_api.parse("control_snap_v0", """
+start_date: '2024-01-01'
+daily_snapshot_time: '00:00:00'
+end_date: '2024-01-31'
+""", name="control_snap_v0")
+    assert s0 == fixtures.SNAPS_V0["control_snap_v0"]
+
+    s1 = yaml_api.parse("control_snap_v1", """
+control_snap_v0: control_snap_v0
+log_logic:
+  daily: {duration: 3, unit: MONTH}
+  weekly: {duration: 1, unit: YEAR}
+  yearly: {forever: 'TRUE'}
+current_ts: '2024-02-01 00:00:00'
+""", name="control_snap_v1")
+    assert s1 == fixtures.SNAPS_V1["control_snap_v1"]
+
+
+def test_stage_sequence_yaml_roundtrip():
+    cfg = yaml_api.parse("stage", """
+source_model: events
+ldts: date_trunc('hour', ts)
+rsrc: '!TPCH/events'
+sequence: event_id
+source_schema:
+  - [ts, TIMESTAMP]
+  - [user_id, BIGINT]
+  - [event_type, STRING]
+  - [value, DOUBLE]
+hashed_columns:
+  hk_user_h: [user_id]
+""", name="stage_events_seq")
+    assert cfg == fixtures.STAGES["stage_events_seq"]
