@@ -37,6 +37,11 @@ def main():
     # measure the plan, not first-use JIT: run the smallest real stage
     fixtures.entity_query("stage_nation")(spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
+    # warm every table's parquet footer (schema inference reads the
+    # footer on the driver) so no query pays a cold metadata read
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
     # warm the higher-order-function eval path (cosine/ANN fold lambdas)
     spark.range(256).selectExpr(
         "aggregate(zip_with(array(cast(id AS DOUBLE)), array(2.0d), "

@@ -492,6 +492,22 @@ def entity_oracle_sql(name: str) -> str:
     return b.render(f"SELECT * FROM {final}")
 
 
+def _internal_reuse(name: str) -> list:
+    """Dependencies a builder consumes in MORE than one plan branch
+    internally (delta level + join-back, spine + payload join): they
+    count as multi-consumed even when the config references them once.
+    Spark's ReusedExchange only dedupes identical exchange subtrees,
+    which these branches are not."""
+    cfg = _index()[name][0]
+    if name in MA_SATS:
+        return [cfg.source_model]          # distinct level + join-back
+    if name in MA_SATS_V1:
+        return [cfg.ma_sat_v0]             # end-dated loads + join-back
+    if name in REF_TABLES:
+        return [s for s, _ in cfg.ref_satellites]  # date spine + payload
+    return []
+
+
 def _multi_consumed(name: str) -> set:
     """Entities referenced MORE than once in `name`'s transitive
     dependency tree. Spark does not dedupe shared plan subtrees, so
@@ -501,9 +517,10 @@ def _multi_consumed(name: str) -> set:
 
     def walk(n):
         cfg, _b, _o, deps = _index()[n]
+        extra = set(_internal_reuse(n))
         for dep in deps(cfg):
             if dep in _index():
-                counts[dep] = counts.get(dep, 0) + 1
+                counts[dep] = counts.get(dep, 0) + (2 if dep in extra else 1)
                 walk(dep)
     walk(name)
     return {n for n, c in counts.items() if c > 1}

@@ -187,22 +187,34 @@ def _simhash_nibble_exprs(bits: int):
             for p in range(bits // 4)]
 
 
-def _simhash_bit_exprs(bits: int, dialect: str):
-    """Per-token ±1 contribution for each bit j, over the precomputed
-    nibble columns v0..; only the integer-division operator differs
-    between dialects (`div` vs `//`)."""
+def _simhash_packed_exprs(bits: int, dialect: str):
+    """Per-token PACKED bit contribution, one expression per nibble:
+    the 4 bits of nibble p are spread into 16-bit lanes of one BIGINT,
+    so the per-document aggregation is bits/4 SUMs + COUNT instead of
+    `bits` SUMs (4x fewer aggregate buffers; sum(+-1) > 0 is equivalent
+    to 2*bitcount > n). Lane width 16 bits caps documents at 32767
+    tokens before lane overflow — token counts beyond that carry no
+    extra SimHash signal, so production pipelines sample/truncate
+    upstream (textprep tokenizers emit far fewer)."""
     idiv = " div " if dialect == "spark" else " // "
     exprs = []
-    for j in range(bits):
-        p, q = divmod(j, 4)
-        exprs.append(
-            f"CASE WHEN (v{p}{idiv}{2 ** q}) % 2 = 1 THEN 1 ELSE -1 END")
+    for p in range(bits // 4):
+        terms = [f"((v{p}{idiv}{2 ** q}) % 2) * {2 ** (16 * q)}"
+                 for q in range(4)]
+        exprs.append(" + ".join(terms))
     return exprs
 
 
-def _simhash_value_expr(bits: int) -> str:
-    terms = [f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits)]
-    return " + ".join(terms)
+def _simhash_value_expr(bits: int, dialect: str) -> str:
+    """Fingerprint from packed lane sums s0.. and token count n:
+    bit j set iff the majority of tokens set it (2*count > n)."""
+    idiv = " div " if dialect == "spark" else " // "
+    terms = []
+    for j in range(bits):
+        p, q = divmod(j, 4)
+        cnt = f"((s{p}{idiv}{2 ** (16 * q)}) % 65536)"
+        terms.append(f"CASE WHEN 2 * {cnt} > n THEN {2 ** j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
@@ -224,10 +236,11 @@ def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
     hx = toks.selectExpr(cfg.id_col, "md5(t) AS h") \
              .selectExpr(cfg.id_col, *_simhash_nibble_exprs(cfg.bits))
     sums = hx.groupBy(cfg.id_col).agg(
-        *[F.sum(F.expr(e)).alias(f"s{j}")
-          for j, e in enumerate(_simhash_bit_exprs(cfg.bits, "spark"))])
+        *[F.sum(F.expr(e)).alias(f"s{p}")
+          for p, e in enumerate(_simhash_packed_exprs(cfg.bits, "spark"))],
+        F.count("*").alias("n"))
     fp = sums.selectExpr(cfg.id_col,
-                         f"({_simhash_value_expr(cfg.bits)}) AS simhash")
+                         f"{_simhash_value_expr(cfg.bits, 'spark')} AS simhash")
     bands = []
     for q in range(nb):
         bands.append(fp.selectExpr(
@@ -264,12 +277,13 @@ def simhash_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: SimHashConfig,
                f"SELECT {cfg.id_col}, "
                + ", ".join(_simhash_nibble_exprs(cfg.bits))
                + f" FROM (SELECT {cfg.id_col}, md5(t) AS h FROM {toks})")
-    sum_cols = ", ".join(f"sum({e}) AS s{j}"
-                         for j, e in enumerate(_simhash_bit_exprs(cfg.bits, "duck")))
+    sum_cols = ", ".join(f"sum({e}) AS s{p}"
+                         for p, e in enumerate(_simhash_packed_exprs(cfg.bits, "duck")))
     sums = b.cte(f"{cfg.name}__s",
-                 f"SELECT {cfg.id_col}, {sum_cols} FROM {hx} GROUP BY {cfg.id_col}")
+                 f"SELECT {cfg.id_col}, {sum_cols}, count(*) AS n "
+                 f"FROM {hx} GROUP BY {cfg.id_col}")
     fp = b.cte(f"{cfg.name}__fp",
-               f"SELECT {cfg.id_col}, ({_simhash_value_expr(cfg.bits)}) AS simhash "
+               f"SELECT {cfg.id_col}, {_simhash_value_expr(cfg.bits, 'duck')} AS simhash "
                f"FROM {sums}")
     band_selects = [
         f"SELECT {cfg.id_col}, simhash, {q} AS band, "

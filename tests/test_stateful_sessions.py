@@ -40,21 +40,19 @@ def test_stream_sessions_match_batch(spark, tmp_path, time_batches):
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(processingTime="1 second")
          .start())
-    # drain input, then wait past the processing-time timeout so every
-    # open session closes and is emitted
-    deadline = time.time() + 240
-    seen_rows = -1
-    stable_since = None
+    # NOTE: processAllAvailable() is unusable here — with a
+    # processing-time trigger plus state timeouts the query never
+    # reaches the idle state it waits for (observed hanging >4 min).
+    # Instead poll the sink until it holds every session the batch
+    # twin produces: input drains, then the processing-time timeout
+    # fires in a later (possibly empty) micro-batch and closes the
+    # remaining open sessions.
+    want_n = sessionize_batch(spark.read.parquet(time_batches), GAP).count()
+    deadline = time.time() + 300
     while time.time() < deadline:
+        if spark.table("sessions").count() >= want_n:
+            break
         time.sleep(3)
-        n = spark.table("sessions").count()
-        if n == seen_rows and n > 0:
-            if stable_since and time.time() - stable_since > 15:
-                break
-            stable_since = stable_since or time.time()
-        else:
-            stable_since = None
-        seen_rows = n
     q.stop()
 
     got = {tuple(map(str, r)) for r in spark.table("sessions").collect()}
