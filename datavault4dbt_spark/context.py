@@ -199,7 +199,13 @@ def configure_session_builder(builder, local_bench: bool = False):
     if local_bench:
         builder = (builder
                    .config("spark.sql.files.maxPartitionBytes", "16m")
-                   .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"))
+                   .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+                   # keep AQE from coalescing small-but-fanning-out
+                   # shuffles to 1 task (a 1.5 MB hub shuffle feeds a
+                   # 31x snapshot cross join in PIT: coalescing it
+                   # serializes the whole downstream pipeline)
+                   .config("spark.sql.adaptive.coalescePartitions"
+                           ".minPartitionSize", "64k"))
     return builder
 
 
@@ -219,6 +225,13 @@ def ensure_min_parallelism(df, factor: int = 1):
     ``spark.conf.set("spark.dv4dbt.minParallelism.enabled", "false")``.
     Streaming DataFrames are returned unchanged (no RDD to probe;
     micro-batches re-enter here as batch frames via foreachBatch).
+
+    Size gate: below ``spark.dv4dbt.minParallelism.minBytes`` (default
+    1 MiB) of estimated input the serial CPU work costs less than the
+    round-robin exchange itself, so the repartition is skipped. The
+    estimate comes from catalyst plan stats (driver-side leaf-file
+    bytes) and is checked BEFORE the much costlier plan->RDD partition
+    probe, so small-source builds pay neither.
     """
     if df.isStreaming:
         return df
@@ -229,6 +242,19 @@ def ensure_min_parallelism(df, factor: int = 1):
         enabled = "true"
     if str(enabled).lower() == "false":
         return df
+    try:
+        min_bytes = int(spark.conf.get(
+            "spark.dv4dbt.minParallelism.minBytes", str(1024 * 1024)))
+    except Exception:
+        min_bytes = 1024 * 1024
+    if min_bytes > 0:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes().toString())
+            if size < min_bytes:
+                return df
+        except Exception:
+            pass  # stats unavailable -> fall through to the RDD probe
     target = spark.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

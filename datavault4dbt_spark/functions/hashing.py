@@ -38,8 +38,13 @@ SPARK = "spark"
 DUCKDB = "duckdb"
 
 # Java regex r'\v' (used by the reference on databricks) matches the
-# vertical-whitespace class, not just VT. RE2 equivalent for the oracle:
-_STRIP_SPARK = r"[\n\t\v\r]"
+# vertical-whitespace class, not just VT. The Spark side deletes the
+# expanded character set with TRANSLATE (chars in `from` with no `to`
+# counterpart are removed) — identical result to the reference's
+# REGEXP_REPLACE(x, '[\n\t\v\r]', '') without a per-row regex engine in
+# every query's hash hot path. RE2 class equivalent for the oracle:
+_STRIP_SPARK_CHARS = ("\\u000A\\u0009\\u000B\\u000C"
+                      "\\u000D\\u0085\\u2028\\u2029")
 _STRIP_DUCKDB = r"[\n\t\v\f\r\x{0085}\x{2028}\x{2029}]"
 
 
@@ -71,8 +76,10 @@ def _attribute_standardise(expr: str, g: GlobalConfig, dialect: str, use_trim: b
     if use_trim:
         base = f"TRIM({base})"
     if dialect == SPARK:
-        s = f"REGEXP_REPLACE({base}, r'\\\\', r'\\\\\\\\')"
-        s = f"REGEXP_REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)})"
+        # literal character swaps, so plain REPLACE == the reference's
+        # REGEXP_REPLACE byte-for-byte, minus the per-row regex engine
+        s = f"REPLACE({base}, '\\\\', '\\\\\\\\')"
+        s = f"REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)})"
     else:
         s = f"REGEXP_REPLACE({base}, '\\\\', '\\\\\\\\', 'g')"
         s = f"REGEXP_REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)}, 'g')"
@@ -109,11 +116,10 @@ def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
         # keys, which is the reference's intent here).
         concat = (f"TRANSLATE({concat}, 'abcdefghijklmnopqrstuvwxyz',"
                   f" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')")
-    strip_pat = _STRIP_SPARK if dialect == SPARK else _STRIP_DUCKDB
     if dialect == SPARK:
-        stripped = f"REGEXP_REPLACE({concat}, r'{strip_pat}', '')"
+        stripped = f"TRANSLATE({concat}, '{_STRIP_SPARK_CHARS}', '')"
     else:
-        stripped = f"REGEXP_REPLACE({concat}, '{strip_pat}', '', 'g')"
+        stripped = f"REGEXP_REPLACE({concat}, '{_STRIP_DUCKDB}', '', 'g')"
     all_null = g.null_placeholder_string + (
         (g.concat_string + g.null_placeholder_string) * (len(spec.columns) - 1))
     row = f"NULLIF(CAST({stripped} AS STRING), {sql_str(all_null)})"
