@@ -51,6 +51,19 @@ class GlobalConfig:
     use_trim: bool = True
     hashdiff_use_trim: bool = True
     hashdiff_use_rtrim: bool = False
+    # Case-insensitive fold applied to hashkey inputs (reference:
+    # macros/supporting/hash.sql:494-500 uses UPPER).
+    #   "ascii": a-z -> A-Z via TRANSLATE; identical in every engine, so
+    #            Spark and any oracle produce the same hashkey for
+    #            non-ASCII keys ('ß', 'münchen') — but those keys differ
+    #            from a vault produced by the reference on engines whose
+    #            UPPER folds them ('ß' -> 'SS' on Databricks/Java).
+    #   "upper": the reference's UPPER, byte-compatible with upstream
+    #            databricks vaults; cross-engine parity then depends on
+    #            each engine's Unicode case table (Java UPPER('ß')='SS',
+    #            DuckDB 'ẞ'), so the DuckDB oracle diverges on such keys.
+    # Pick "upper" when migrating an existing reference-built vault.
+    hash_case_fold: str = "ascii"
 
     # Ghost-record sentinels, databricks dialect (dbt_project.yml:58-67).
     # The reference default is 0001-01-01 00:00:01 / 8888-12-31 23:59:59.

@@ -170,7 +170,11 @@ STAGES = {
         name="stage_events_seq", source_model="events",
         ldts="date_trunc('hour', ts)", rsrc="!TPCH/events",
         sequence="event_id",
-        source_schema=(("ts", "TIMESTAMP"), ("user_id", "BIGINT"),
+        # event_id appears in the schema AND as the sequence column:
+        # build_stage/stage_oracle must surface it only as edwSequence
+        # (reference: databricks/stage.sql:88-90 exclude list)
+        source_schema=(("event_id", "BIGINT"),
+                       ("ts", "TIMESTAMP"), ("user_id", "BIGINT"),
                        ("event_type", "STRING"), ("value", "DOUBLE")),
         hashed_columns=(
             HashSpec("hk_user_h", ("user_id",)),

@@ -106,16 +106,19 @@ def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
             parts.append(sql_str(g.concat_string))
     concat = "CONCAT(" + ", ".join(parts) + ")"
     if not case_sensitive:
-        # ASCII-only fold instead of UPPER (reference: hash.sql:494-500
-        # uses UPPER): Unicode case mapping diverges across engines
-        # (Java UPPER('ß')='SS', DuckDB='ẞ'), which would make the
-        # case-insensitive hashkey engine-dependent. TRANSLATE has
-        # identical char-map semantics in Spark and DuckDB; non-ASCII
-        # letters pass through unfolded — a documented, stable contract
-        # (warehouse UPPER is effectively ASCII for typical business
-        # keys, which is the reference's intent here).
-        concat = (f"TRANSLATE({concat}, 'abcdefghijklmnopqrstuvwxyz',"
-                  f" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')")
+        if g.hash_case_fold == "upper":
+            # reference-compatible fold (hash.sql:494-500): matches
+            # upstream databricks vaults byte-for-byte; cross-engine
+            # parity limited to keys both engines fold identically
+            # (see GlobalConfig.hash_case_fold).
+            concat = f"UPPER({concat})"
+        else:
+            # "ascii" (default): TRANSLATE has identical char-map
+            # semantics in Spark and DuckDB, so the case-insensitive
+            # hashkey is engine-independent; non-ASCII letters pass
+            # through unfolded — a documented, stable contract.
+            concat = (f"TRANSLATE({concat}, 'abcdefghijklmnopqrstuvwxyz',"
+                      f" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')")
     if dialect == SPARK:
         stripped = f"TRANSLATE({concat}, '{_STRIP_SPARK_CHARS}', '')"
     else:

@@ -183,6 +183,15 @@ class SimHashConfig:
     max_hamming: int = 3     # band count = max_hamming + 1 (pigeonhole)
 
 
+# Hard token cap enforced in the plan (Spark slice / DuckDB list slice)
+# BEFORE the per-token explode: the packed 16-bit lanes overflow BIGINT
+# at 32767 tokens on the top (2^48) lane — 32767*(2^48+2^32+2^16+1) >
+# 2^63-1 — so oversize documents would hash WRONG, not fail. 32766 is
+# the largest safe count; tokens beyond it carry no extra majority-vote
+# signal (they only shift the vote threshold).
+_SIMHASH_MAX_TOKENS = 32766
+
+
 def _simhash_nibble_exprs(bits: int):
     """One int per hex nibble of md5(token) — computed ONCE per token
     (substr+instr are the expensive part; the 4 bit tests per nibble
@@ -239,8 +248,10 @@ def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
     # its own; round-robin repartitioning the scan only adds an
     # exchange (measured 1.5-2x slower at fixture scale)
     df = reg.load(spark, cfg.source)
-    toks = df.selectExpr(cfg.id_col,
-                         f"explode({spark_tokens(cfg.text_col)}) AS t")
+    toks = df.selectExpr(
+        cfg.id_col,
+        f"explode(slice({spark_tokens(cfg.text_col)}, 1, "
+        f"{_SIMHASH_MAX_TOKENS})) AS t")
     hx = toks.selectExpr(cfg.id_col, "md5(t) AS h") \
              .selectExpr(cfg.id_col, *_simhash_nibble_exprs(cfg.bits))
     sums = hx.groupBy(cfg.id_col).agg(
@@ -279,7 +290,9 @@ def simhash_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: SimHashConfig,
     band_bits = cfg.bits // nb
     src = reg.duckdb_relation(cfg.source)
     toks = b.cte(f"{cfg.name}__t",
-                 f"SELECT {cfg.id_col}, unnest({duck_tokens(cfg.text_col)}) AS t "
+                 f"SELECT {cfg.id_col}, "
+                 f"unnest(({duck_tokens(cfg.text_col)})"
+                 f"[1:{_SIMHASH_MAX_TOKENS}]) AS t "
                  f"FROM {src}")
     hx = b.cte(f"{cfg.name}__h",
                f"SELECT {cfg.id_col}, "

@@ -88,12 +88,19 @@ def _rsrc_expr(rsrc: str) -> str:
     return sql_str(rsrc[1:]) if rsrc.startswith("!") else rsrc
 
 
+def _source_cols(cfg: StageConfig) -> list:
+    """Plain source columns: the sequence column is surfaced only as
+    `edwSequence` (reference: databricks/stage.sql:88-90 adds it to the
+    exclude list), so drop it from the raw projection."""
+    return [(c, dt) for c, dt in cfg.source_schema if c != cfg.sequence]
+
+
 def final_columns(cfg: StageConfig, g: GlobalConfig = DEFAULT) -> list:
     cols = [g.ldts_alias, g.rsrc_alias]
     if cfg.sequence:
         cols.append("edwSequence")
     if cfg.include_source_columns:
-        cols += [c for c, _ in cfg.source_schema]
+        cols += [c for c, _ in _source_cols(cfg)]
     cols += [c for c, _ in cfg.missing_columns]
     for pj in cfg.prejoined_columns:
         cols += [a for a, _, _ in pj.extract]
@@ -109,7 +116,7 @@ def _ghost_row_sql(cfg: StageConfig, kind: str, g: GlobalConfig, dialect: str) -
     if cfg.sequence:
         exprs.append(f"{ghost_value_sql(cfg.sequence_dtype, kind, g)} AS edwSequence")
     if cfg.include_source_columns:
-        exprs += [f"{ghost_value_sql(dt, kind, g)} AS {c}" for c, dt in cfg.source_schema]
+        exprs += [f"{ghost_value_sql(dt, kind, g)} AS {c}" for c, dt in _source_cols(cfg)]
     exprs += [f"{ghost_value_sql(dt, kind, g)} AS {c}" for c, dt in cfg.missing_columns]
     for pj in cfg.prejoined_columns:
         exprs += [f"{ghost_value_sql(dt, kind, g)} AS {a}" for a, _, dt in pj.extract]
@@ -129,7 +136,7 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         cfg = replace(cfg, source_schema=tuple(
             (c, t.upper()) for c, t in src.dtypes))
     if cfg.include_source_columns:
-        keep = ([cfg.sequence] if cfg.sequence else []) + [c for c, _ in cfg.source_schema]
+        keep = ([cfg.sequence] if cfg.sequence else []) + [c for c, _ in _source_cols(cfg)]
         src = src.select(*dict.fromkeys(keep))
     # hashing is CPU-bound: make sure the scan's effective parallelism
     # matches the session's cores (no-op on well-partitioned sources)
@@ -139,7 +146,7 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         F.expr(cfg.ldts).cast("timestamp").alias(g.ldts_alias),
         F.expr(_rsrc_expr(cfg.rsrc)).cast("string").alias(g.rsrc_alias),
         *([F.col(cfg.sequence).alias("edwSequence")] if cfg.sequence else []),
-        *([F.col(c) for c, _ in cfg.source_schema] if cfg.include_source_columns else []),
+        *([F.col(c) for c, _ in _source_cols(cfg)] if cfg.include_source_columns else []),
     )
     if hwm_ldts is not None:
         df = df.filter(F.col(g.ldts_alias) > F.lit(hwm_ldts))
@@ -201,7 +208,7 @@ def stage_oracle(b: SqlBuilder, reg: Registry, cfg: StageConfig,
                  g: GlobalConfig = DEFAULT) -> str:
     """DuckDB CTE chain for the same stage; returns final CTE name."""
     rel = reg.duckdb_relation(cfg.source_model)
-    src_cols = ", ".join(c for c, _ in cfg.source_schema) if cfg.include_source_columns else ""
+    src_cols = ", ".join(c for c, _ in _source_cols(cfg)) if cfg.include_source_columns else ""
 
     sel = [f"CAST(({cfg.ldts}) AS TIMESTAMP) AS {g.ldts_alias}",
            f"CAST(({_rsrc_expr(cfg.rsrc)}) AS STRING) AS {g.rsrc_alias}"]
@@ -214,7 +221,7 @@ def stage_oracle(b: SqlBuilder, reg: Registry, cfg: StageConfig,
 
     cols = [g.ldts_alias, g.rsrc_alias] \
         + (["edwSequence"] if cfg.sequence else []) \
-        + ([c for c, _ in cfg.source_schema] if cfg.include_source_columns else [])
+        + ([c for c, _ in _source_cols(cfg)] if cfg.include_source_columns else [])
 
     if cfg.missing_columns:
         mc = [f"CAST(NULL AS {dt}) AS {c}" for c, dt in cfg.missing_columns]
