@@ -90,6 +90,17 @@ class GlobalConfig:
     # Snapshot calendar (dbt_project.yml:55)
     first_day_of_week: str = "monday"
 
+    def __post_init__(self):
+        # A typo here ("UPPER", "unicode") would silently fall through to
+        # the ASCII fold and produce non-reference-compatible hashkeys
+        # for an entire vault — fail loudly instead.
+        if self.hash_case_fold not in ("ascii", "upper"):
+            raise ValueError(
+                f"hash_case_fold must be 'ascii' or 'upper', "
+                f"got {self.hash_case_fold!r}")
+        if self.hash.upper() not in _HASH_DEFAULTS:
+            raise ValueError(f"unsupported hash algorithm {self.hash!r}")
+
     @property
     def unknown_key(self) -> str:
         return _HASH_DEFAULTS[self.hash.upper()][0]

@@ -542,5 +542,17 @@ def entity_query(name: str):
     return run
 
 
+# The driver's correctness harness checks the first 50 queries() keys;
+# with 54 declared entities, whichever 4 sort last are never verified.
+# Rotate 4 small stage queries (each the same `stage` operator as the 5
+# stage_* entries that remain in-window, and green in both r2 and r3
+# correctness runs) behind the LLM-pipeline queries so text_token_count /
+# text_fingerprint / multimodal_features / docs_curated get driver
+# coverage too. Build/oracle dependency resolution is recursive and
+# order-independent, so this only affects reporting order.
+_CHECK_LAST = ("stage_region", "stage_nation", "stage_supplier", "stage_part")
+
+
 def all_entity_names() -> list:
-    return list(_index())
+    names = [n for n in _index() if n not in _CHECK_LAST]
+    return names + [n for n in _CHECK_LAST if n in _index()]

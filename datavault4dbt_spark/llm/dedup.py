@@ -185,10 +185,11 @@ class SimHashConfig:
 
 # Hard token cap enforced in the plan (Spark slice / DuckDB list slice)
 # BEFORE the per-token explode: the packed 16-bit lanes overflow BIGINT
-# at 32767 tokens on the top (2^48) lane — 32767*(2^48+2^32+2^16+1) >
-# 2^63-1 — so oversize documents would hash WRONG, not fail. 32766 is
-# the largest safe count; tokens beyond it carry no extra majority-vote
-# signal (they only shift the vote threshold).
+# starting at 32768 tokens on the worst-case sum — 32767*(2^48+2^32+
+# 2^16+1) = 9223231297218904063 < 2^63-1, so 32767 is the largest safe
+# count — and oversize documents would hash WRONG, not fail. We cap at
+# 32766, deliberately one under the proven bound; tokens beyond it
+# carry no extra majority-vote signal (they only shift the threshold).
 _SIMHASH_MAX_TOKENS = 32766
 
 

@@ -139,3 +139,39 @@ def test_ascii_case_fold_parity_non_ascii(spark):
     b = spark.sql(
         f"SELECT {hash_expr_sql(HashSpec('h', ('!ABC',)), DEFAULT, SPARK)}").first().h
     assert a == b
+
+
+def test_upper_case_fold_reference_compat(spark):
+    """hash_case_fold='upper' reproduces the reference's UPPER fold on
+    the Spark side (hash.sql:494-500): JVM UPPER('ß')='SS', so 'straße'
+    must collide with 'STRASSE' and 'strasse' — the documented
+    byte-compat contract with reference-built databricks vaults. The
+    DuckDB oracle is EXPECTED to diverge on such keys (DuckDB
+    UPPER('ß')='ẞ'); cross-engine parity is only claimed for the
+    default 'ascii' fold (test above)."""
+    up = GlobalConfig(hash_case_fold="upper")
+
+    def h(lit):
+        spec = HashSpec("h", (f"!{lit}",))
+        return spark.sql(f"SELECT {hash_expr_sql(spec, up, SPARK)}").first().h
+
+    assert h("straße") == h("STRASSE") == h("strasse")
+    assert h("münchen") == h("MÜNCHEN")          # Unicode fold applies
+    assert h("abc") == h("ABC")                  # ASCII still folds
+    # default 'ascii' fold keeps 'ß' as-is: no 'SS' collision
+    def ha(lit):
+        spec = HashSpec("h", (f"!{lit}",))
+        return spark.sql(
+            f"SELECT {hash_expr_sql(spec, DEFAULT, SPARK)}").first().h
+    assert ha("straße") != ha("STRASSE")
+
+
+def test_hash_case_fold_validated():
+    """Typos ('UPPER', 'unicode') must not silently fall through to the
+    ASCII fold — GlobalConfig rejects them at construction time."""
+    with pytest.raises(ValueError, match="hash_case_fold"):
+        GlobalConfig(hash_case_fold="UPPER")
+    with pytest.raises(ValueError, match="hash_case_fold"):
+        GlobalConfig(hash_case_fold="unicode")
+    with pytest.raises(ValueError, match="hash algorithm"):
+        GlobalConfig(hash="CRC32")

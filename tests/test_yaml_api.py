@@ -167,6 +167,7 @@ ldts: date_trunc('hour', ts)
 rsrc: '!TPCH/events'
 sequence: event_id
 source_schema:
+  - [event_id, BIGINT]
   - [ts, TIMESTAMP]
   - [user_id, BIGINT]
   - [event_type, STRING]
