@@ -47,6 +47,13 @@ def main():
         "aggregate(zip_with(array(cast(id AS DOUBLE)), array(2.0d), "
         "(x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v) s") \
         .write.format("noop").mode("overwrite").save()
+    # prefork the Python worker pool (Arrow mapInPandas path): worker
+    # daemon + per-core fork costs seconds on first use and the workers
+    # are reused afterwards (spark.python.worker.reuse defaults true) —
+    # session infrastructure, same category as the JIT warmups above
+    spark.range(int(cpus) * 4).repartition(int(cpus)) \
+        .mapInPandas(lambda it: it, "id bigint") \
+        .write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     names = fixtures.all_entity_names()

@@ -118,9 +118,14 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     ex = w.selectExpr(cfg.id_col,
                       f"explode({spark_shingles('w', cfg.shingle_n)}) AS s") \
           .selectExpr(cfg.id_col, f"concat({dig}) AS h")
+    # One slim signature row per document, but the subtree above it
+    # (shingle explode + 2 md5 digests per shingle + 16-min aggregation)
+    # dominates query cost — and the `bands` projections below are
+    # non-identical (band constants), so without a persist each one
+    # recomputes the signatures. Persist: signatures compute once.
     sig = ex.groupBy(cfg.id_col).agg(
         *[F.min(F.expr(f"substr(h, {1 + 4 * i}, 4)")).alias(f"mh{i}")
-          for i in range(cfg.num_perm)])
+          for i in range(cfg.num_perm)]).persist()
     band_rows = []
     for bidx in range(cfg.bands):
         cols = ", ".join(f"mh{bidx * r + j}" for j in range(r))
@@ -259,8 +264,15 @@ def build_simhash_dedup(spark, reg: Registry, cfg: SimHashConfig,
         *[F.sum(F.expr(e)).alias(f"s{p}")
           for p, e in enumerate(_simhash_packed_exprs(cfg.bits, "spark"))],
         F.count("*").alias("n"))
+    # fp is one slim row per document but its subtree (tokenize + md5 +
+    # packed-lane aggregation over every token) is the expensive part of
+    # the whole query — and it is consumed by `nb` non-identical band
+    # projections (different band constants, so ReusedExchange cannot
+    # dedupe them). Persist it: fingerprints compute once, the band
+    # union and both join sides read the cached rows.
     fp = sums.selectExpr(cfg.id_col,
-                         f"{_simhash_value_expr(cfg.bits, 'spark')} AS simhash")
+                         f"{_simhash_value_expr(cfg.bits, 'spark')} AS simhash") \
+             .persist()
     bands = []
     for q in range(nb):
         bands.append(fp.selectExpr(
@@ -370,6 +382,13 @@ def build_ngram_jaccard(spark, reg: Registry, cfg: NgramJaccardConfig,
         sh = (sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
               .filter(F.col("df") <= cfg.max_doc_freq)
               .drop("df"))
+    # the kept inverted index feeds three consumers (sizes + both join
+    # sides); the join sides share one exchange via ReusedExchange but
+    # `sizes` shuffles on id instead of s, which would recompute the
+    # explode+distinct+window chain. Persist the slim (id, shingle)
+    # pairs once. MEMORY_AND_DISK is the cluster-safe default: at 100 TB
+    # the index spills instead of evicting under memory pressure.
+    sh = sh.persist()
     sizes = sh.groupBy(cfg.id_col).agg(F.count("*").alias("n"))
     a, bb = sh.alias("a"), sh.alias("b")
     inter = (a.join(bb, on=[F.col("a.s") == F.col("b.s"),
@@ -435,9 +454,15 @@ class EmbeddingCosineConfig:
     # [q*lsh_bits, (q+1)*lsh_bits). A pair is a candidate iff it shares
     # >= 1 band bucket; cosine verifies. lsh_bands=0 = exact all-pairs
     # (verification tier ONLY — O(n^2), never the default).
-    # Recall at the default (r=4, b=8): P = 1-(1-p^4)^8 with
-    # p = 1 - acos(cos)/pi -> 0.998 at cosine 0.9, 0.75 at 0.4.
-    lsh_bits: int = 4
+    # Default r=8, b=8 (needs dim >= 64): 256 buckets per band, so
+    # candidate volume is ~n^2/256 per band under uniform signs —
+    # measured 4-bit bands pruned only 2x off all-pairs (16 buckets
+    # cannot bound bucket size as n grows; a scale-killer at corpus
+    # size). Recall P = 1-(1-p^r)^b with p = 1 - acos(cos)/pi:
+    # r=8 -> 0.94 at cosine 0.9, 0.55 at 0.8 — near-dup detection
+    # targets the high-cosine regime; lower r only if you need recall
+    # on genuinely distant pairs and can pay the candidate volume.
+    lsh_bits: int = 8
     lsh_bands: int = 8
 
 

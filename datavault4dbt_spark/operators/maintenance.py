@@ -102,7 +102,30 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
         raise ValueError(
             f"clean_up_pit({pit_name}): no active snapshots under "
             f"trigger column {trigger!r}; refusing to delete all rows")
+    # Fast path: a PIT stored hive-partitioned by sdts (see
+    # ParquetStore.append(partition_by=...)) — every row of a partition
+    # shares its sdts, so the DELETE is whole-partition by construction
+    # and becomes a metadata-only directory drop: no scan, no rewrite,
+    # O(#snapshots) regardless of PIT size. This is the 100 TB path.
+    parts = store.partitions(pit_name, g.sdts_alias)
+    if parts:
+        active_strs = {_ts_partition_str(a) for a in active}
+        stale = [d for d in parts if _ts_partition_str(d) not in active_strs]
+        before = store.read(pit_name).count()
+        store.drop_partitions(pit_name, g.sdts_alias, stale)
+        return before - store.read(pit_name).count()
     pit = store.read(pit_name)
     before = pit.count()
     store.delete_where(pit_name, ~F.col(g.sdts_alias).isin(active))
     return before - store.read(pit_name).count()
+
+
+def _ts_partition_str(v) -> str:
+    """Canonical comparison string for a snapshot timestamp: Python
+    datetimes stringify as 'YYYY-MM-DD HH:MM:SS[.ffffff]' while hive
+    partition values drop trailing fractional zeros — normalize both by
+    trimming the fraction's trailing zeros."""
+    s = str(v)
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s

@@ -94,8 +94,52 @@ class ParquetStore:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
-    def append(self, name: str, df: DataFrame):
-        df.write.mode("append").parquet(self.path(name))
+    def append(self, name: str, df: DataFrame, partition_by: tuple = ()):
+        """Insert-only append; with ``partition_by`` the table is laid
+        out hive-style (col=value directories), which turns
+        partition-predicate deletes into metadata-only directory drops
+        (`drop_partitions`) — the parquet analogue of Delta's
+        partition-pruned DELETE. PITs partitioned by sdts make
+        `clean_up_pit` a pure metadata operation at any scale."""
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def partitions(self, name: str, col: str) -> dict:
+        """Hive-style partition values present for ``col`` — read from
+        directory names only (no data scan). Returns {decoded_value:
+        directory_name}; empty if the table is not partitioned by col."""
+        import os
+        import urllib.parse
+
+        out = {}
+        root = self.path(name)
+        if not os.path.isdir(root):
+            return out
+        prefix = f"{col}="
+        for d in os.listdir(root):
+            if d.startswith(prefix) and os.path.isdir(os.path.join(root, d)):
+                out[urllib.parse.unquote(d[len(prefix):])] = d
+        return out
+
+    def drop_partitions(self, name: str, col: str, values) -> int:
+        """Targeted DELETE of whole partitions (reference:
+        clean_up_pits.sql:128-137 warehouse DELETE; Delta: partition-
+        predicate delete). Removes the matching ``col=value``
+        directories — metadata-only, no data is read or rewritten.
+        ``values`` are compared against the DECODED partition strings.
+        Returns the number of partitions dropped."""
+        import os
+        import shutil
+
+        want = {str(v) for v in values}
+        dropped = 0
+        for decoded, d in self.partitions(name, col).items():
+            if decoded in want:
+                shutil.rmtree(os.path.join(self.path(name), d))
+                dropped += 1
+        return dropped
 
     def overwrite(self, name: str, df: DataFrame):
         """Read-modify-write safe overwrite: the plan may READ the path

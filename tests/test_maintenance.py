@@ -84,3 +84,34 @@ def test_clean_up_pit_refuses_empty_active_set(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="refusing"):
         clean_up_pit(store, "pit_customer", none_active)
     assert store.read("pit_customer").count() == before
+
+
+def test_clean_up_pit_partitioned_metadata_only(spark, sf_dir, tmp_path):
+    """A PIT stored hive-partitioned by sdts takes the metadata-only
+    path: stale snapshots become whole-directory drops (no rewrite),
+    and the result matches the rewrite path row-for-row."""
+    store = ParquetStore(spark, str(tmp_path))
+    pit = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    store.append("pit_part", pit, partition_by=("sdts",))
+    store.overwrite("pit_flat", pit)
+    assert store.partitions("pit_part", "sdts")          # hive layout
+    assert not store.partitions("pit_flat", "sdts")      # flat layout
+
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    thinned = snap.withColumn(
+        "is_active", F.col("is_active") & F.col("is_beginning_of_week"))
+    d_part = clean_up_pit(store, "pit_part", thinned)
+    d_flat = clean_up_pit(store, "pit_flat", thinned)
+    assert d_part == d_flat > 0
+    # identical surviving rows (partition path reads sdts from dir names)
+    left_p = sorted(
+        tuple(str(r[c]) for c in sorted(pit.columns))
+        for r in store.read("pit_part").collect())
+    left_f = sorted(
+        tuple(str(r[c]) for c in sorted(pit.columns))
+        for r in store.read("pit_flat").collect())
+    assert left_p == left_f
+    # and the dropped partitions are really gone from the filesystem
+    active = {r[0] for r in
+              thinned.filter("is_active").select("sdts").collect()}
+    assert len(store.partitions("pit_part", "sdts")) == len(active)
