@@ -27,7 +27,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT
-from ..functions.hashing import HashSpec, hash_expr_sql, SPARK
+from ..functions.hashing import (HashSpec, hash_expr_sql,
+                                 ma_hash_window_sql, SPARK)
 from ..plans.incremental import ParquetStore
 
 
@@ -129,3 +130,218 @@ def _ts_partition_str(v) -> str:
     if "." in s:
         s = s.rstrip("0").rstrip(".")
     return s
+
+
+# ------------------------------------------------------ YAML rehash-all --
+
+_DEPRECATED = "_deprecated"
+
+
+def _naming_mismatches(y: dict) -> list:
+    """Validate declared hash column names against the YAML's
+    naming_conventions (reference: rehash_all_rdv_entities.sql:20-24 —
+    hashkey_syntax / hub_hashkey_syntax / link_hashkey_syntax /
+    hashdiff_syntax glob patterns). A name that violates its pattern is
+    almost always a column mix-up (hashdiff declared as hashkey etc.) —
+    surface it before any table is touched."""
+    import fnmatch
+
+    nc = (y.get("config") or {}).get("naming_conventions") or {}
+    if not nc:
+        return []
+
+    def bad(name, *patterns):
+        pats = [p for p in patterns if p]
+        if not pats:
+            return False
+        return not any(fnmatch.fnmatch(name.lower(), p.lower()) for p in pats)
+
+    hk_pat = nc.get("hashkey_syntax")
+    hub_pat = nc.get("hub_hashkey_syntax")
+    link_pat = nc.get("link_hashkey_syntax")
+    hd_pat = nc.get("hashdiff_syntax")
+    errs = []
+    for h in y.get("hubs") or []:
+        if bad(h["hashkey"], hub_pat, hk_pat):
+            errs.append(f"hub {h['name']}: hashkey {h['hashkey']!r}")
+    for l in y.get("links") or []:
+        if bad(l["link_hashkey"], link_pat, hk_pat):
+            errs.append(f"link {l['name']}: link_hashkey {l['link_hashkey']!r}")
+        for hc in l.get("hub_config") or []:
+            if bad(hc["hub_hashkey"], hub_pat, hk_pat):
+                errs.append(f"link {l['name']}: hub_hashkey {hc['hub_hashkey']!r}")
+    for sect in ("satellites", "ma_satellites", "nh_satellites"):
+        for s in y.get(sect) or []:
+            if bad(s["hashkey"], hub_pat, link_pat, hk_pat):
+                errs.append(f"{sect[:-1]} {s['name']}: hashkey {s['hashkey']!r}")
+            if "hashdiff" in s and bad(s["hashdiff"], hd_pat):
+                errs.append(f"{sect[:-1]} {s['name']}: hashdiff {s['hashdiff']!r}")
+    return errs
+
+
+def _ghost_mask(g: GlobalConfig):
+    """Ghost records keep their existing hash values through a rehash
+    (reference: rehash_single_ma_satellite.sql ghost_records CTE —
+    CAST(sat.hashkey ..) AS new): they are identified by rsrc."""
+    return F.col(g.rsrc_alias).isin(g.default_unknown_rsrc,
+                                    g.default_error_rsrc)
+
+
+def _parent_lookup(parent_df: DataFrame, hashkey: str, extra_cols: tuple,
+                   alias: str):
+    """(join_key, [new_hashkey], extra business keys) — one row per
+    join key (reference: parent_lookup CTE with QUALIFY ROW_NUMBER()=1).
+    Joins on <hashkey>_deprecated when the parent is already rehashed
+    (its current column then holds the NEW value to copy)."""
+    dep = hashkey + _DEPRECATED
+    rehashed = dep in parent_df.columns
+    join_col = dep if rehashed else hashkey
+    sel = [F.col(join_col).alias(f"{alias}__jk")]
+    if rehashed:
+        sel.append(F.col(hashkey).alias(f"{alias}__new_hk"))
+    for c in extra_cols:
+        sel.append(F.col(c).alias(f"{alias}__{c}"))
+    return parent_df.select(*sel).dropDuplicates([f"{alias}__jk"]), rehashed
+
+
+def rehash_vault(store: ParquetStore, entity_yaml: str,
+                 g: GlobalConfig = DEFAULT,
+                 drop_old_values: bool = True) -> dict:
+    """Rehash an entire RDV from one YAML document (reference:
+    macros/rehashing/rehash_all_rdv_entities.sql:139-166 + the
+    databricks single-entity macros): hubs, then links, then
+    satellites, ma_satellites, nh_satellites.
+
+    Semantics mirrored from the reference:
+    - hubs recompute their hashkey from their own business keys;
+    - links join each hub on the hub's OLD hashkey (kept as
+      ``_deprecated`` during the pass) to fetch business keys, copy the
+      hub's new hashkey, and recompute the link hashkey over all hubs'
+      business keys (+ additional_hash_input_cols);
+    - satellites copy the parent's new hashkey through the same
+      ``_deprecated`` join and recompute their hashdiff from payload;
+    - ma_satellites recompute the GROUP hashdiff per (hashkey, ldts)
+      over the multi-active key (window form, one shuffle);
+    - nh_satellites only re-key;
+    - ghost records (rsrc SYSTEM/ERROR) pass their hash values through
+      unchanged (ghost_records CTE);
+    - old columns survive as ``<col>_deprecated`` until the end of the
+      pass, then drop when ``drop_old_values`` (the reference's ALTER
+      ... DROP COLUMN loop becomes part of the final rewrite).
+
+    Spark-first: each entity is ONE projection (+ a broadcast-friendly
+    parent lookup join for sats) and an atomic table rewrite — no
+    ALTER/UPDATE/MERGE machinery, no per-column DDL round-trips.
+    Returns {table: [columns dropped (or kept as _deprecated)]}.
+    """
+    import yaml
+
+    y = yaml.safe_load(entity_yaml)
+    errs = _naming_mismatches(y)
+    if errs:
+        raise ValueError("naming convention violations: " + "; ".join(errs))
+    ghost = _ghost_mask(g)
+    touched: dict = {}
+
+    def swap(df, col, new_expr):
+        """old -> <col>_deprecated, col = new (ghosts keep old)."""
+        return (df.withColumnRenamed(col, col + _DEPRECATED)
+                .withColumn(col, F.when(ghost, F.col(col + _DEPRECATED))
+                            .otherwise(new_expr)))
+
+    for hub in y.get("hubs") or []:
+        name, hk = hub["name"], hub["hashkey"]
+        inputs = tuple(hub["business_keys"]) + tuple(
+            hub.get("additional_hash_input_cols") or [])
+        df = store.read(name)
+        new = F.expr(hash_expr_sql(HashSpec(hk, inputs), g, SPARK, alias=False))
+        store.overwrite(name, swap(df, hk, new))
+        touched[name] = [hk + _DEPRECATED]
+
+    for link in y.get("links") or []:
+        name, lhk = link["name"], link["link_hashkey"]
+        df = store.read(name)
+        bk_exprs = []           # hub_config order, per-hub key order
+        hub_new = {}            # hub hashkey col -> new value expr
+        for i, hc in enumerate(link["hub_config"] or []):
+            alias = f"__h{i}"
+            lookup, rehashed = _parent_lookup(
+                store.read(hc["hub_name"]), hc["hub_hashkey"],
+                tuple(hc["business_keys"]), alias)
+            df = df.join(F.broadcast(lookup),
+                         df[hc["hub_hashkey"]] == lookup[f"{alias}__jk"],
+                         "left")
+            pre = [f"{alias}__{c}" for c in hc["business_keys"]]
+            bk_exprs += pre
+            if rehashed:
+                hub_new[hc["hub_hashkey"]] = F.col(f"{alias}__new_hk")
+            else:
+                hub_new[hc["hub_hashkey"]] = F.expr(hash_expr_sql(
+                    HashSpec(hc["hub_hashkey"], tuple(pre)), g, SPARK,
+                    alias=False))
+        inputs = tuple(bk_exprs) + tuple(
+            link.get("additional_hash_input_cols") or [])
+        out = swap(df, lhk, F.expr(hash_expr_sql(
+            HashSpec(lhk, inputs), g, SPARK, alias=False)))
+        dropped = [lhk + _DEPRECATED]
+        for hk_col, new in hub_new.items():
+            out = swap(out, hk_col, new)
+            dropped.append(hk_col + _DEPRECATED)
+        out = out.drop(*[c for c in out.columns if c.startswith("__h")])
+        store.overwrite(name, out)
+        touched[name] = dropped
+
+    def rekey(df, s):
+        """Copy the parent's new hashkey (or recompute from parent
+        business keys when the parent was not part of this rehash)."""
+        hk = s["hashkey"]
+        parent_df = store.read(s["parent_entity"])
+        need_bks = (hk + _DEPRECATED) not in parent_df.columns
+        extra = tuple(s.get("business_keys") or []) if need_bks else ()
+        lookup, rehashed = _parent_lookup(parent_df, hk, extra, "__p")
+        df = df.join(F.broadcast(lookup), df[hk] == lookup["__p__jk"], "left")
+        if rehashed:
+            new = F.col("__p__new_hk")
+        else:
+            pre = tuple(f"__p__{c}" for c in s.get("business_keys") or [])
+            if not pre:
+                raise ValueError(
+                    f"{s['name']}: parent {s['parent_entity']} is not "
+                    f"rehashed and no business_keys given to recompute")
+            new = F.expr(hash_expr_sql(HashSpec(hk, pre), g, SPARK,
+                                       alias=False))
+        return swap(df, hk, new), hk
+
+    for s in y.get("satellites") or []:
+        df, hk = rekey(store.read(s["name"]), s)
+        hd = s["hashdiff"]
+        spec = HashSpec(hd, tuple(s["payload"]), is_hashdiff=True)
+        df = swap(df, hd, F.expr(hash_expr_sql(spec, g, SPARK, alias=False)))
+        df = df.drop(*[c for c in df.columns if c.startswith("__p")])
+        store.overwrite(s["name"], df)
+        touched[s["name"]] = [hk + _DEPRECATED, hd + _DEPRECATED]
+
+    for s in y.get("ma_satellites") or []:
+        df, hk = rekey(store.read(s["name"]), s)
+        hd = s["hashdiff"]
+        spec = HashSpec(hd, tuple(s["payload"]), is_hashdiff=True,
+                        multi_active_key=tuple(s["ma_keys"]))
+        # group hashdiff per (OLD hashkey, ldts) — the window form of the
+        # reference's ma_hashdiff_prep GROUP BY (one shuffle, no re-join)
+        grp = ma_hash_window_sql(spec, g,
+                                 (hk + _DEPRECATED, g.ldts_alias))
+        df = swap(df, hd, F.expr(grp))
+        df = df.drop(*[c for c in df.columns if c.startswith("__p")])
+        store.overwrite(s["name"], df)
+        touched[s["name"]] = [hk + _DEPRECATED, hd + _DEPRECATED]
+
+    for s in y.get("nh_satellites") or []:
+        df, hk = rekey(store.read(s["name"]), s)
+        df = df.drop(*[c for c in df.columns if c.startswith("__p")])
+        store.overwrite(s["name"], df)
+        touched[s["name"]] = [hk + _DEPRECATED]
+
+    if drop_old_values:
+        for name, cols in touched.items():
+            store.overwrite(name, store.read(name).drop(*cols))
+    return touched

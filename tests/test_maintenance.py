@@ -115,3 +115,124 @@ def test_clean_up_pit_partitioned_metadata_only(spark, sf_dir, tmp_path):
     active = {r[0] for r in
               thinned.filter("is_active").select("sdts").collect()}
     assert len(store.partitions("pit_part", "sdts")) == len(active)
+
+
+REHASH_YAML = """
+config:
+    overwrite_hash_values: true
+    naming_conventions:
+        hashkey_syntax: hk_*
+        hub_hashkey_syntax: hk_*_h
+        link_hashkey_syntax: hk_*_l
+        hashdiff_syntax: hd_*
+hubs:
+  - name: hub_customer
+    hashkey: hk_customer_h
+    business_keys: [c_custkey]
+  - name: hub_nation
+    hashkey: hk_nation_h
+    business_keys: [n_nationkey]
+links:
+  - name: link_customer_nation
+    link_hashkey: hk_customer_nation_l
+    additional_hash_input_cols: []
+    hub_config:
+      - hub_hashkey: hk_customer_h
+        hub_name: hub_customer
+        business_keys: [c_custkey]
+      - hub_hashkey: hk_nation_h
+        hub_name: hub_nation
+        business_keys: [n_nationkey]
+satellites:
+  - name: sat_customer_n0_s
+    hashkey: hk_customer_h
+    hashdiff: hd_customer_n_s
+    payload: [c_acctbal, c_mktsegment]
+    parent_entity: hub_customer
+    business_keys: [c_custkey]
+ma_satellites:
+  - name: ma_sat_customer_orders
+    hashkey: hk_customer_h
+    hashdiff: hd_order_ms
+    ma_keys: [o_orderkey]
+    payload: [o_orderstatus, o_orderpriority]
+    parent_entity: hub_customer
+    business_keys: [c_custkey]
+"""
+
+
+def _vault_store(spark, sf_dir, tmp_path):
+    from datavault4dbt_spark.operators.maintenance import rehash_vault
+    store = ParquetStore(spark, str(tmp_path))
+    for name in ("hub_customer", "hub_nation", "link_customer_nation",
+                 "sat_customer_n0_s", "ma_sat_customer_orders"):
+        store.overwrite(name, fixtures.entity_query(name)(spark, sf_dir))
+    return store, rehash_vault
+
+
+def test_rehash_vault_md5_to_sha256(spark, sf_dir, tmp_path):
+    """Whole-RDV rehash from the reference's YAML shape
+    (rehash_all_rdv_entities.sql): hubs -> links -> sats -> ma_sats,
+    _deprecated joins, ghost passthrough, final old-column drop."""
+    store, rehash_vault = _vault_store(spark, sf_dir, tmp_path)
+    g256 = GlobalConfig(hash="SHA256")
+    touched = rehash_vault(store, REHASH_YAML, g256, drop_old_values=True)
+    assert set(touched) == {"hub_customer", "hub_nation",
+                            "link_customer_nation", "sat_customer_n0_s",
+                            "ma_sat_customer_orders"}
+
+    hub = store.read("hub_customer")
+    assert "hk_customer_h_deprecated" not in hub.columns
+    # hashlib oracle on a plain key: standardized '"1"', sha256
+    r = hub.filter(F.col("c_custkey") == 1).first()
+    assert r.hk_customer_h == hashlib.sha256(b'"1"').hexdigest()
+    # ghost rows keep their MD5-era hash values (reference ghost_records)
+    ghosts = hub.filter(F.col("rsrc").isin("SYSTEM", "ERROR")).collect()
+    assert ghosts and all(len(x.hk_customer_h) == 32 for x in ghosts)
+
+    # link: hub hashkeys copied from the rehashed hubs; link hashkey is
+    # the hash of both hubs' business keys ('"<ck>"||"<nk>"')
+    link = store.read("link_customer_nation")
+    lr = link.filter(F.col("hk_customer_h")
+                     == hashlib.sha256(b'"1"').hexdigest()).first()
+    assert lr is not None
+    # recover the nation key via the rehashed nation hub
+    nat = {x.hk_nation_h: x.n_nationkey
+           for x in store.read("hub_nation").collect()}
+    nk = nat[lr.hk_nation_h]
+    want = hashlib.sha256(f'"1"||"{nk}"'.encode()).hexdigest()
+    assert lr.hk_customer_nation_l == want
+
+    # satellite re-keyed to the parent's new hashkey; hashdiff is sha256
+    sat = store.read("sat_customer_n0_s")
+    hks = {x.hk_customer_h for x in
+           sat.filter(~F.col("rsrc").isin("SYSTEM", "ERROR")).collect()}
+    hub_hks = {x.hk_customer_h for x in
+               hub.filter(~F.col("rsrc").isin("SYSTEM", "ERROR")).collect()}
+    assert hks <= hub_hks
+    assert all(len(x.hd_customer_n_s) == 64 for x in
+               sat.filter(~F.col("rsrc").isin("SYSTEM", "ERROR")).collect())
+
+    # ma_sat: group hashdiff constant within (hashkey, ldts)
+    ma = store.read("ma_sat_customer_orders")
+    grp = (ma.filter(~F.col("rsrc").isin("SYSTEM", "ERROR"))
+           .groupBy("hk_customer_h", "ldts")
+           .agg(F.countDistinct("hd_order_ms").alias("n")).collect())
+    assert grp and all(x.n == 1 for x in grp)
+
+
+def test_rehash_vault_keeps_deprecated_and_validates_naming(
+        spark, sf_dir, tmp_path):
+    store, rehash_vault = _vault_store(spark, sf_dir, tmp_path)
+    g256 = GlobalConfig(hash="SHA256")
+    rehash_vault(store, REHASH_YAML, g256, drop_old_values=False)
+    hub = store.read("hub_customer")
+    assert "hk_customer_h_deprecated" in hub.columns
+    r = hub.filter(F.col("c_custkey") == 1).first()
+    assert r.hk_customer_h_deprecated == hashlib.md5(b'"1"').hexdigest()
+    assert r.hk_customer_h == hashlib.sha256(b'"1"').hexdigest()
+
+    bad = REHASH_YAML.replace("hashkey: hk_customer_h",
+                              "hashkey: hd_customer_h", 1)
+    with pytest.raises(ValueError, match="naming convention"):
+        rehash_vault(store, bad, g256)
