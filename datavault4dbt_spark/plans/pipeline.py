@@ -56,10 +56,17 @@ def topo_sort(decls: dict) -> list:
 
 
 def run_pipeline(spark, decls: dict, store: ParquetStore,
-                 base_registry: Registry, g: GlobalConfig = DEFAULT) -> dict:
+                 base_registry: Registry, g: GlobalConfig = DEFAULT,
+                 count_rows: bool = True) -> dict:
     """One load run over every declared entity; returns rows appended
     per entity. Safe to re-run: incremental entities insert nothing new
-    on replay (idempotent anti-join append)."""
+    on replay (idempotent anti-join append).
+
+    ``count_rows=False`` skips the per-entity row counts (returns None
+    per entity): the count is a second action, and even with the
+    persist below it costs a cache pass — a 100 TB scheduled load that
+    doesn't surface counts shouldn't pay it.
+    """
     reg = base_registry
     counts = {}
     for name in topo_sort(decls):
@@ -75,11 +82,19 @@ def run_pipeline(spark, decls: dict, store: ParquetStore,
             new = d.build(spark, reg, d.cfg, g, target=target)
         else:
             new = d.build(spark, reg, d.cfg, g)
-        n = new.count()
+        n = None
+        if count_rows:
+            # count + write are two actions over the same delta plan:
+            # persist the delta (bounded: records_to_insert, not the
+            # table) so the plan executes once, not twice
+            new = new.persist()
+            n = new.count()
         if target is not None and d.materialize == "table":
             store.overwrite(name, new)
         else:
             store.append(name, new)
+        if count_rows:
+            new.unpersist()
         counts[name] = n
         # downstream entities read the STORED table, not the plan
         reg.spark_loaders[name] = (

@@ -129,3 +129,30 @@ def test_ngram_jaccard_df_cap_in_plan(spark, sf_dir):
     plan = _plan(df)
     assert "Window" in plan, plan
     assert f"<= {cap}" in plan, plan
+
+
+def test_simhash_fingerprints_computed_once(spark, sf_dir):
+    """Round-4 fix: the per-document fingerprint subtree (tokenize +
+    md5 + packed-lane aggregation) feeds 4 band projections and both
+    self-join sides; it must come from ONE cached materialization, not
+    re-execute per branch. Structural check: every parquet scan of
+    `documents` in the executed plan sits under the InMemoryRelation
+    (cache). Structural check: every band/join branch reads
+    InMemoryTableScan (pre-fix: zero cache scans, 8 full fingerprint
+    recomputations). Note the cache node's string embeds its child
+    plan, so raw file-scan substring counts overcount — count the
+    cache-scan branches instead."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("dedup_simhash")(spark, sf_dir)
+    plan = _plan(df)
+    nb = fixtures.DEDUP_SIMHASH["dedup_simhash"].max_hamming + 1
+    # nb band branches per join side = 2*nb cache readers
+    assert plan.count("InMemoryTableScan") == 2 * nb, plan
+
+
+def test_minhash_signatures_computed_once(spark, sf_dir):
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("dedup_minhash_lsh")(spark, sf_dir)
+    plan = _plan(df)
+    nb = fixtures.DEDUP_MINHASH["dedup_minhash_lsh"].bands
+    assert plan.count("InMemoryTableScan") == 2 * nb, plan
