@@ -1,0 +1,135 @@
+"""YAML project runner — the engine's ``dbt run``.
+
+The reference is driven as a dbt project: one model file per entity,
+each calling a table macro with a ``yaml_metadata`` block; dbt resolves
+the DAG from ``ref()`` calls and materializes incrementals (SURVEY §3).
+This module is the equivalent front door: a directory of YAML files
+(one per entity, the SAME metadata blocks the reference accepts — see
+``yaml_api``) becomes a dependency-ordered incremental load.
+
+File format (``<name>.yml``)::
+
+    kind: hub                  # any yaml_api.PARSERS kind
+    name: hub_customer         # optional; defaults to the file stem
+    materialize: incremental   # optional; kind-appropriate default
+    depends_on: [stage_x]      # optional; unioned with inferred deps
+    <kind-specific yaml_metadata keys, verbatim from the reference>
+
+Dependencies are inferred from the parsed config (source models, parent
+v0 entities, snapshot relations, PIT satellites) exactly like dbt
+infers them from ``ref()``; ``depends_on`` covers anything declared
+outside the config (e.g. a prejoin against a raw table registered in
+the base registry needs no entry at all).
+
+Scale: this is driver-side orchestration only — each entity's load is
+the same single-pass incremental plan `run_pipeline` executes; nothing
+here touches data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml as _yaml
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from .. import yaml_api
+from ..operators.stage import build_stage
+from ..operators.hub import build_hub
+from ..operators.link import build_link
+from ..operators.sat import build_sat_v0, build_sat_v1
+from ..operators.nh import build_nh_sat, build_nh_link
+from ..operators.ma_sat import build_ma_sat_v0, build_ma_sat_v1
+from ..operators.rec_track import build_rec_track_sat
+from ..operators.eff_sat import build_eff_sat_v0
+from ..operators.ref_entities import (build_ref_hub, build_ref_sat_v0,
+                                      build_ref_sat_v1, build_ref_table)
+from ..operators.snapshots import build_snap_v0, build_snap_v1
+from ..operators.pit import build_pit
+from .incremental import ParquetStore
+from .pipeline import EntityDecl, run_pipeline
+
+
+def _snap_v0_build(spark, reg, cfg, g, **_kw):
+    # build_snap_v0 takes no registry (pure generated spine)
+    return build_snap_v0(spark, cfg, g)
+
+
+# kind -> (builder, default materialization, dep-inference)
+# Materialization defaults mirror the reference's dbt_project.yml:
+# stages and virtual end-dating (v1) entities are views, the snapshot
+# spine is a (small) table, everything else loads incrementally.
+KINDS = {
+    "stage": (build_stage, "view",
+              lambda c: [c.source_model] + [p.ref_model
+                                            for p in c.prejoined_columns]),
+    "hub": (build_hub, "incremental",
+            lambda c: [s.name for s in c.source_models]),
+    "link": (build_link, "incremental",
+             lambda c: [s.name for s in c.source_models]),
+    "sat_v0": (build_sat_v0, "incremental", lambda c: [c.source_model]),
+    "sat_v1": (build_sat_v1, "view", lambda c: [c.sat_v0]),
+    "nh_sat": (build_nh_sat, "incremental", lambda c: [c.source_model]),
+    "nh_link": (build_nh_link, "incremental",
+                lambda c: [s.name for s in c.source_models]),
+    "ma_sat_v0": (build_ma_sat_v0, "incremental", lambda c: [c.source_model]),
+    "ma_sat_v1": (build_ma_sat_v1, "view", lambda c: [c.ma_sat_v0]),
+    "rec_track_sat": (build_rec_track_sat, "incremental",
+                      lambda c: [s.name for s in c.source_models]),
+    "eff_sat_v0": (build_eff_sat_v0, "incremental",
+                   lambda c: [c.source_model]),
+    "ref_hub": (build_ref_hub, "incremental",
+                lambda c: [s.name for s in c.source_models]),
+    "ref_sat_v0": (build_ref_sat_v0, "incremental",
+                   lambda c: [c.source_model]),
+    "ref_sat_v1": (build_ref_sat_v1, "view", lambda c: [c.ref_sat_v0]),
+    "ref_table": (build_ref_table, "view",
+                  lambda c: [c.ref_hub] + [s for s, _ in c.ref_satellites]
+                  + ([c.snapshot_relation] if c.snapshot_relation else [])),
+    "control_snap_v0": (_snap_v0_build, "table", lambda c: []),
+    "control_snap_v1": (build_snap_v1, "view", lambda c: [c.snap_v0]),
+    "pit": (build_pit, "incremental",
+            lambda c: [c.tracked_entity, c.snapshot_relation]
+            + list(c.sat_names)),
+}
+
+
+def load_project(project_dir: str) -> dict:
+    """Parse every ``*.yml``/``*.yaml`` in ``project_dir`` into
+    EntityDecls keyed by entity name. Fails loudly on unknown kinds,
+    duplicate names, or metadata the kind's parser rejects."""
+    decls: dict = {}
+    for fn in sorted(os.listdir(project_dir)):
+        if not fn.endswith((".yml", ".yaml")):
+            continue
+        with open(os.path.join(project_dir, fn)) as f:
+            doc = _yaml.safe_load(f) or {}
+        kind = doc.pop("kind", None)
+        if kind not in KINDS:
+            raise ValueError(f"{fn}: unknown or missing kind {kind!r} "
+                             f"(expected one of {sorted(KINDS)})")
+        name = doc.pop("name", None) or os.path.splitext(fn)[0]
+        if name in decls:
+            raise ValueError(f"{fn}: duplicate entity name {name!r}")
+        materialize = doc.pop("materialize", None)
+        declared_deps = tuple(doc.pop("depends_on", ()) or ())
+        cfg = yaml_api.parse(kind, doc, name)
+        build, default_mat, deps_of = KINDS[kind]
+        deps = tuple(dict.fromkeys(list(declared_deps) + list(deps_of(cfg))))
+        decls[name] = EntityDecl(name=name, build=build, cfg=cfg,
+                                 deps=deps,
+                                 materialize=materialize or default_mat)
+    # declared dependencies must resolve to a project entity or be
+    # assumed present in the base registry (raw sources) — only check
+    # for obvious self-cycles here; topo_sort raises on real cycles
+    return decls
+
+
+def run_project(spark, project_dir: str, store: ParquetStore,
+                base_registry: Registry, g: GlobalConfig = DEFAULT,
+                count_rows: bool = True) -> dict:
+    """Load the whole project once (idempotent — rerunning appends
+    nothing new). Returns rows appended per entity (None for views)."""
+    decls = load_project(project_dir)
+    return run_pipeline(spark, decls, store, base_registry, g,
+                        count_rows=count_rows)
