@@ -102,6 +102,12 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     single shuffle is the self-join on (band, signature) — at 100 TB
     this is the canonical shingle->minhash->band->bucket-join plan, and
     bucket keys are md5 outputs so the join is skew-free by construction.
+
+    Cache lifecycle: the signature table is persist()ed (it feeds every
+    band projection and both join sides) and intentionally left cached —
+    unpersisting before the caller consumes the returned plan would
+    defeat the point. Long-lived sessions running builders repeatedly
+    should `spark.catalog.clearCache()` between runs (bench.py does).
     """
     r = _band_width(cfg)
     # no min-parallelism shim here: the heavy work (bucket join +
@@ -459,7 +465,7 @@ class EmbeddingCosineConfig:
     # measured 4-bit bands pruned only 2x off all-pairs (16 buckets
     # cannot bound bucket size as n grows; a scale-killer at corpus
     # size). Recall P = 1-(1-p^r)^b with p = 1 - acos(cos)/pi:
-    # r=8 -> 0.94 at cosine 0.9, 0.55 at 0.8 — near-dup detection
+    # r=8 -> 0.94 at cosine 0.9, 0.75 at 0.8 — near-dup detection
     # targets the high-cosine regime; lower r only if you need recall
     # on genuinely distant pairs and can pay the candidate volume.
     lsh_bits: int = 8
@@ -536,6 +542,20 @@ def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
     # its own; round-robin repartitioning the scan only adds an
     # exchange (measured 1.5-2x slower at fixture scale)
     df = reg.load(spark, cfg.source)
+    if cfg.lsh_bands:
+        # One-row probe (driver-side scalar, same pattern as the HWM
+        # probes): band q reads coordinates [q*bits, (q+1)*bits), so
+        # vectors shorter than bands*bits would make the high bands read
+        # past the array end -> NULL -> every bit 0 -> all rows share one
+        # bucket per degenerate band = a silent O(n^2) cross join (the
+        # oracle degenerates identically, so parity would not catch it).
+        need = cfg.lsh_bands * cfg.lsh_bits
+        probe = df.selectExpr(f"size({cfg.vec_col}) AS d").first()
+        if probe is not None and probe.d < need:
+            raise ValueError(
+                f"{cfg.name}: embedding dim {probe.d} < lsh_bands*lsh_bits"
+                f" = {need}; lower lsh_bits/lsh_bands (candidate buckets "
+                f"degenerate when bands read past the vector end)")
     v = df.selectExpr(
         cfg.id_col,
         f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v")

@@ -108,10 +108,21 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     # shares its sdts, so the DELETE is whole-partition by construction
     # and becomes a metadata-only directory drop: no scan, no rewrite,
     # O(#snapshots) regardless of PIT size. This is the 100 TB path.
+    # Guards: (a) a MIXED layout (hive dirs + flat files from an
+    # unpartitioned append) must use the rewrite path or flat-file rows
+    # would silently survive; (b) if no active value matches any
+    # partition string, the match itself is broken (session timezone
+    # changed between write and cleanup, sdts type drift) — dropping
+    # "everything stale" would then delete the whole PIT, so refuse.
     parts = store.partitions(pit_name, g.sdts_alias)
-    if parts:
+    if parts and not store.has_flat_files(pit_name):
         active_strs = {_ts_partition_str(a) for a in active}
         stale = [d for d in parts if _ts_partition_str(d) not in active_strs]
+        if len(stale) == len(parts):
+            raise ValueError(
+                f"clean_up_pit({pit_name}): no active snapshot matches "
+                f"any sdts partition (tz/type drift between write and "
+                f"cleanup?); refusing to drop every partition")
         before = store.read(pit_name).count()
         store.drop_partitions(pit_name, g.sdts_alias, stale)
         return before - store.read(pit_name).count()
@@ -206,7 +217,8 @@ def _parent_lookup(parent_df: DataFrame, hashkey: str, extra_cols: tuple,
 
 def rehash_vault(store: ParquetStore, entity_yaml: str,
                  g: GlobalConfig = DEFAULT,
-                 drop_old_values: bool = True) -> dict:
+                 drop_old_values: bool = True,
+                 allow_orphans: bool = False) -> dict:
     """Rehash an entire RDV from one YAML document (reference:
     macros/rehashing/rehash_all_rdv_entities.sql:139-166 + the
     databricks single-entity macros): hubs, then links, then
@@ -249,6 +261,36 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
                 .withColumn(col, F.when(ghost, F.col(col + _DEPRECATED))
                             .otherwise(new_expr)))
 
+    # Structural validation BEFORE any table is touched: a mid-pass
+    # KeyError would leave the vault half-migrated.
+    for link in y.get("links") or []:
+        if not link.get("hub_config"):
+            raise ValueError(
+                f"link {link.get('name')}: hub_config is required")
+    for sect in ("satellites", "ma_satellites", "nh_satellites"):
+        for s in y.get(sect) or []:
+            if not s.get("parent_entity"):
+                raise ValueError(
+                    f"{sect[:-1]} {s.get('name')}: parent_entity required")
+
+    def check_orphans(df, name, jk_cols):
+        """Non-ghost rows whose parent lookup missed would silently get
+        hash-of-NULL (the zero-key sentinel) — collapsing distinct rows
+        onto one key. Detect and refuse (reference MERGE leaves such
+        rows NULL, equally corrupt; here the state is recoverable
+        because nothing has been written yet)."""
+        if allow_orphans:
+            return
+        miss = F.lit(False)
+        for c in jk_cols:
+            miss = miss | F.col(c).isNull()
+        if df.filter(~ghost & miss).limit(1).count():
+            raise ValueError(
+                f"{name}: rows found whose parent join missed (orphan "
+                f"rows, or the parent was rehashed in a previous pass so "
+                f"its old hashkeys are gone). Fix the parent state or "
+                f"pass allow_orphans=True to zero-key them")
+
     for hub in y.get("hubs") or []:
         name, hk = hub["name"], hub["hashkey"]
         inputs = tuple(hub["business_keys"]) + tuple(
@@ -263,11 +305,15 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
         df = store.read(name)
         bk_exprs = []           # hub_config order, per-hub key order
         hub_new = {}            # hub hashkey col -> new value expr
-        for i, hc in enumerate(link["hub_config"] or []):
+        tmp_cols = []           # exact generated columns to drop
+        jk_cols = []
+        for i, hc in enumerate(link["hub_config"]):
             alias = f"__h{i}"
             lookup, rehashed = _parent_lookup(
                 store.read(hc["hub_name"]), hc["hub_hashkey"],
                 tuple(hc["business_keys"]), alias)
+            tmp_cols += [c for c in lookup.columns]
+            jk_cols.append(f"{alias}__jk")
             df = df.join(F.broadcast(lookup),
                          df[hc["hub_hashkey"]] == lookup[f"{alias}__jk"],
                          "left")
@@ -279,6 +325,7 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
                 hub_new[hc["hub_hashkey"]] = F.expr(hash_expr_sql(
                     HashSpec(hc["hub_hashkey"], tuple(pre)), g, SPARK,
                     alias=False))
+        check_orphans(df, name, jk_cols)
         inputs = tuple(bk_exprs) + tuple(
             link.get("additional_hash_input_cols") or [])
         out = swap(df, lhk, F.expr(hash_expr_sql(
@@ -287,7 +334,7 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
         for hk_col, new in hub_new.items():
             out = swap(out, hk_col, new)
             dropped.append(hk_col + _DEPRECATED)
-        out = out.drop(*[c for c in out.columns if c.startswith("__h")])
+        out = out.drop(*tmp_cols)
         store.overwrite(name, out)
         touched[name] = dropped
 
@@ -300,6 +347,7 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
         extra = tuple(s.get("business_keys") or []) if need_bks else ()
         lookup, rehashed = _parent_lookup(parent_df, hk, extra, "__p")
         df = df.join(F.broadcast(lookup), df[hk] == lookup["__p__jk"], "left")
+        check_orphans(df, s["name"], ["__p__jk"])
         if rehashed:
             new = F.col("__p__new_hk")
         else:
@@ -310,19 +358,30 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
                     f"rehashed and no business_keys given to recompute")
             new = F.expr(hash_expr_sql(HashSpec(hk, pre), g, SPARK,
                                        alias=False))
-        return swap(df, hk, new), hk
+        return swap(df, hk, new), hk, list(lookup.columns)
+
+    def finish_leaf(name, df, tmp_cols, dep_cols):
+        """Satellites are leaves — nothing downstream joins on their
+        _deprecated columns, so when drop_old_values they are dropped in
+        the SAME rewrite (satellites dominate vault bytes; a second
+        full rewrite just to drop columns would double migration I/O).
+        Hubs/links must keep theirs until the end of the pass."""
+        df = df.drop(*tmp_cols)
+        if drop_old_values:
+            df = df.drop(*dep_cols)
+        store.overwrite(name, df)
+        touched[name] = dep_cols
 
     for s in y.get("satellites") or []:
-        df, hk = rekey(store.read(s["name"]), s)
+        df, hk, tmp = rekey(store.read(s["name"]), s)
         hd = s["hashdiff"]
         spec = HashSpec(hd, tuple(s["payload"]), is_hashdiff=True)
         df = swap(df, hd, F.expr(hash_expr_sql(spec, g, SPARK, alias=False)))
-        df = df.drop(*[c for c in df.columns if c.startswith("__p")])
-        store.overwrite(s["name"], df)
-        touched[s["name"]] = [hk + _DEPRECATED, hd + _DEPRECATED]
+        finish_leaf(s["name"], df, tmp,
+                    [hk + _DEPRECATED, hd + _DEPRECATED])
 
     for s in y.get("ma_satellites") or []:
-        df, hk = rekey(store.read(s["name"]), s)
+        df, hk, tmp = rekey(store.read(s["name"]), s)
         hd = s["hashdiff"]
         spec = HashSpec(hd, tuple(s["payload"]), is_hashdiff=True,
                         multi_active_key=tuple(s["ma_keys"]))
@@ -331,17 +390,15 @@ def rehash_vault(store: ParquetStore, entity_yaml: str,
         grp = ma_hash_window_sql(spec, g,
                                  (hk + _DEPRECATED, g.ldts_alias))
         df = swap(df, hd, F.expr(grp))
-        df = df.drop(*[c for c in df.columns if c.startswith("__p")])
-        store.overwrite(s["name"], df)
-        touched[s["name"]] = [hk + _DEPRECATED, hd + _DEPRECATED]
+        finish_leaf(s["name"], df, tmp,
+                    [hk + _DEPRECATED, hd + _DEPRECATED])
 
     for s in y.get("nh_satellites") or []:
-        df, hk = rekey(store.read(s["name"]), s)
-        df = df.drop(*[c for c in df.columns if c.startswith("__p")])
-        store.overwrite(s["name"], df)
-        touched[s["name"]] = [hk + _DEPRECATED]
+        df, hk, tmp = rekey(store.read(s["name"]), s)
+        finish_leaf(s["name"], df, tmp, [hk + _DEPRECATED])
 
     if drop_old_values:
-        for name, cols in touched.items():
-            store.overwrite(name, store.read(name).drop(*cols))
+        for name in [h["name"] for h in y.get("hubs") or []] \
+                + [l["name"] for l in y.get("links") or []]:
+            store.overwrite(name, store.read(name).drop(*touched[name]))
     return touched

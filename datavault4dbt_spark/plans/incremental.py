@@ -123,6 +123,20 @@ class ParquetStore:
                 out[urllib.parse.unquote(d[len(prefix):])] = d
         return out
 
+    def has_flat_files(self, name: str) -> bool:
+        """True if the table root contains data files OUTSIDE hive
+        partition directories (mixed layout: some appends partitioned,
+        some not). Partition-level operations are unsafe then — rows in
+        the flat files would be silently missed."""
+        import os
+
+        root = self.path(name)
+        if not os.path.isdir(root):
+            return False
+        return any(
+            f.endswith(".parquet") and os.path.isfile(os.path.join(root, f))
+            for f in os.listdir(root))
+
     def drop_partitions(self, name: str, col: str, values) -> int:
         """Targeted DELETE of whole partitions (reference:
         clean_up_pits.sql:128-137 warehouse DELETE; Delta: partition-

@@ -236,3 +236,78 @@ def test_rehash_vault_keeps_deprecated_and_validates_naming(
                               "hashkey: hd_customer_h", 1)
     with pytest.raises(ValueError, match="naming convention"):
         rehash_vault(store, bad, g256)
+
+
+def test_clean_up_pit_mixed_layout_falls_back_to_rewrite(
+        spark, sf_dir, tmp_path):
+    """Hive dirs + flat files in one table root: the partition-drop
+    fast path would silently miss stale rows in the flat files, so the
+    cleanup must take the rewrite path and delete them all."""
+    store = ParquetStore(spark, str(tmp_path))
+    pit = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    store.append("pit_mixed", pit, partition_by=("sdts",))
+    extra = pit.limit(200)
+    store.append("pit_mixed", extra)           # flat append -> mixed
+    assert store.has_flat_files("pit_mixed")
+
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    thinned = snap.withColumn(
+        "is_active", F.col("is_active") & F.col("is_beginning_of_week"))
+    clean_up_pit(store, "pit_mixed", thinned)
+    active = {r[0] for r in
+              thinned.filter("is_active").select("sdts").collect()}
+    left = {r[0] for r in
+            store.read("pit_mixed").select("sdts").distinct().collect()}
+    assert left <= active                      # flat-file rows gone too
+
+
+def test_clean_up_pit_refuses_when_no_partition_matches(
+        spark, sf_dir, tmp_path):
+    """If the active set matches NO partition string (tz/type drift),
+    dropping 'everything stale' would delete the whole PIT — refuse."""
+    import datetime
+    store = ParquetStore(spark, str(tmp_path))
+    pit = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    store.append("pit_drift", pit, partition_by=("sdts",))
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    # shift every active sdts so no string can match a partition
+    drifted = snap.withColumn(
+        "sdts", F.col("sdts") + F.expr("INTERVAL 37 MINUTES"))
+    before = store.read("pit_drift").count()
+    with pytest.raises(ValueError, match="refusing to drop every"):
+        clean_up_pit(store, "pit_drift", drifted)
+    assert store.read("pit_drift").count() == before
+
+
+def test_rehash_vault_rejects_missing_hub_config_before_touching(
+        spark, sf_dir, tmp_path):
+    store, rehash_vault = _vault_store(spark, sf_dir, tmp_path)
+    bad = REHASH_YAML.replace("    hub_config:", "    hub_config_x:")
+    before = _read_all_md5(store)
+    with pytest.raises(ValueError, match="hub_config is required"):
+        rehash_vault(store, bad, GlobalConfig(hash="SHA256"))
+    assert _read_all_md5(store) == before      # nothing was touched
+
+
+def _read_all_md5(store):
+    out = {}
+    for name in ("hub_customer", "hub_nation", "link_customer_nation",
+                 "sat_customer_n0_s", "ma_sat_customer_orders"):
+        out[name] = sorted(
+            tuple(str(r[c]) for c in sorted(store.read(name).columns))
+            for r in store.read(name).collect())
+    return out
+
+
+def test_rehash_vault_detects_orphans(spark, sf_dir, tmp_path):
+    """A satellite row whose hashkey is absent from the parent would
+    silently rehash to the zero-key sentinel — must raise instead."""
+    store, rehash_vault = _vault_store(spark, sf_dir, tmp_path)
+    sat = store.read("sat_customer_n0_s")
+    # must be a NON-ghost row: ghost rows keep their hashes and are
+    # rightly exempt from the orphan check
+    orphan = (sat.filter(~F.col("rsrc").isin("SYSTEM", "ERROR")).limit(1)
+              .withColumn("hk_customer_h", F.lit("f" * 31 + "0")))
+    store.append("sat_customer_n0_s", orphan)
+    with pytest.raises(ValueError, match="parent join missed"):
+        rehash_vault(store, REHASH_YAML, GlobalConfig(hash="SHA256"))

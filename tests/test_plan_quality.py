@@ -156,3 +156,21 @@ def test_minhash_signatures_computed_once(spark, sf_dir):
     plan = _plan(df)
     nb = fixtures.DEDUP_MINHASH["dedup_minhash_lsh"].bands
     assert plan.count("InMemoryTableScan") == 2 * nb, plan
+
+
+def test_embedding_cosine_rejects_short_vectors(spark, sf_dir):
+    """Vectors shorter than lsh_bands*lsh_bits would degenerate the
+    high bands into one shared bucket (element_at past the end -> NULL
+    -> all bits 0) = a silent O(n^2) cross join; the builder must
+    refuse up front."""
+    import pytest
+    from datavault4dbt_spark.llm.dedup import (EmbeddingCosineConfig,
+                                               build_embedding_cosine)
+    fixtures.ensure_session_conf(spark)
+    reg = make_registry(sf_dir)
+    short = spark.range(4).selectExpr(
+        "id AS vec_id", "array(1.0d, -1.0d, 2.0d) AS embedding")
+    reg.spark_loaders["short_vecs"] = lambda _s: short
+    cfg = EmbeddingCosineConfig("bad", source="short_vecs")
+    with pytest.raises(ValueError, match="lsh_bands"):
+        build_embedding_cosine(spark, reg, cfg)
