@@ -63,17 +63,30 @@ def main():
     # benchmark is meant to measure. Each trial still executes the full
     # plan (caches cleared between runs).
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    # Bound the retry cost so a contended first pass cannot double an
+    # already-slow run: re-trials only apply to queries whose first run
+    # exceeded MIN_RETRY_SEC (sub-second queries sit on the fixed job
+    # floor; noise there is small in absolute terms), and stop entirely
+    # once the retry passes have spent RETRY_BUDGET_SEC.
+    MIN_RETRY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_MIN", "0.75"))
+    RETRY_BUDGET_SEC = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "300"))
     names = fixtures.all_entity_names()
     timings = {}
     t0 = time.time()
+    retry_spent = 0.0
     for name in names:
         best = None
-        for _ in range(trials):
+        for t in range(trials):
+            if t and (best <= MIN_RETRY_SEC or retry_spent > RETRY_BUDGET_SEC):
+                break
             q0 = time.time()
             df = fixtures.entity_query(name)(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             el = time.time() - q0
             spark.catalog.clearCache()  # drop per-query stage caches
+            if t:
+                retry_spent += el
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
     wall = round(time.time() - t0, 3)
