@@ -105,3 +105,37 @@ def test_windowed_counts_stream_matches_batch(spark, event_batches, tmp_path):
     g = {tuple(map(str, r)) for r in got.collect()}
     assert g <= w
     assert len(g) > 0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, event_batches, tmp_path):
+    """Streamed horizon-dedup over arriving files (including a full
+    duplicate file) must keep exactly one row per content hash — the
+    same set a batch dedup of the union produces."""
+    import shutil
+    from pyspark.sql import functions as F
+    from datavault4dbt_spark.streaming.dedup import streaming_exact_dedup
+
+    fixtures.ensure_session_conf(spark)
+    src = str(tmp_path / "dup_src")
+    shutil.copytree(event_batches, src)
+    shutil.copy(os.path.join(src, "batch_0.parquet"),
+                os.path.join(src, "batch_0_replay.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # horizon larger than the data's time span -> exact global dedup
+    deduped = streaming_exact_dedup(stream, "props", "ts",
+                                    watermark="3650 days")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+         .start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT content_hash FROM dedup_out").collect()
+    hashes = [r.content_hash for r in got]
+    want = (spark.read.parquet(src)
+            .select(F.md5(F.col("props").cast("string")).alias("h"))
+            .distinct().count())
+    assert len(hashes) == len(set(hashes)) == want
