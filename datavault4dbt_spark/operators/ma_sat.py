@@ -61,6 +61,14 @@ def build_ma_sat_v0(spark, reg: Registry, cfg: MaSatConfig, g: GlobalConfig = DE
 
     if target is None:
         return out
+    # Reference parity note: this anti-join excludes EVERY delta group
+    # whose (hk, group hashdiff) equals the target's latest — including
+    # a later reversion group in the same multi-batch delta (A..B..A
+    # drops the second A). That is exactly the reference's behavior
+    # (ma_sat_v0.sql records_to_insert NOT EXISTS has no rn=1
+    # restriction, unlike sat_v0.sql:83 / ref_sat_v0.sql:135-145 which
+    # compare only the first delta row); kept bug-for-bug so a migrated
+    # vault loads identically.
     wt = Window.partitionBy(cfg.parent_hashkey).orderBy(F.col(g.ldts_alias).desc())
     latest = (target.select(cfg.parent_hashkey, cfg.hdiff, g.ldts_alias)
               .withColumn("__rn", F.row_number().over(wt))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
-from ..plans.incremental import hwm_filter, anti_join_new
+from ..plans.incremental import hwm_filter, hwm_filter_static, anti_join_new
 
 
 @dataclass(frozen=True)
@@ -84,7 +84,14 @@ def build_nh_link(spark, reg: Registry, cfg: NhLinkConfig, g: GlobalConfig = DEF
         sel += [F.col(s).alias(t) for s, t in zip(pay, cfg.payload)]
         src = df.select(*sel)
         if target is not None and not disable_hwm:
-            src = hwm_filter(src, target, g)
+            # per-source watermark when the source declares rsrc_static
+            # (reference: nh_link.sql:61-100 record-source performance
+            # lookup — a NEW source's history predates the global HWM
+            # and must not be filtered by other sources' watermarks)
+            if sm.rsrc_static:
+                src = hwm_filter_static(src, target, sm.rsrc_static, g)
+            else:
+                src = hwm_filter(src, target, g)
         parts.append(src)
     union = reduce(lambda a, b: a.unionByName(b), parts)
     if cfg.union_strategy == "distinct" and len(parts) > 1:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
-from ..plans.incremental import hwm_filter
+from ..plans.incremental import hwm_filter, hwm_filter_static
 
 
 @dataclass(frozen=True)
@@ -45,7 +45,13 @@ def build_ref_hub(spark, reg: Registry, cfg: RefHubConfig, g: GlobalConfig = DEF
         sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
         src = df.select(*sel)
         if target is not None:
-            src = hwm_filter(src, target, g)
+            # per-source watermark for rsrc_static sources (reference:
+            # ref_hub.sql:39-100): a newly added source's older history
+            # must not be dropped by the other sources' global HWM
+            if sm.rsrc_static:
+                src = hwm_filter_static(src, target, sm.rsrc_static, g)
+            else:
+                src = hwm_filter(src, target, g)
         parts.append(src)
     union = reduce(lambda a, b: a.unionByName(b), parts)
     w = Window.partitionBy(*cfg.ref_keys).orderBy(g.ldts_alias, g.rsrc_alias)
@@ -89,20 +95,32 @@ def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
         *cfg.payload)
     if target is not None:
         src = hwm_filter(src, target, g)
+    w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
     if not cfg.source_is_single_batch:
-        w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
         prev = F.lag(cfg.src_hashdiff).over(w)
         src = (src.withColumn("__keep",
                               prev.isNull() | (F.col(cfg.src_hashdiff) != prev))
+               .withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__keep")).drop("__keep"))
+    else:
+        src = src.withColumn("__rn", F.lit(1))
     if target is not None:
+        # Only the FIRST delta row per key compares against the target's
+        # latest hashdiff (reference: ref_sat_v0.sql:135-145 `rn = 1` in
+        # the NOT EXISTS) — anti-joining every delta row would drop a
+        # reversion group (B then back to A) whose hashdiff equals the
+        # target's latest, ending history at B forever.
         wt = Window.partitionBy(*cfg.parent_ref_keys).orderBy(F.col(g.ldts_alias).desc())
-        latest = (target.withColumn("__rn", F.row_number().over(wt))
-                  .filter(F.col("__rn") == 1)
-                  .select(*cfg.parent_ref_keys, cfg.src_hashdiff))
-        src = src.join(latest, on=[*cfg.parent_ref_keys, cfg.src_hashdiff],
-                       how="left_anti")
-    return src
+        latest = (target.withColumn("__rn2", F.row_number().over(wt))
+                  .filter(F.col("__rn2") == 1)
+                  .select(*cfg.parent_ref_keys,
+                          F.col(cfg.src_hashdiff).alias("__t_hdiff")))
+        src = (src.join(latest, on=list(cfg.parent_ref_keys), how="left")
+               .filter(~((F.col("__rn") == 1)
+                         & (F.col("__t_hdiff") == F.col(cfg.src_hashdiff)))
+                       | F.col("__t_hdiff").isNull())
+               .drop("__t_hdiff"))
+    return src.drop("__rn")
 
 
 def ref_sat_v0_oracle(b: SqlBuilder, reg: Registry, cfg: RefSatConfig,

@@ -129,6 +129,13 @@ def _snap_v1_sql(cfg: SnapV1Config, v0_rel: str, g: GlobalConfig) -> str:
                               f"AND {now}")
                     conds.append(f"({window})" if flag is None
                                  else f"(({window}) AND (c.{flag} = TRUE))")
+            if not conds:
+                # all four units None -> '' inside CASE WHEN = a parse
+                # error at view build; fail with the actual problem
+                raise ValueError(
+                    f"{cfg.name}: log_logic[{col!r}] declares no "
+                    f"daily/weekly/monthly/yearly rule — every snapshot "
+                    f"would be inactive; declare a rule or drop the col")
             trigger_cols.append(
                 "CASE WHEN " + " OR ".join(conds) + f" THEN TRUE ELSE FALSE END AS {col}")
     passthrough = ("caption, is_hourly, is_daily, is_beginning_of_week, is_end_of_week, "

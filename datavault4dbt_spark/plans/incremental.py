@@ -89,9 +89,26 @@ class ParquetStore:
 
     def exists(self, name: str) -> bool:
         import os
+        self._recover(name)
         return os.path.isdir(self.path(name))
 
+    def _recover(self, name: str):
+        """Crash recovery for `overwrite`'s two-rename swap: if a crash
+        landed between rename(final -> old) and rename(tmp -> final),
+        the committed copy survives as `.__old__` — restore it. A left
+        over `.__tmp__` (crash mid-write or pre-swap) is discarded: the
+        swap never started, so `final`/`old` still hold the data."""
+        import os
+        import shutil
+
+        final = self.path(name)
+        old = final + ".__old__"
+        if not os.path.isdir(final) and os.path.isdir(old):
+            os.rename(old, final)
+        shutil.rmtree(final + ".__tmp__", ignore_errors=True)
+
     def read(self, name: str) -> DataFrame:
+        self._recover(name)
         return self.spark.read.parquet(self.path(name))
 
     def append(self, name: str, df: DataFrame, partition_by: tuple = ()):
@@ -158,8 +175,12 @@ class ParquetStore:
     def overwrite(self, name: str, df: DataFrame):
         """Read-modify-write safe overwrite: the plan may READ the path
         being replaced, so write distributed to a sibling temp dir and
-        atomically swap directories (never collect() to the driver —
-        with Delta this whole method is a transactional overwrite)."""
+        swap directories (never collect() to the driver — with Delta
+        this whole method is a transactional overwrite). The two-rename
+        swap is NOT atomic: a crash between the renames leaves `final`
+        missing with the committed copy in `.__old__`; `_recover`
+        (called by read/exists) restores it, so no window loses
+        committed data — the worst case is redoing the overwrite."""
         import os
         import shutil
 
@@ -177,6 +198,12 @@ class ParquetStore:
     def delete_where(self, name: str, condition):
         """DELETE FROM name WHERE condition (reference:
         macros/hooks/clean_up_pits.sql:128-137 uses warehouse DELETE;
-        with Delta this would be DeltaTable.delete)."""
-        df = self.read(name).filter(~condition)
+        with Delta this would be DeltaTable.delete).
+
+        SQL DELETE removes only rows where the condition is TRUE; rows
+        where it evaluates to NULL are KEPT. A bare ``~condition`` would
+        instead drop them (NULL negates to NULL, filter drops), so the
+        condition is coalesced to FALSE before negating."""
+        keep = ~F.coalesce(condition, F.lit(False))
+        df = self.read(name).filter(keep)
         self.overwrite(name, df)

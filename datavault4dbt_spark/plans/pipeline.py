@@ -72,7 +72,12 @@ def run_pipeline(spark, decls: dict, store: ParquetStore,
     for name in topo_sort(decls):
         d = decls[name]
         if d.materialize == "view":
-            # register the plan; consumers recompute it (dbt view)
+            # register the plan; consumers recompute it (dbt view).
+            # _invalidate, not just re-register: a re-run would otherwise
+            # serve the PREVIOUS run's cached view plan, whose scan
+            # snapshot points at files an overwrite has since deleted
+            # (FileNotFound) or misses rows this run appends (silent).
+            reg._invalidate(name)
             reg.spark_loaders[name] = (
                 lambda spark, d=d: d.build(spark, reg, d.cfg, g))
             counts[name] = None
@@ -97,7 +102,8 @@ def run_pipeline(spark, decls: dict, store: ParquetStore,
             new.unpersist()
         counts[name] = n
         # downstream entities read the STORED table, not the plan
+        # (_invalidate also unpersists any cached copy of the old plan)
+        reg._invalidate(name)
         reg.spark_loaders[name] = (
             lambda spark, p=store.path(name): spark.read.parquet(p))
-        reg._df_cache.pop(name, None)
     return counts

@@ -1,0 +1,106 @@
+"""Incremental edge cases the oracle gate cannot exercise (it only
+compares initial loads): reversion groups in multi-batch deltas,
+per-rsrc_static watermarks for late-added sources, NULL-safe DELETE,
+crash-recoverable overwrite, empty log_logic rejection."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavault4dbt_spark.context import DEFAULT, Registry
+from datavault4dbt_spark.operators.ref_entities import (
+    RefSatConfig, build_ref_sat_v0)
+from datavault4dbt_spark.operators.nh import NhLinkConfig, build_nh_link
+from datavault4dbt_spark.operators.hub import EntitySource
+from datavault4dbt_spark.plans.incremental import ParquetStore
+
+G = DEFAULT
+TS = datetime.datetime
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ref_sat_v0_keeps_reversion_group(spark):
+    """Multi-batch delta K: ldts1=B, ldts2=A where the target's latest
+    hashdiff is A — the reversion back to A MUST be inserted (reference:
+    ref_sat_v0.sql restricts the NOT EXISTS to rn=1); anti-joining every
+    delta row would end history at B forever."""
+    schema = "k string, hd string, rsrc string, ldts timestamp"
+    target = _df(spark, [("K", "A", "src", TS(2024, 1, 1))], schema)
+    delta = _df(spark, [("K", "B", "src", TS(2024, 1, 2)),
+                        ("K", "A", "src", TS(2024, 1, 3))], schema)
+    reg = Registry()
+    reg.spark_loaders["stage_ref"] = lambda _s: delta
+    cfg = RefSatConfig("ref_sat_x", "stage_ref", ("k",), "hd")
+    out = build_ref_sat_v0(spark, reg, cfg, G, target=target)
+    got = sorted((r.hd, str(r.ldts)) for r in out.collect())
+    assert got == [("A", "2024-01-03 00:00:00"), ("B", "2024-01-02 00:00:00")]
+
+    # and when the first delta row MATCHES the latest, only it is dropped
+    delta2 = _df(spark, [("K", "A", "src", TS(2024, 1, 2)),
+                         ("K", "B", "src", TS(2024, 1, 3))], schema)
+    # register() (not a bare spark_loaders assignment) so the cached
+    # first-delta plan is invalidated
+    reg.register("stage_ref", lambda _s: delta2, "stage_ref")
+    out2 = build_ref_sat_v0(spark, reg, cfg, G, target=target)
+    assert [(r.hd,) for r in out2.collect()] == [("B",)]
+
+
+def test_nh_link_rsrc_static_new_source_loads_history(spark):
+    """A newly added rsrc_static source whose transactions predate the
+    target's global HWM must still load (reference: nh_link.sql:61-100
+    per-source record-source lookup) — the global watermark belongs to
+    the OTHER sources."""
+    schema = ("lhk string, hk_a string, hk_b string, ldts timestamp, "
+              "rsrc string, pay double")
+    target = _df(spark, [("L1", "a1", "b1", TS(2026, 1, 1), "S1/x", 1.0)],
+                 schema)
+    # new source S2: history older than target's max ldts
+    s2 = _df(spark, [("L2", "a2", "b2", TS(2025, 6, 1), "S2/x", 2.0)], schema)
+    reg = Registry()
+    reg.spark_loaders["stage_s2"] = lambda _s: s2
+    cfg = NhLinkConfig(
+        "nh_link_x", "lhk", ("hk_a", "hk_b"), ("pay",),
+        (EntitySource("stage_s2", rsrc_static="S2/%"),))
+    out = build_nh_link(spark, reg, cfg, G, target=target)
+    assert [r.lhk for r in out.collect()] == ["L2"]
+    # sanity: WITHOUT rsrc_static the global HWM drops the history
+    cfg_plain = NhLinkConfig(
+        "nh_link_y", "lhk", ("hk_a", "hk_b"), ("pay",),
+        (EntitySource("stage_s2"),))
+    assert build_nh_link(spark, reg, cfg_plain, G, target=target).count() == 0
+
+
+def test_delete_where_null_condition_keeps_row(spark, tmp_path):
+    """SQL DELETE only removes TRUE matches; a NULL condition keeps the
+    row."""
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, 5), (2, None), (3, 7)], "id int, x int")
+    store.overwrite("t", df)
+    store.delete_where("t", F.col("x") == 5)
+    left = sorted(r.id for r in store.read("t").collect())
+    assert left == [2, 3]          # NULL row kept, matching row deleted
+
+
+def test_overwrite_crash_recovery(spark, tmp_path):
+    """Simulated crash between the two renames: final missing, committed
+    copy in .__old__ — read()/exists() restore it."""
+    import os
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    store.overwrite("t", df)
+    os.rename(store.path("t"), store.path("t") + ".__old__")  # crash state
+    assert store.exists("t")
+    assert sorted(r.id for r in store.read("t").collect()) == [1, 2]
+
+
+def test_empty_log_logic_rejected(spark):
+    from datavault4dbt_spark.operators.snapshots import (
+        SnapV1Config, LogLogic, _snap_v1_sql)
+    cfg = SnapV1Config("snap_x", "snap_v0",
+                       log_logic={"is_active": LogLogic()})
+    with pytest.raises(ValueError, match="no\\s+daily/weekly"):
+        _snap_v1_sql(cfg, "snap_v0", G)
