@@ -81,8 +81,13 @@ def _attribute_standardise(expr: str, g: GlobalConfig, dialect: str, use_trim: b
         s = f"REPLACE({base}, '\\\\', '\\\\\\\\')"
         s = f"REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)})"
     else:
+        # the quote character feeds a REGEX pattern here: escape it so a
+        # metacharacter config ('$', '.', '(') swaps the literal char,
+        # matching Spark's literal REPLACE, instead of anchoring/classing
+        import re as _re
+        qpat = sql_str(_re.escape(g.quote_character))
         s = f"REGEXP_REPLACE({base}, '\\\\', '\\\\\\\\', 'g')"
-        s = f"REGEXP_REPLACE({s}, {sql_str(g.quote_character)}, {sql_str(g.quote_character_replacement)}, 'g')"
+        s = f"REGEXP_REPLACE({s}, {qpat}, {sql_str(g.quote_character_replacement)}, 'g')"
     s = f"REPLACE({s}, {sql_str(g.null_placeholder_string)}, {sql_str(g.null_placeholder_string_replacement)})"
     s = f"REPLACE({s}, {sql_str(g.concat_string)}, {sql_str(g.concat_string_replacement)})"
     q = sql_str(g.quote_character)
@@ -125,6 +130,19 @@ def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
         stripped = f"REGEXP_REPLACE({concat}, '{_STRIP_DUCKDB}', '', 'g')"
     all_null = g.null_placeholder_string + (
         (g.concat_string + g.null_placeholder_string) * (len(spec.columns) - 1))
+    if not case_sensitive:
+        # the row string above is case-folded BEFORE the NULLIF compare,
+        # so the all-NULL literal must fold the same way or a lowercase
+        # placeholder config (null_placeholder_string='null') would make
+        # NULLIF never fire and all-NULL keys hash to md5 of the folded
+        # placeholders instead of the zero key. Python's fold mirrors
+        # the SQL one for any sane placeholder (ASCII table / Unicode
+        # uppercase agree between Python, Java and DuckDB here).
+        if g.hash_case_fold == "upper":
+            all_null = all_null.upper()
+        else:
+            all_null = all_null.translate(str.maketrans(
+                "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
     row = f"NULLIF(CAST({stripped} AS STRING), {sql_str(all_null)})"
     if spec.is_hashdiff and g.hashdiff_use_rtrim:
         trim_chars = sql_str(g.null_placeholder_string + g.concat_string)

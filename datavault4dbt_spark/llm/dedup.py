@@ -45,9 +45,13 @@ class ExactDedupConfig:
 
 def build_exact_dedup(spark, reg: Registry, cfg: ExactDedupConfig,
                       g: GlobalConfig = DEFAULT) -> DataFrame:
-    """Canonical-id mapping per content hash: every row keeps its id,
-    plus the minimum id sharing the same md5(content) — the standard
-    exact-dedup 'keep first' decision as a reusable mapping table.
+    """Canonical-id mapping per content hash: every non-NULL-content row
+    keeps its id, plus the minimum id sharing the same md5(content) —
+    the standard exact-dedup 'keep first' decision as a reusable
+    mapping table. Rows with NULL content are EXCLUDED from the mapping
+    (md5(NULL) is NULL and NULL keys never equi-join — same in the
+    oracle); treat the mapping as total only over non-NULL content, or
+    filter NULLs upstream with the quality gate.
 
     Scale: one hash-partitioned shuffle on the 32-char digest (uniform);
     map-side partial min aggregation; broadcast-joins back only when the
@@ -192,6 +196,23 @@ class SimHashConfig:
     text_col: str = "text"
     bits: int = 32           # 8 hex nibbles of md5(token)
     max_hamming: int = 3     # band count = max_hamming + 1 (pigeonhole)
+
+    def __post_init__(self):
+        # The fingerprint is assembled as a sum of 2^j terms and CAST to
+        # BIGINT: at bits=64 the top term (2^63) exceeds the signed
+        # range, so any document whose bit 63 wins the majority vote
+        # overflows (ANSI error / NULL fingerprint) — and xor/bit_count
+        # on the DuckDB side breaks identically. 32 bits (the md5-hex
+        # nibble budget) is the supported fingerprint width; scale the
+        # BAND count (max_hamming), not the width.
+        if not (4 <= self.bits <= 32 and self.bits % 4 == 0):
+            raise ValueError(
+                f"SimHash bits must be a multiple of 4 in [4, 32], "
+                f"got {self.bits}")
+        if self.bits % (self.max_hamming + 1):
+            raise ValueError(
+                f"bits ({self.bits}) must divide evenly into "
+                f"max_hamming+1 = {self.max_hamming + 1} bands")
 
 
 # Hard token cap enforced in the plan (Spark slice / DuckDB list slice)
@@ -551,11 +572,15 @@ def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
         # oracle degenerates identically, so parity would not catch it).
         need = cfg.lsh_bands * cfg.lsh_bits
         probe = df.selectExpr(f"size({cfg.vec_col}) AS d").first()
-        if probe is not None and probe.d < need:
+        if probe is not None and (probe.d is None or probe.d < need):
             raise ValueError(
                 f"{cfg.name}: embedding dim {probe.d} < lsh_bands*lsh_bits"
                 f" = {need}; lower lsh_bits/lsh_bands (candidate buckets "
-                f"degenerate when bands read past the vector end)")
+                f"degenerate when bands read past the vector end). "
+                f"NULL dim = a NULL vector in the first row — clean the "
+                f"input. Ragged corpora (later rows shorter) pass this "
+                f"one-row probe but fail fast at runtime: ANSI mode's "
+                f"element_at raises INVALID_ARRAY_INDEX past the end.")
     v = df.selectExpr(
         cfg.id_col,
         f"transform({cfg.vec_col}, x -> cast(x AS DOUBLE)) AS v")
@@ -566,7 +591,7 @@ def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
         a, bb = n.alias("a"), n.alias("b")
         return (a.join(bb, F.col(f"a.{cfg.id_col}") < F.col(f"b.{cfg.id_col}"))
                 .selectExpr(f"a.{cfg.id_col} AS id_a", f"b.{cfg.id_col} AS id_b",
-                            f"round({_spark_dot('a.v', 'b.v', cfg.dim)} / (a.nrm * b.nrm), 6)"
+                            f"round(try_divide({_spark_dot('a.v', 'b.v', cfg.dim)}, a.nrm * b.nrm), 6)"
                             f" AS cosine")
                 .filter(F.col("cosine") >= cfg.threshold))
     slim = [n.selectExpr(cfg.id_col, f"{q} AS band",
@@ -586,7 +611,7 @@ def build_embedding_cosine(spark, reg: Registry, cfg: EmbeddingCosineConfig,
     vb = n.selectExpr(f"{cfg.id_col} AS id_b", "v AS vb", "nrm AS nb")
     return (cand.join(va, "id_a").join(vb, "id_b")
             .selectExpr("id_a", "id_b",
-                        f"round({_spark_dot('va', 'vb', cfg.dim)} / (na * nb), 6)"
+                        f"round(try_divide({_spark_dot('va', 'vb', cfg.dim)}, na * nb), 6)"
                         f" AS cosine")
             .filter(F.col("cosine") >= cfg.threshold))
 

@@ -70,12 +70,17 @@ def _feature_batches(cfg: MultimodalConfig):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_stub_decode(p) for p in payloads]
+            # NULL payloads arrive as None: decode to NULL features
+            # (the oracle's md5(NULL)/octet_length(NULL) are NULL too) —
+            # hashlib.md5(None)/len(None) would otherwise kill the task
+            dims = [(None, None) if p is None else _stub_decode(p)
+                    for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf[cfg.id_col],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                "n_bytes": payloads.map(
+                    lambda p: None if p is None else len(p)).astype("Int64"),
+                "width": pd.Series([d[0] for d in dims], dtype="Int32"),
+                "height": pd.Series([d[1] for d in dims], dtype="Int32"),
                 "modality": cfg.modality,
             })
     return fn

@@ -75,8 +75,12 @@ def build_ann_topk(spark, reg: Registry, cfg: AnnConfig,
     scored = (queries.alias("q").join(cands.alias("c"), join_cond)
               .selectExpr(f"q.{cfg.id_col} AS query_id",
                           f"c.{cfg.id_col} AS neighbor_id",
-                          f"round({_spark_dot('q.v', 'c.v', cfg.dim)} / (q.nrm * c.nrm), 6)"
-                          " AS cosine"))
+                          f"round(try_divide({_spark_dot('q.v', 'c.v', cfg.dim)}, q.nrm * c.nrm), 6)"
+                          " AS cosine")
+              # zero-norm vectors have undefined cosine (try_divide ->
+              # NULL, matching DuckDB x/0): exclude those pairs rather
+              # than ranking them last
+              .filter(F.col("cosine").isNotNull()))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -116,11 +120,15 @@ def build_ann_ivf(spark, reg: Registry, cfg: IvfConfig,
         f"({cfg.query_filter}) AS is_q")
     n = v.selectExpr(cfg.id_col, "v", "is_q",
                      f"{_spark_norm('v')} AS nrm").persist()
-    cents = (n.filter(F.col(cfg.id_col) < cfg.n_cells)
+    # deterministic centroid seed: the n_cells LOWEST ids by rank (a
+    # TakeOrdered, no shuffle), NOT `id < n_cells` — id spaces that
+    # start above n_cells (hash ids, offset sequences) would otherwise
+    # yield zero centroids and a silently empty result
+    cents = (n.orderBy(F.col(cfg.id_col)).limit(cfg.n_cells)
              .selectExpr(f"{cfg.id_col} AS cell", "v AS cv", "nrm AS cnrm"))
     scored_cells = (n.crossJoin(F.broadcast(cents))
                     .selectExpr(cfg.id_col, "v", "is_q", "nrm", "cell",
-                                f"{_spark_dot('v', 'cv')} / (nrm * cnrm) AS csim"))
+                                f"try_divide({_spark_dot('v', 'cv')}, nrm * cnrm) AS csim"))
     wc = (Window.partitionBy(cfg.id_col)
           .orderBy(F.desc("csim"), F.asc("cell")))
     ranked = scored_cells.withColumn("crank", F.row_number().over(wc))
@@ -135,8 +143,9 @@ def build_ann_ivf(spark, reg: Registry, cfg: IvfConfig,
                      F.col("q.query_id") != F.col(f"c.{cfg.id_col}")])
               .selectExpr("q.query_id",
                           f"c.{cfg.id_col} AS neighbor_id",
-                          f"round({_spark_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm), 6)"
+                          f"round(try_divide({_spark_dot('q.qv', 'c.v')}, q.qnrm * c.nrm), 6)"
                           " AS cosine")
+              .filter(F.col("cosine").isNotNull())
               .distinct())   # a neighbor can appear via several probes
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
@@ -156,7 +165,7 @@ def ann_ivf_oracle(b: SqlBuilder, reg: Registry, cfg: IvfConfig,
               f"SELECT {cfg.id_col}, v, is_q, {_duck_norm('v')} AS nrm FROM {v}")
     cents = b.cte(f"{cfg.name}__c",
                   f"SELECT {cfg.id_col} AS cell, v AS cv, nrm AS cnrm "
-                  f"FROM {n} WHERE {cfg.id_col} < {cfg.n_cells}")
+                  f"FROM {n} ORDER BY {cfg.id_col} LIMIT {cfg.n_cells}")
     dot = _duck_dot("n.v", "c.cv", "len(n.v)")
     ranked = b.cte(
         f"{cfg.name}__ranked",
@@ -175,7 +184,8 @@ def ann_ivf_oracle(b: SqlBuilder, reg: Registry, cfg: IvfConfig,
                    f"SELECT DISTINCT q.query_id, c.{cfg.id_col} AS neighbor_id, "
                    f"round({qdot} / (q.qnrm * c.nrm), 6) AS cosine "
                    f"FROM {probes} q JOIN {cands} c ON q.cell = c.cell "
-                   f"AND q.query_id <> c.{cfg.id_col}")
+                   f"AND q.query_id <> c.{cfg.id_col} "
+                   f"WHERE round({qdot} / (q.qnrm * c.nrm), 6) IS NOT NULL")
     return b.cte(cfg.name,
                  f"SELECT query_id, neighbor_id, rank, cosine FROM ("
                  f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
@@ -203,7 +213,8 @@ def ann_topk_oracle(b: SqlBuilder, reg: Registry, cfg: AnnConfig,
                    f"SELECT q.{cfg.id_col} AS query_id, "
                    f"c.{cfg.id_col} AS neighbor_id, "
                    f"round({dot} / (q.nrm * c.nrm), 6) AS cosine "
-                   f"FROM {n} q JOIN {n} c ON {cond} WHERE q.is_q")
+                   f"FROM {n} q JOIN {n} c ON {cond} WHERE q.is_q "
+                   f"AND round({dot} / (q.nrm * c.nrm), 6) IS NOT NULL")
     return b.cte(cfg.name,
                  f"SELECT query_id, neighbor_id, rank, cosine FROM ("
                  f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "

@@ -38,12 +38,17 @@ def streaming_exact_dedup(events: DataFrame, content_col: str,
     on identical input.
     """
     out = events.withColumn(
-        hash_col, F.md5(F.col(content_col).cast("string")))
+        hash_col, F.md5(F.col(content_col).cast("string"))).withColumn(
+        event_time_col, F.col(event_time_col).cast("timestamp"))
     if out.isStreaming:
-        out = (out.withColumn(event_time_col,
-                              F.col(event_time_col).cast("timestamp"))
-               .withWatermark(event_time_col, watermark)
+        out = (out.withWatermark(event_time_col, watermark)
                .dropDuplicatesWithinWatermark([hash_col]))
     else:
-        out = out.dropDuplicates([hash_col])
+        # deterministic batch twin of "first arrival": min event time per
+        # hash (bare dropDuplicates keeps an arbitrary partition-order
+        # row, which would make stream/batch parity flaky)
+        from pyspark.sql import Window
+        w = Window.partitionBy(hash_col).orderBy(event_time_col)
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
     return out

@@ -68,10 +68,27 @@ def _session_fn(gap_seconds: int, timeout_ms: int):
                 if cur is None:
                     cur = (t, t, 1, v)
                 elif t - cur[1] > gap_us:
+                    # later than the open session by more than the gap:
+                    # close it, start a new one
                     closed.append((user_id,) + cur)
                     cur = (t, t, 1, v)
+                elif cur[0] - t > gap_us:
+                    # EARLIER than the open session by more than the gap
+                    # (out-of-order across micro-batches): a separate
+                    # earlier session — emit it immediately rather than
+                    # silently absorbing it into the later session.
+                    # Approximation: events of that earlier session split
+                    # across micro-batches close as separate singletons;
+                    # the batch twin (global sort) would merge them — use
+                    # F.session_window event-time sessions when exact
+                    # retroactive merging of late data is required.
+                    closed.append((user_id, t, t, 1, v))
                 else:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+                    # in-gap arrival (either side): extend the envelope —
+                    # min() so a late-but-in-gap event lowers
+                    # session_start exactly like the batch twin
+                    cur = (min(cur[0], t), max(cur[1], t),
+                           cur[2] + 1, cur[3] + v)
             if cur is not None:
                 state.update(cur)
                 state.setTimeoutDuration(timeout_ms)

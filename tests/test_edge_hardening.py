@@ -1,0 +1,123 @@
+"""Degenerate-input hardening: zero-norm vectors under ANSI mode, NULL
+payloads/content, lowercase placeholder configs, regex-metachar quote
+characters, offset id spaces, unsupported SimHash widths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavault4dbt_spark.context import DEFAULT, GlobalConfig, Registry
+from datavault4dbt_spark.functions.hashing import (
+    HashSpec, hash_expr_sql, SPARK, DUCKDB)
+
+G = DEFAULT
+
+
+def test_zero_norm_vector_does_not_crash_cosine(spark):
+    """ANSI mode is on by default in Spark 4: a zero vector must yield
+    NULL cosine (try_divide) and drop out of the threshold filter —
+    matching DuckDB's NULL on x/0 — not DIVIDE_BY_ZERO."""
+    from datavault4dbt_spark.llm.dedup import (EmbeddingCosineConfig,
+                                               build_embedding_cosine)
+    rows = [(i, [0.0] * 64 if i == 2 else [float((i + j) % 5 - 2)
+                                           for j in range(64)])
+            for i in range(6)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    reg = Registry()
+    reg.spark_loaders["zvecs"] = lambda _s: vecs
+    out = build_embedding_cosine(
+        spark, reg, EmbeddingCosineConfig("z", source="zvecs"), G).collect()
+    assert all(r.id_a != 2 and r.id_b != 2 for r in out)
+
+    from datavault4dbt_spark.llm.similarity import AnnConfig, build_ann_topk
+    out2 = build_ann_topk(
+        spark, reg, AnnConfig("za", source="zvecs",
+                              query_filter="vec_id < 3"), G).collect()
+    assert all(r.cosine is not None for r in out2)
+
+
+def test_ann_ivf_offset_id_space_not_empty(spark):
+    """Centroids are the n_cells lowest ids by RANK — an id space
+    starting at 1000 must still produce results."""
+    from datavault4dbt_spark.llm.similarity import IvfConfig, build_ann_ivf
+    rows = [(1000 + i, [float((i * 7 + j) % 5 - 2) for j in range(64)])
+            for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    reg = Registry()
+    reg.spark_loaders["ovecs"] = lambda _s: vecs
+    cfg = IvfConfig("oivf", source="ovecs", n_cells=4, nprobe=2,
+                    query_filter="vec_id < 1005")
+    out = build_ann_ivf(spark, reg, cfg, G).collect()
+    assert out and all(r.cosine is not None for r in out)
+
+
+def test_multimodal_null_payload_yields_null_features(spark):
+    from datavault4dbt_spark.llm.multimodal import (MultimodalConfig,
+                                                    build_multimodal_features)
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string")
+    reg = Registry()
+    reg.spark_loaders["ndocs"] = lambda _s: docs
+    out = {r.doc_id: r for r in build_multimodal_features(
+        spark, reg, MultimodalConfig("m", source="ndocs"), G).collect()}
+    assert out[1].width is not None and out[1].n_bytes == 5
+    assert out[2].width is None and out[2].height is None \
+        and out[2].n_bytes is None
+
+
+def test_simhash_rejects_unsupported_widths():
+    from datavault4dbt_spark.llm.dedup import SimHashConfig
+    with pytest.raises(ValueError, match="multiple of 4"):
+        SimHashConfig("s", bits=64)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        SimHashConfig("s", bits=30)
+    SimHashConfig("s", bits=32)        # supported width passes
+
+
+def test_all_null_zero_key_with_lowercase_placeholder(spark):
+    """A lowercase null placeholder must still hit the NULLIF all-null
+    guard after the case fold: all-NULL keys hash to the zero key in
+    BOTH dialects."""
+    import duckdb
+    g = GlobalConfig(null_placeholder_string="null")
+    spec = HashSpec("h", ("a", "b"))
+    got = spark.sql(
+        f"SELECT {hash_expr_sql(spec, g, SPARK)} FROM "
+        f"(SELECT CAST(NULL AS STRING) a, CAST(NULL AS STRING) b)").first().h
+    want = duckdb.connect().execute(
+        f"SELECT {hash_expr_sql(spec, g, DUCKDB)} FROM "
+        f"(SELECT CAST(NULL AS VARCHAR) a, CAST(NULL AS VARCHAR) b) t").fetchone()[0]
+    assert got == want == g.unknown_key
+
+
+def test_regex_metachar_quote_character_parity(spark):
+    """quote_character='$' feeds a DuckDB REGEX pattern: it must swap
+    the literal character (as Spark's REPLACE does), not anchor."""
+    import duckdb
+    g = GlobalConfig(quote_character="$")
+    spec = HashSpec("h", ("v",))
+    vals = ["plain", "do$$ar", "$lead", "trail$"]
+    spark.createDataFrame([(v,) for v in vals], "v string") \
+        .createOrReplaceTempView("qvals")
+    got = {r.v: r.h for r in spark.sql(
+        f"SELECT v, {hash_expr_sql(spec, g, SPARK)} FROM qvals").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE qvals (v VARCHAR)")
+    con.executemany("INSERT INTO qvals VALUES (?)", [(v,) for v in vals])
+    want = {v: h for v, h in con.execute(
+        f"SELECT v, {hash_expr_sql(spec, g, DUCKDB)} FROM qvals").fetchall()}
+    assert got == want
+
+
+def test_streaming_dedup_batch_path_keeps_first_arrival(spark):
+    """The batch twin keeps the min-event-time row per hash,
+    deterministically."""
+    import datetime
+    from datavault4dbt_spark.streaming.dedup import streaming_exact_dedup
+    TS = datetime.datetime
+    df = spark.createDataFrame(
+        [(1, "x", TS(2024, 1, 2)), (2, "x", TS(2024, 1, 1)),
+         (3, "y", TS(2024, 1, 3))],
+        "id long, props string, ts timestamp").repartition(4)
+    out = {r.content_hash: r.id for r in
+           streaming_exact_dedup(df, "props", "ts").collect()}
+    assert sorted(out.values()) == [2, 3]      # earliest per hash
