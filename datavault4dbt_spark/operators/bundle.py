@@ -1,0 +1,72 @@
+"""Bundle operator: row-union of several small entities into one
+driver-checkable result.
+
+The external correctness harness compares only the first 50 ``queries()``
+keys. Rather than letting any declared entity fall outside that window
+(or choosing which — see round-4 ADVICE), redundant small entities
+(extra instances of operators that already have their own in-window
+slots) are verified through ONE bundle query that unions their rows at
+full fidelity: every member row contributes ``(entity, hk, hd, ldts,
+rsrc)``, where ``hk``/``hd`` are the member's hash key and hashdiff (or
+a portable business-key rendering for hubs). Because the hashes are
+computed FROM the member's payload and the driver value-hashes every
+returned cell, any regression in a bundled member's build — dropped or
+duplicated rows, hash/payload/ldts/rsrc drift — changes the bundle
+result and fails the external gate, with no slot left unverified.
+
+There is no reference analogue (the reference's test harness has no
+query-count cap); this is harness plumbing, not a vault operator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+
+
+@dataclass(frozen=True)
+class BundleMember:
+    """One bundled entity: ``hk`` and ``hd`` are SQL expressions valid in
+    BOTH Spark SQL and DuckDB over the member's output columns (plain
+    column names or portable CASTs)."""
+
+    entity: str
+    hk: str
+    hd: str
+
+
+@dataclass(frozen=True)
+class BundleConfig:
+    name: str
+    members: tuple  # BundleMember
+
+
+def _member_exprs(m: BundleMember, g: GlobalConfig) -> list:
+    return [f"'{m.entity}' AS entity",
+            f"{m.hk} AS hk",
+            f"{m.hd} AS hd",
+            g.ldts_alias,
+            g.rsrc_alias]
+
+
+def build_bundle(spark, reg: Registry, cfg: BundleConfig,
+                 g: GlobalConfig = DEFAULT) -> DataFrame:
+    parts = [reg.load(spark, m.entity).selectExpr(*_member_exprs(m, g))
+             for m in cfg.members]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def bundle_oracle(b: SqlBuilder, reg: Registry, cfg: BundleConfig,
+                  g: GlobalConfig = DEFAULT) -> str:
+    """Members must already be CTEs in ``b`` (dependency-resolved by the
+    fixture walker)."""
+    selects = [
+        f"SELECT {', '.join(_member_exprs(m, g))} "
+        f"FROM {reg.duckdb_relation(m.entity)}"
+        for m in cfg.members]
+    return b.cte(cfg.name, "\nUNION ALL\n".join(selects))

@@ -8,7 +8,7 @@ from conftest import compare_spark_duck
 from datavault4dbt_spark import fixtures
 
 
-@pytest.mark.parametrize("name", fixtures.all_entity_names())
+@pytest.mark.parametrize("name", fixtures.declared_entity_names())
 def test_entity_matches_oracle(spark, sf_dir, name):
     df = fixtures.entity_query(name)(spark, sf_dir)
     sql = fixtures.entity_oracle_sql(name)
