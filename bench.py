@@ -94,12 +94,12 @@ def main():
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # `value` = sum of per-query minima (the noise-robust plan cost the
-    # per-query table reports); `wall_sec` = actual elapsed time for all
-    # trials, so the measurement semantics are explicit in the record.
-    print(json.dumps({"metric": "dv_load_total_wall", "value": total,
+    # per-query table reports) — the metric NAME says so, so no consumer
+    # can misread it as wall time; `wall_sec` = actual elapsed time for
+    # all trials including retries.
+    print(json.dumps({"metric": "dv_load_sum_of_query_minima", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
-                      "trials": trials, "value_semantics": "sum_of_query_minima",
-                      "wall_sec": wall}))
+                      "trials": trials, "wall_sec": wall}))
     spark.stop()
 
 

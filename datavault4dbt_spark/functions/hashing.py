@@ -74,7 +74,14 @@ def _as_expr(col: str) -> str:
 def _attribute_standardise(expr: str, g: GlobalConfig, dialect: str, use_trim: bool) -> str:
     base = f"CAST({expr} AS STRING)"
     if use_trim:
-        base = f"TRIM({base})"
+        if dialect == SPARK:
+            base = f"TRIM({base})"
+        else:
+            # DuckDB's bare TRIM strips Unicode whitespace (NBSP, ideo-
+            # graphic space, ...); Spark/Databricks TRIM strips only
+            # ASCII 0x20 — pin the DuckDB trim set so both engines
+            # agree on values with exotic edge whitespace
+            base = f"TRIM({base}, ' ')"
     if dialect == SPARK:
         # literal character swaps, so plain REPLACE == the reference's
         # REGEXP_REPLACE byte-for-byte, minus the per-row regex engine
@@ -96,6 +103,14 @@ def _attribute_standardise(expr: str, g: GlobalConfig, dialect: str, use_trim: b
     # DuckDB CONCAT ignores NULL args (Spark's returns NULL); use || which
     # propagates NULL so the IFNULL(-> '^^') null marker fires identically.
     return f"({q} || {s} || {q})"
+
+
+def _py_fold(s: str, g: GlobalConfig) -> str:
+    """Python-side mirror of the SQL case fold applied to row strings."""
+    if g.hash_case_fold == "upper":
+        return s.upper()
+    return s.translate(str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
 
 
 def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
@@ -138,14 +153,17 @@ def _row_string(spec: HashSpec, g: GlobalConfig, dialect: str) -> str:
         # placeholders instead of the zero key. Python's fold mirrors
         # the SQL one for any sane placeholder (ASCII table / Unicode
         # uppercase agree between Python, Java and DuckDB here).
-        if g.hash_case_fold == "upper":
-            all_null = all_null.upper()
-        else:
-            all_null = all_null.translate(str.maketrans(
-                "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+        all_null = _py_fold(all_null, g)
     row = f"NULLIF(CAST({stripped} AS STRING), {sql_str(all_null)})"
     if spec.is_hashdiff and g.hashdiff_use_rtrim:
-        trim_chars = sql_str(g.null_placeholder_string + g.concat_string)
+        # the row string is already folded when case-insensitive, so the
+        # RTRIM character set must fold identically — otherwise a
+        # lowercase placeholder never matches its folded trailing copies
+        # (same class of bug as the all-NULL literal above)
+        tc = g.null_placeholder_string + g.concat_string
+        if not case_sensitive:
+            tc = _py_fold(tc, g)
+        trim_chars = sql_str(tc)
         if dialect == SPARK:  # Spark: RTRIM(trimStr, str); DuckDB: RTRIM(str, chars)
             row = f"RTRIM({trim_chars}, {row})"
         else:

@@ -123,9 +123,12 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
                 f"clean_up_pit({pit_name}): no active snapshot matches "
                 f"any sdts partition (tz/type drift between write and "
                 f"cleanup?); refusing to drop every partition")
-        before = store.read(pit_name).count()
+        # deleted-row count from the dropped partitions' parquet footers
+        # (metadata-only): the fast path never scans the PIT itself
+        deleted = store.partition_row_count(
+            pit_name, [parts[d] for d in stale])
         store.drop_partitions(pit_name, g.sdts_alias, stale)
-        return before - store.read(pit_name).count()
+        return deleted
     pit = store.read(pit_name)
     before = pit.count()
     store.delete_where(pit_name, ~F.col(g.sdts_alias).isin(active))

@@ -97,9 +97,12 @@ def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
         src = hwm_filter(src, target, g)
     w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
     if not cfg.source_is_single_batch:
+        # COALESCE(eq, false) mirrors the oracle's CASE (drop only on
+        # strict TRUE): NULL hashdiffs never NULL-out the keep-predicate
         prev = F.lag(cfg.src_hashdiff).over(w)
-        src = (src.withColumn("__keep",
-                              prev.isNull() | (F.col(cfg.src_hashdiff) != prev))
+        src = (src.withColumn(
+                   "__keep",
+                   ~F.coalesce(F.col(cfg.src_hashdiff) == prev, F.lit(False)))
                .withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__keep")).drop("__keep"))
     else:
@@ -115,11 +118,14 @@ def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
                   .filter(F.col("__rn2") == 1)
                   .select(*cfg.parent_ref_keys,
                           F.col(cfg.src_hashdiff).alias("__t_hdiff")))
+        # COALESCE(eq, false): a NULL hashdiff on either side of the
+        # compare must insert (reference NOT EXISTS drops only on strict
+        # TRUE, ref_sat_v0.sql:135-145), not evaluate to NULL and vanish
+        match = ((F.col("__rn") == 1)
+                 & F.coalesce(F.col("__t_hdiff") == F.col(cfg.src_hashdiff),
+                              F.lit(False)))
         src = (src.join(latest, on=list(cfg.parent_ref_keys), how="left")
-               .filter(~((F.col("__rn") == 1)
-                         & (F.col("__t_hdiff") == F.col(cfg.src_hashdiff)))
-                       | F.col("__t_hdiff").isNull())
-               .drop("__t_hdiff"))
+               .filter(~match).drop("__t_hdiff"))
     return src.drop("__rn")
 
 

@@ -46,9 +46,14 @@ def build_sat_v0(spark, reg: Registry, cfg: SatConfig, g: GlobalConfig = DEFAULT
 
     w = Window.partitionBy(cfg.parent_hashkey).orderBy(g.ldts_alias)
     if not cfg.source_is_single_batch:
-        # keep a row only when its hashdiff differs from the previous row's
+        # keep a row only when its hashdiff differs from the previous
+        # row's; COALESCE(eq, false) mirrors the oracle's CASE WHEN eq
+        # THEN FALSE ELSE TRUE (drop only on strict TRUE), so a NULL
+        # hashdiff never turns the keep-predicate NULL
         prev = F.lag(cfg.hdiff).over(w)
-        src = (src.withColumn("__keep", ~(F.col(cfg.hdiff) == prev) | prev.isNull())
+        src = (src.withColumn(
+                   "__keep",
+                   ~F.coalesce(F.col(cfg.hdiff) == prev, F.lit(False)))
                .withColumn("__rn", F.row_number().over(w)))
         src = src.filter(F.col("__keep")).drop("__keep")
     else:
@@ -61,12 +66,16 @@ def build_sat_v0(spark, reg: Registry, cfg: SatConfig, g: GlobalConfig = DEFAULT
     wt = Window.partitionBy(cfg.parent_hashkey).orderBy(F.col(g.ldts_alias).desc())
     latest = (target.withColumn("__rn", F.row_number().over(wt))
               .filter(F.col("__rn") == 1)
-              .select(cfg.parent_hashkey, cfg.hdiff))
-    # insert unless (first new row per hk) matches latest (hk, hashdiff)
-    joined = src.join(latest.withColumnRenamed(cfg.hdiff, "__t_hdiff"),
-                      on=cfg.parent_hashkey, how="left")
-    keep = ~((F.col("__rn") == 1) & (F.col("__t_hdiff") == F.col(cfg.hdiff)))
-    return joined.filter(keep | F.col("__t_hdiff").isNull()).drop("__rn", "__t_hdiff")
+              .select(cfg.parent_hashkey, F.col(cfg.hdiff).alias("__t_hdiff")))
+    # insert unless (first new row per hk) matches latest (hk, hashdiff).
+    # COALESCE(eq, false) keeps the predicate two-valued: with a plain
+    # ==, a NULL hashdiff on either side yields NULL and the row would
+    # silently vanish, where the reference's NOT EXISTS
+    # (sat_v0.sql:131-141) inserts it — SQL drops only on strict TRUE.
+    joined = src.join(latest, on=cfg.parent_hashkey, how="left")
+    match = ((F.col("__rn") == 1)
+             & F.coalesce(F.col("__t_hdiff") == F.col(cfg.hdiff), F.lit(False)))
+    return joined.filter(~match).drop("__rn", "__t_hdiff")
 
 
 def sat_v0_oracle(b: SqlBuilder, reg: Registry, cfg: SatConfig,

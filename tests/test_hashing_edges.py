@@ -30,6 +30,10 @@ ADVERSARIAL = [
     ("unicode", "päx–ü"),
     ("replacement_collision", "dv4dbt-quote-replacement"),
     ("trim_sensitive", "  padded  "),
+    # DuckDB's bare TRIM strips Unicode whitespace, Spark only ASCII
+    # space — the oracle dialect pins TRIM(x, ' ') to match Spark
+    ("nbsp_edges", "\xa0x\xa0"),
+    ("ideographic_space", "　y　"),
 ]
 
 
@@ -175,3 +179,29 @@ def test_hash_case_fold_validated():
         GlobalConfig(hash_case_fold="unicode")
     with pytest.raises(ValueError, match="hash algorithm"):
         GlobalConfig(hash="CRC32")
+
+
+def test_rtrim_folds_trim_chars_with_case_insensitive_hashdiff(spark):
+    """hashdiff_use_rtrim + case-INsensitive hashdiff + lowercase
+    placeholder: the row string is case-folded before RTRIM, so the trim
+    character set must fold too — trailing folded placeholders must be
+    stripped, making (x, NULL) hash like (x). Parity with DuckDB pins
+    the cross-dialect RTRIM argument order as well."""
+    import duckdb
+    g = GlobalConfig(hashdiff_input_case_sensitive=False,
+                     hashdiff_use_rtrim=True,
+                     null_placeholder_string="null")
+    spec = HashSpec("h", ("a", "b"), is_hashdiff=True)
+    spark.createDataFrame([("x", None)], "a string, b string") \
+        .createOrReplaceTempView("rt_pair")
+    pair = spark.sql(
+        f"SELECT {hash_expr_sql(spec, g, SPARK)} FROM rt_pair").first().h
+    single = spark.sql(
+        f"SELECT {hash_expr_sql(HashSpec('h', ('a',), is_hashdiff=True), g, SPARK)} "
+        f"FROM rt_pair").first().h
+    assert pair == single  # trailing folded placeholder was stripped
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT {hash_expr_sql(spec, g, DUCKDB)} "
+        f"FROM (SELECT 'x' AS a, NULL AS b)").fetchone()[0]
+    assert pair == d

@@ -104,3 +104,66 @@ def test_empty_log_logic_rejected(spark):
                        log_logic={"is_active": LogLogic()})
     with pytest.raises(ValueError, match="no\\s+daily/weekly"):
         _snap_v1_sql(cfg, "snap_v0", G)
+
+
+def test_sat_v0_null_hashdiff_inserts_not_vanishes(spark):
+    """NULL hashdiff semantics mirror the reference NOT EXISTS, which
+    drops only when t.hashdiff = src.hashdiff is strictly TRUE: a NULL
+    delta hashdiff against a non-NULL target latest (and vice versa)
+    must INSERT, not evaluate to NULL and silently vanish."""
+    from datavault4dbt_spark.operators.sat import SatConfig, build_sat_v0
+
+    schema = "hk string, hd string, rsrc string, ldts timestamp"
+    target = _df(spark, [("K", "A", "src", TS(2024, 1, 1))], schema)
+    delta = _df(spark, [("K", None, "src", TS(2024, 1, 2))], schema)
+    reg = Registry()
+    reg.spark_loaders["stage_x"] = lambda _s: delta
+    cfg = SatConfig("sat_x", "stage_x", "hk", "hd")
+    out = build_sat_v0(spark, reg, cfg, G, target=target)
+    assert [(r.hd, str(r.ldts)) for r in out.collect()] == [
+        (None, "2024-01-02 00:00:00")]
+
+    # NULL target latest vs non-NULL delta also inserts
+    target2 = _df(spark, [("K", None, "src", TS(2024, 1, 1))], schema)
+    reg.register("stage_x", lambda _s: _df(
+        spark, [("K", "B", "src", TS(2024, 1, 2))], schema), "stage_x")
+    out2 = build_sat_v0(spark, reg, cfg, G, target=target2)
+    assert [(r.hd,) for r in out2.collect()] == [("B",)]
+
+    # NULL vs NULL: SQL equality is NULL, NOT EXISTS inserts
+    reg.register("stage_x", lambda _s: delta, "stage_x")
+    out3 = build_sat_v0(spark, reg, cfg, G, target=target2)
+    assert [(r.hd,) for r in out3.collect()] == [(None,)]
+
+
+def test_ref_sat_v0_null_hashdiff_inserts_not_vanishes(spark):
+    """Same NULL contract for ref_sat_v0's rn=1 latest-compare."""
+    schema = "k string, hd string, rsrc string, ldts timestamp"
+    target = _df(spark, [("K", "A", "src", TS(2024, 1, 1))], schema)
+    delta = _df(spark, [("K", None, "src", TS(2024, 1, 2))], schema)
+    reg = Registry()
+    reg.spark_loaders["stage_ref"] = lambda _s: delta
+    cfg = RefSatConfig("ref_sat_x", "stage_ref", ("k",), "hd")
+    out = build_ref_sat_v0(spark, reg, cfg, G, target=target)
+    assert [(r.hd,) for r in out.collect()] == [(None,)]
+
+
+def test_sat_v0_lag_dedup_null_matches_oracle_case(spark):
+    """LAG dedup drops only on strict equality (oracle CASE WHEN eq THEN
+    FALSE ELSE TRUE): consecutive NULL hashdiffs are both kept."""
+    from datavault4dbt_spark.operators.sat import SatConfig, build_sat_v0
+
+    schema = "hk string, hd string, rsrc string, ldts timestamp"
+    src = _df(spark, [("K", None, "src", TS(2024, 1, 1)),
+                      ("K", None, "src", TS(2024, 1, 2)),
+                      ("K", "A", "src", TS(2024, 1, 3)),
+                      ("K", "A", "src", TS(2024, 1, 4))], schema)
+    reg = Registry()
+    reg.spark_loaders["stage_x"] = lambda _s: src
+    cfg = SatConfig("sat_x", "stage_x", "hk", "hd")
+    out = build_sat_v0(spark, reg, cfg, G)
+    got = sorted(((r.hd, str(r.ldts)) for r in out.collect()),
+                 key=lambda t: t[1])
+    assert got == [(None, "2024-01-01 00:00:00"),
+                   (None, "2024-01-02 00:00:00"),
+                   ("A", "2024-01-03 00:00:00")]
