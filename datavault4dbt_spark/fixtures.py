@@ -38,6 +38,8 @@ from .operators.snapshots import (SnapV0Config, SnapV1Config, LogLogic,
 from .operators.pit import PitConfig, build_pit, pit_oracle
 from .operators.bundle import (BundleConfig, BundleMember, build_bundle,
                                bundle_oracle)
+from .plans.replay import (ReplayConfig, ReplayMember, run_replay,
+                           replay_oracle)
 from .llm.dedup import (
     ExactDedupConfig, MinHashLshConfig, SimHashConfig, NgramJaccardConfig,
     EmbeddingCosineConfig, build_exact_dedup, build_minhash_lsh,
@@ -352,6 +354,36 @@ BUNDLES = {
     )),
 }
 
+# Two-phase incremental replay through the real HWM/anti-join/latest-
+# compare/deactivation code paths (see plans/replay.py): the member set
+# covers one entity per incremental strategy — multi-source hub dedup +
+# anti-join, sat latest-vs-target compare, ma_sat group compare, nh_link
+# pure anti-join, eff_sat deactivation. The cutoff splits the
+# deterministic daily batches after day 1, so the converged state
+# equals the one-shot full load and the ordinary full-load oracle
+# certifies the incremental branches.
+REPLAYS = {
+    "incremental_replay": ReplayConfig(
+        "incremental_replay", "2024-01-01 23:00:00", (
+            # insert case: day-2/3 customers are NEW hashkeys
+            ReplayMember("hub_customer", "hk_customer_h",
+                         "CAST(c_custkey AS STRING)"),
+            # drop case: every nation already arrives in phase 1, so the
+            # phase-2 anti-join must drop ALL candidates — a broken
+            # anti-join shows up as duplicate rows in the union hash
+            ReplayMember("hub_nation_multisource", "hk_nation_h",
+                         "CAST(n_nationkey AS STRING)"),
+            ReplayMember("sat_customer_n0_s", "hk_customer_h",
+                         "hd_customer_n_s"),
+            ReplayMember("ma_sat_customer_orders", "hk_customer_h",
+                         "hd_order_ms"),
+            ReplayMember("nh_link_order_customer", "hk_order_customer_nl",
+                         "hk_order_h"),
+            ReplayMember("eff_sat_customer_nation", "hk_customer_nation_l",
+                         "CAST(is_active AS STRING)"),
+        )),
+}
+
 PITS = {
     "pit_customer": PitConfig(
         "pit_customer", "hub_customer", "hk_customer_h",
@@ -423,6 +455,11 @@ _FAMILIES = [
     (PITS, build_pit, pit_oracle,
      lambda c: [c.tracked_entity, c.snapshot_relation] + list(c.sat_names)),
     (BUNDLES, build_bundle, bundle_oracle,
+     lambda c: [m.entity for m in c.members]),
+    (REPLAYS,
+     lambda spark, reg, cfg, g: run_replay(spark, reg, cfg, g, _index(),
+                                           STAGES),
+     replay_oracle,
      lambda c: [m.entity for m in c.members]),
     (DEDUP_EXACT, build_exact_dedup, exact_dedup_oracle, _NO_DEPS),
     (DEDUP_MINHASH, build_minhash_lsh, minhash_lsh_oracle, _NO_DEPS),

@@ -1,0 +1,100 @@
+"""Driver-visible incremental replay: two-phase loads through the REAL
+incremental code paths, verified against the one-shot full-load oracle.
+
+The external correctness gate only ever sees initial loads (every
+``queries()`` entry is a full build), so the reference's
+``is_incremental()`` branches — HWM filter + literal injection, probe,
+anti-join insert, latest-vs-target compare, eff-sat deactivation
+(reference: macros/tables/databricks/hub.sql:44,165-179,234-257,
+sat_v0.sql:56-141, eff_sat_v0.sql:211-263) — were pytest-verified only.
+This operator closes that gap: for each member entity it
+
+1. builds the INITIAL load from sources truncated at ``cutoff`` and
+   materializes it to a ParquetStore (exactly what a first dbt run
+   against a partial extract would produce), then
+2. builds the INCREMENTAL load from the full sources with the stored
+   table as target — the HWM prunes phase-1 rows, the anti-join /
+   latest-compare decides inserts — and appends it,
+
+then row-unions the FINAL stored tables as (entity, hk, hd, ldts,
+rsrc). Because the deterministic batch ldts split cleanly at the
+cutoff, the converged state equals the one-shot full load, so the
+DuckDB oracle is each member's ordinary full-load SQL in the same
+projection — the driver's hash compare then certifies the incremental
+branches end-to-end.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from .incremental import ParquetStore
+
+
+@dataclass(frozen=True)
+class ReplayMember:
+    """``hk``/``hd`` are SQL expressions valid in BOTH dialects over the
+    member's output columns."""
+
+    entity: str
+    hk: str
+    hd: str
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    name: str
+    cutoff: str   # 'YYYY-MM-DD HH:MM:SS': phase 1 loads ldts <= cutoff
+    members: tuple  # ReplayMember
+
+
+def _member_exprs(m: ReplayMember, g: GlobalConfig) -> list:
+    return [f"'{m.entity}' AS entity", f"{m.hk} AS hk", f"{m.hd} AS hd",
+            g.ldts_alias, g.rsrc_alias]
+
+
+def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
+               index: dict, stage_names) -> DataFrame:
+    """``index``: fixtures' name -> (cfg, builder, oracle, deps);
+    ``stage_names``: entities whose phase-1 output is ldts-truncated."""
+    store = ParquetStore(
+        spark, tempfile.mkdtemp(prefix="dv4dbt_replay_"))
+
+    # phase-1 registry: same loaders, but every stage is truncated to
+    # ldts <= cutoff (the end-of-times ghost row rides along so the
+    # initial load creates it, as a real partial first extract would)
+    phase1 = Registry(spark_loaders=dict(reg.spark_loaders),
+                      persist_names=set(reg.persist_names))
+    cut = (f"{g.ldts_alias} <= TIMESTAMP '{cfg.cutoff}' "
+           f"OR {g.ldts_alias} = TIMESTAMP '{g.end_of_all_times}'")
+    for s in stage_names:
+        orig = reg.spark_loaders[s]
+        phase1.spark_loaders[s] = (
+            lambda sp, o=orig, c=cut: o(sp).filter(c))
+
+    finals = []
+    for m in cfg.members:
+        mcfg, bld, _orc, _deps = index[m.entity]
+        store.append(m.entity, bld(spark, phase1, mcfg, g, target=None))
+        inc = bld(spark, reg, mcfg, g, target=store.read(m.entity))
+        store.append(m.entity, inc)
+        finals.append(
+            store.read(m.entity).selectExpr(*_member_exprs(m, g)))
+    return reduce(lambda a, b: a.unionByName(b), finals)
+
+
+def replay_oracle(b: SqlBuilder, reg: Registry, cfg: ReplayConfig,
+                  g: GlobalConfig = DEFAULT) -> str:
+    """Full-load oracle in the replay projection — members' initial-load
+    CTEs must already be in ``b`` (resolved as dependencies)."""
+    selects = [
+        f"SELECT {', '.join(_member_exprs(m, g))} "
+        f"FROM {reg.duckdb_relation(m.entity)}"
+        for m in cfg.members]
+    return b.cte(cfg.name, "\nUNION ALL\n".join(selects))

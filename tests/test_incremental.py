@@ -114,3 +114,27 @@ def test_rsrc_static_per_source_hwm(spark, sf_dir, tmp_path):
     store.append("hub", new)
     again = build_hub(spark, reg2, cfg2, G, target=store.read("hub"))
     assert again.count() == 0
+
+
+def test_replay_query_phase2_contributes(spark, sf_dir):
+    """The driver-visible incremental_replay query must actually push
+    rows through the phase-2 incremental branch: rows with ldts after
+    the cutoff (excluding the end-of-times ghost) can only have been
+    inserted by the incremental build against the stored target. A
+    cutoff beyond the data would make the replay vacuously equal the
+    full load without testing incrementality."""
+    cfg = fixtures.REPLAYS["incremental_replay"]
+    df = fixtures.entity_query("incremental_replay")(spark, sf_dir)
+    late = df.filter(
+        f"ldts > TIMESTAMP '{cfg.cutoff}' "
+        f"AND ldts != TIMESTAMP '{G.end_of_all_times}'")
+    per = {r["entity"]: r["count"]
+           for r in late.groupBy("entity").count().collect()}
+    for m in cfg.members:
+        if m.entity == "hub_nation_multisource":
+            # all nations arrive in phase 1: the phase-2 anti-join must
+            # drop every candidate (a broken anti-join would instead
+            # surface duplicates and fail the oracle hash)
+            assert per.get(m.entity, 0) == 0
+        else:
+            assert per.get(m.entity, 0) > 0, f"phase 2 empty for {m.entity}"
