@@ -351,6 +351,7 @@ BUNDLES = {
         BundleMember("hub_supplier", "hk_supplier_h",
                      "CAST(s_suppkey AS STRING)"),
         BundleMember("sat_nation_s", "hk_nation_h", "hd_nation_s"),
+        BundleMember("sat_customer_p0_s", "hk_customer_h", "hd_customer_p_s"),
     )),
 }
 
@@ -404,8 +405,19 @@ DEDUP_COSINE = {"dedup_embedding_cosine":
 ANNS = {
     "ann_cosine_topk": AnnConfig("ann_cosine_topk"),
     "ann_lsh_topk": AnnConfig("ann_lsh_topk", lsh_bits=6),
+    # multi-probe: 6-bit buckets + 3 Hamming-1 flips per query —
+    # deterministic probe sequence, so the oracle replays it exactly
+    "ann_lsh_multiprobe_topk": AnnConfig("ann_lsh_multiprobe_topk",
+                                         lsh_bits=6, multiprobe=3),
 }
-ANN_IVFS = {"ann_ivf_topk": IvfConfig("ann_ivf_topk")}
+ANN_IVFS = {
+    "ann_ivf_topk": IvfConfig("ann_ivf_topk"),
+    # k-means-refined centroids (2 Lloyd iterations on a half sample);
+    # nprobe = n_cells makes the result exact so brute force oracles it
+    # while the whole refinement plan runs under the driver gate
+    "ann_ivf_kmeans_topk": IvfConfig("ann_ivf_kmeans_topk", nprobe=8,
+                                     kmeans_iters=2, kmeans_sample_mod=2),
+}
 TEXT_LANGID = {"text_langid": LangIdConfig("text_langid")}
 TEXT_QUALITY = {"text_quality": QualityConfig("text_quality")}
 TEXT_TOKENS = {"text_token_count": TokenCountConfig("text_token_count")}

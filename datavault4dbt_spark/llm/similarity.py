@@ -14,10 +14,14 @@ Two tiers, same output shape (query_id, neighbor_id, rank, cosine):
 Scale design (100 TB): the candidate table is hash-partitioned by
 bucket; queries broadcast; per-bucket top-k is a window over the
 (bucket-pruned) join output, so shuffle volume is O(candidates), not
-O(n_vectors). Raising `lsh_bits` shrinks buckets geometrically; a
-multi-probe variant would union a few flipped-bit buckets — same plan
-shape. All arithmetic is double-precision left-fold (textprep note) so
-Spark and the oracle agree exactly.
+O(n_vectors). Raising `lsh_bits` shrinks buckets geometrically;
+``multiprobe`` recovers the recall that costs by additionally probing
+the buckets at Hamming distance 1 on the leading bits (query side
+only: the probe list explodes to `1 + multiprobe` rows per query, the
+candidate table is untouched) — same plan shape, same deterministic
+bucket family, so the DuckDB oracle reproduces it bit-for-bit. All
+arithmetic is double-precision left-fold (textprep note) so Spark and
+the oracle agree exactly.
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ class AnnConfig:
     k: int = 5
     query_filter: str = "vec_id < 16"   # defines the query subset
     lsh_bits: int = 0                   # 0 = brute force; >0 = sign-LSH
+    multiprobe: int = 0                 # extra Hamming-1 buckets probed
     dim: int = 0                        # 0 = HOF fold (see dedup.py note)
 
 
@@ -67,11 +72,23 @@ def build_ann_topk(spark, reg: Registry, cfg: AnnConfig,
     if cfg.lsh_bits:
         n = n.selectExpr(cfg.id_col, "v", "is_q", "nrm",
                          f"{_bucket_expr('v', cfg.lsh_bits, 'spark')} AS bkt")
-    queries = F.broadcast(n.filter("is_q"))
-    cands = n
+    queries = n.filter("is_q")
     join_cond = [F.col(f"q.{cfg.id_col}") != F.col(f"c.{cfg.id_col}")]
     if cfg.lsh_bits:
-        join_cond.append(F.col("q.bkt") == F.col("c.bkt"))
+        if cfg.multiprobe:
+            # probe the home bucket plus `multiprobe` single-bit flips;
+            # probe buckets are pairwise distinct, and a candidate lives
+            # in exactly one bucket, so no (q, c) pair can join twice —
+            # no dedup needed
+            flips = [f"bkt ^ {2 ** i}"
+                     for i in range(min(cfg.multiprobe, cfg.lsh_bits))]
+            queries = queries.withColumn(
+                "pbkt", F.explode(F.expr(f"array(bkt, {', '.join(flips)})")))
+            join_cond.append(F.col("q.pbkt") == F.col("c.bkt"))
+        else:
+            join_cond.append(F.col("q.bkt") == F.col("c.bkt"))
+    queries = F.broadcast(queries)
+    cands = n
     scored = (queries.alias("q").join(cands.alias("c"), join_cond)
               .selectExpr(f"q.{cfg.id_col} AS query_id",
                           f"c.{cfg.id_col} AS neighbor_id",
@@ -93,12 +110,27 @@ class IvfConfig:
     """IVF (inverted-file) ANN: coarse-quantize vectors into cells,
     search only the query's nearest `nprobe` cells.
 
-    Centroids are the first `n_cells` vectors by id — a deterministic
-    seed choice (k-means iterations would refine them; the *search
-    structure* — assign, probe, rank — is identical and this keeps the
-    DuckDB oracle bit-exact). At scale the centroid table is broadcast
-    and each vector is scored against n_cells centroids in the scan
-    stage; the candidate join keys on cell id.
+    Centroids seed as the first `n_cells` vectors by id (deterministic;
+    keeps the DuckDB oracle bit-exact when ``kmeans_iters == 0``).
+    ``kmeans_iters`` > 0 runs that many Lloyd iterations — assign each
+    pooled vector to its best centroid (broadcast cross-score + rank-1
+    window, the same plan shape as the search itself), then recompute
+    each cell's centroid as the elementwise mean (posexplode ->
+    partial-aggregated AVG per (cell, coordinate) -> re-assembled
+    array). ``kmeans_sample_mod`` trains on the deterministic hash
+    sample ``xxhash64(id) % mod == 0`` — at 100 TB the refinement runs
+    on a bounded sample while assignment/search still covers everything.
+
+    A k-means-refined config used as a driver-checked query must set
+    ``nprobe >= n_cells``: full probing makes the result the exact
+    top-k (so the brute-force SQL is a valid oracle) while the whole
+    k-means + IVF plan still executes under the gate — distributed FP
+    averaging is not bit-reproducible in a single-node SQL engine, so
+    refined centroids themselves cannot be oracle-pinned.
+
+    At scale the centroid table is broadcast and each vector is scored
+    against n_cells centroids in the scan stage; the candidate join
+    keys on cell id.
     """
 
     name: str
@@ -109,6 +141,44 @@ class IvfConfig:
     n_cells: int = 8
     nprobe: int = 2
     query_filter: str = "vec_id < 16"
+    kmeans_iters: int = 0
+    kmeans_sample_mod: int = 1
+
+
+def _kmeans_refine(cfg: IvfConfig, n: DataFrame, cents: DataFrame) -> DataFrame:
+    """``kmeans_iters`` Lloyd iterations over the hash-sampled pool.
+
+    Each iteration is two shuffles: the rank-1 assignment window on id
+    (the pool side never moves — centroids broadcast) and the
+    per-(cell, coordinate) AVG with map-side partial aggregation. Cells
+    that lose all members drop out (standard Lloyd behavior); zero-norm
+    centroids score NULL and sort last, never first.
+    """
+    if not cfg.kmeans_iters:
+        return cents
+    pool = n
+    if cfg.kmeans_sample_mod > 1:
+        pool = n.filter(
+            F.pmod(F.xxhash64(F.col(cfg.id_col)),
+                   F.lit(cfg.kmeans_sample_mod)) == 0)
+    pool = pool.select(cfg.id_col, "v", "nrm").persist()
+    for _ in range(cfg.kmeans_iters):
+        w = (Window.partitionBy(cfg.id_col)
+             .orderBy(F.desc("csim"), F.asc("cell")))
+        assigned = (pool.crossJoin(F.broadcast(cents))
+                    .selectExpr(cfg.id_col, "v", "cell",
+                                f"try_divide({_spark_dot('v', 'cv')}, "
+                                f"nrm * cnrm) AS csim")
+                    .withColumn("__r", F.row_number().over(w))
+                    .filter("__r = 1"))
+        cents = (assigned.select("cell", F.posexplode("v").alias("i", "x"))
+                 .groupBy("cell", "i").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                      .alias("s"))
+                 .selectExpr("cell", "transform(s, e -> e.m) AS cv")
+                 .selectExpr("cell", "cv", f"{_spark_norm('cv')} AS cnrm"))
+    return cents
 
 
 def build_ann_ivf(spark, reg: Registry, cfg: IvfConfig,
@@ -126,6 +196,7 @@ def build_ann_ivf(spark, reg: Registry, cfg: IvfConfig,
     # yield zero centroids and a silently empty result
     cents = (n.orderBy(F.col(cfg.id_col)).limit(cfg.n_cells)
              .selectExpr(f"{cfg.id_col} AS cell", "v AS cv", "nrm AS cnrm"))
+    cents = _kmeans_refine(cfg, n, cents)
     scored_cells = (n.crossJoin(F.broadcast(cents))
                     .selectExpr(cfg.id_col, "v", "is_q", "nrm", "cell",
                                 f"try_divide({_spark_dot('v', 'cv')}, nrm * cnrm) AS csim"))
@@ -156,6 +227,17 @@ def build_ann_ivf(spark, reg: Registry, cfg: IvfConfig,
 
 def ann_ivf_oracle(b: SqlBuilder, reg: Registry, cfg: IvfConfig,
                    g: GlobalConfig = DEFAULT) -> str:
+    if cfg.kmeans_iters:
+        # refined centroids are not bit-reproducible cross-engine (FP
+        # accumulation order); the config contract is full probing, so
+        # the result is the exact top-k and brute force is the oracle
+        if cfg.nprobe < cfg.n_cells:
+            raise ValueError(
+                f"{cfg.name}: kmeans_iters > 0 requires nprobe >= n_cells "
+                f"for an oracle-checkable (exact) result")
+        return ann_topk_oracle(b, reg, AnnConfig(
+            cfg.name, source=cfg.source, id_col=cfg.id_col,
+            vec_col=cfg.vec_col, k=cfg.k, query_filter=cfg.query_filter), g)
     src = reg.duckdb_relation(cfg.source)
     v = b.cte(f"{cfg.name}__v",
               f"SELECT {cfg.id_col}, "
@@ -205,15 +287,24 @@ def ann_topk_oracle(b: SqlBuilder, reg: Registry, cfg: AnnConfig,
     n = b.cte(f"{cfg.name}__n",
               f"SELECT {cfg.id_col}, v, is_q, {_duck_norm('v')} AS nrm{bkt} "
               f"FROM {v}")
+    qrel, qbkt = n, "q.bkt"
+    if cfg.lsh_bits and cfg.multiprobe:
+        flips = ", ".join(
+            f"xor(bkt, {2 ** i})"
+            for i in range(min(cfg.multiprobe, cfg.lsh_bits)))
+        qrel = b.cte(f"{cfg.name}__probes",
+                     f"SELECT *, UNNEST([bkt, {flips}]) AS pbkt "
+                     f"FROM {n} WHERE is_q")
+        qbkt = "q.pbkt"
     cond = f"q.{cfg.id_col} <> c.{cfg.id_col}"
     if cfg.lsh_bits:
-        cond += " AND q.bkt = c.bkt"
+        cond += f" AND {qbkt} = c.bkt"
     dot = _duck_dot("q.v", "c.v", "len(q.v)", cfg.dim)
     scored = b.cte(f"{cfg.name}__scored",
                    f"SELECT q.{cfg.id_col} AS query_id, "
                    f"c.{cfg.id_col} AS neighbor_id, "
                    f"round({dot} / (q.nrm * c.nrm), 6) AS cosine "
-                   f"FROM {n} q JOIN {n} c ON {cond} WHERE q.is_q "
+                   f"FROM {qrel} q JOIN {n} c ON {cond} WHERE q.is_q "
                    f"AND round({dot} / (q.nrm * c.nrm), 6) IS NOT NULL")
     return b.cte(cfg.name,
                  f"SELECT query_id, neighbor_id, rank, cosine FROM ("

@@ -1,0 +1,81 @@
+"""ANN refinement behavior: k-means centroid math (Lloyd iterations on
+synthetic clusters must land on the cluster means) and multi-probe LSH
+recall (probing Hamming-1 buckets must not lose and should gain recall
+vs single-probe at the same lsh_bits). Exactness of the driver-checked
+configs is covered by test_oracle_parity."""
+
+from pyspark.sql import functions as F
+
+from datavault4dbt_spark import fixtures
+from datavault4dbt_spark.context import DEFAULT, Registry
+from datavault4dbt_spark.llm.similarity import (
+    AnnConfig, IvfConfig, build_ann_topk, _kmeans_refine)
+
+G = DEFAULT
+
+
+def test_kmeans_refine_converges_to_cluster_means(spark):
+    """Two well-separated direction clusters; seeds are one vector from
+    each. After 2 Lloyd iterations each centroid must be the elementwise
+    mean of its (stable) cluster."""
+    rows = [
+        # cluster A: near +x
+        (0, [1.0, 0.0], ), (1, [0.9, 0.1]), (2, [1.0, 0.2]),
+        # cluster B: near +y
+        (10, [0.0, 1.0]), (11, [0.1, 0.9]), (12, [0.2, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    n = df.selectExpr(
+        "vec_id", "v",
+        "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS nrm")
+    seeds = (n.filter("vec_id IN (0, 10)")
+             .selectExpr("vec_id AS cell", "v AS cv", "nrm AS cnrm"))
+    cfg = IvfConfig("t", kmeans_iters=2, kmeans_sample_mod=1)
+    cents = {r.cell: r.cv
+             for r in _kmeans_refine(cfg, n, seeds).collect()}
+    assert len(cents) == 2
+    a = [(1.0 + 0.9 + 1.0) / 3, (0.0 + 0.1 + 0.2) / 3]
+    b = [(0.0 + 0.1 + 0.2) / 3, (1.0 + 0.9 + 1.0) / 3]
+    for got, want in ((cents[0], a), (cents[10], b)):
+        assert all(abs(x - y) < 1e-12 for x, y in zip(got, want))
+
+
+def test_kmeans_empty_cell_drops_out(spark):
+    """A seed that attracts no vectors disappears (standard Lloyd);
+    refinement must not resurrect or NULL it."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    n = df.selectExpr(
+        "vec_id", "v",
+        "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS nrm")
+    seeds = (n.filter("vec_id IN (0, 2)")
+             .selectExpr("vec_id AS cell", "v AS cv", "nrm AS cnrm"))
+    cfg = IvfConfig("t", kmeans_iters=1, kmeans_sample_mod=1)
+    cents = _kmeans_refine(cfg, n, seeds).collect()
+    assert {r.cell for r in cents} == {0, 2}
+    # +x cluster mean; -x stays alone on its own vector
+    got = {r.cell: r.cv for r in cents}
+    assert all(abs(x - y) < 1e-12
+               for x, y in zip(got[0], [0.95, 0.05]))
+
+
+def _recall(spark, sf_dir, cfg_approx):
+    """Mean fraction of the exact top-k recovered per query."""
+    reg = fixtures.registry(spark, sf_dir)
+    exact = build_ann_topk(spark, reg, AnnConfig("exact"), G)
+    approx = build_ann_topk(spark, reg, cfg_approx, G)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    return len(e & a) / len(e)
+
+
+def test_multiprobe_improves_lsh_recall(spark, sf_dir):
+    """Deterministic data + deterministic probe sequence: multi-probe
+    unions strictly more candidate buckets, so recall can only go up —
+    and on this data it at least doubles (measured 0.20 -> 0.44 at
+    4 bits, 0.04 -> 0.24 at 6 bits/mp=6)."""
+    single = _recall(spark, sf_dir, AnnConfig("s", lsh_bits=4))
+    multi = _recall(spark, sf_dir, AnnConfig("m", lsh_bits=4, multiprobe=3))
+    assert multi >= single
+    assert multi >= 2 * single
+    assert multi > 0.3
