@@ -123,6 +123,23 @@ class GlobalConfig:
 
 DEFAULT = GlobalConfig()
 
+# Byte-parity knobs for vaults migrated FROM a reference deployment:
+# the reference's ghost sentinels (dbt_project.yml:58-67) and its UPPER
+# case fold (macros/supporting/hash.sql:494-500). Our shipped defaults
+# differ deliberately (pandas/Arrow ns-window-safe sentinels, engine-
+# portable ASCII fold — see field comments above); a vault whose hashes
+# were produced by the reference must set BOTH knobs or every hashkey
+# and ghost record diverges. Usage: GlobalConfig(**REFERENCE_PARITY),
+# optionally merged with further overrides. Hash parity for these exact
+# literals is pinned by tests/test_hashing_edges.py.
+REFERENCE_PARITY = {
+    "beginning_of_all_times": "0001-01-01 00:00:01",
+    "end_of_all_times": "8888-12-31 23:59:59",
+    "beginning_of_all_times_date": "0001-01-01",
+    "end_of_all_times_date": "8888-12-31",
+    "hash_case_fold": "upper",
+}
+
 
 @dataclass
 class Registry:

@@ -7,7 +7,7 @@ dedup + anti-join against the target), which makes them directly safe
 under ``foreachBatch`` at-least-once delivery: replaying a micro-batch
 inserts nothing new. This module is the beyond-reference streaming
 extension: readStream over an arriving-file directory -> stage
-transformation -> hub / nh_sat loads per micro-batch.
+transformation -> hub / nh_sat / sat_v0 loads per micro-batch.
 
 Scale design: each micro-batch runs the same plans as the batch path
 (window dedup keyed on the hashkey, anti-join on the same key — one
@@ -28,7 +28,8 @@ from ..context import GlobalConfig, DEFAULT, Registry
 from ..operators.stage import StageConfig, build_stage
 from ..operators.hub import HubConfig, build_hub
 from ..operators.nh import NhSatConfig, build_nh_sat
-from ..plans.incremental import ParquetStore
+from ..operators.sat import SatConfig, build_sat_v0
+from ..plans.incremental import ParquetStore, anti_join_new
 
 
 @dataclass(frozen=True)
@@ -40,6 +41,7 @@ class StreamIngestConfig:
     stage: StageConfig
     hubs: tuple = ()              # HubConfig, loaded per micro-batch
     nh_sats: tuple = ()           # NhSatConfig
+    sats: tuple = ()              # SatConfig (sat_v0, delta-historized)
     max_files_per_trigger: int = 10
 
 
@@ -78,6 +80,25 @@ def micro_batch_loader(cfg: StreamIngestConfig, store: ParquetStore,
             # guarantees insert-only idempotence (same for hubs above)
             new = build_nh_sat(spark, reg, sat_cfg, g, target=target,
                                disable_hwm=True)
+            store.append(sat_cfg.name, new)
+        for sat_cfg in cfg.sats:
+            target = store.read(sat_cfg.name) if store.exists(sat_cfg.name) else None
+            # sat_v0 per micro-batch: LAG dedup within the batch, then
+            # the latest-vs-target compare drops an unchanged first row
+            # (reference: macros/tables/databricks/sat_v0.sql:131-141).
+            # That compare alone is NOT replay-safe — re-delivering a
+            # batch whose rows are already in the target would re-insert
+            # every row except the last (its first row no longer matches
+            # the post-batch latest) — so idempotence comes from an
+            # additional (hashkey, ldts) anti-join: a satellite row's
+            # identity IS its (parent, load timestamp). Micro-batches
+            # must arrive in ldts order for LAG semantics to equal the
+            # one-shot batch load (the file stream's per-file ordering
+            # gives this when files are time-partitioned).
+            new = build_sat_v0(spark, reg, sat_cfg, g, target=target,
+                               disable_hwm=True)
+            new = anti_join_new(new, target,
+                                [sat_cfg.parent_hashkey, g.ldts_alias])
             store.append(sat_cfg.name, new)
 
     return load

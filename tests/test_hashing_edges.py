@@ -170,6 +170,29 @@ def test_upper_case_fold_reference_compat(spark):
     assert ha("straße") != ha("STRASSE")
 
 
+def test_reference_parity_constant(spark):
+    """GlobalConfig(**REFERENCE_PARITY) is the documented one-step
+    migration config: reference ghost sentinels (dbt_project.yml:58-67)
+    + UPPER fold (hash.sql:494-500), everything else default."""
+    from datavault4dbt_spark.context import REFERENCE_PARITY
+    g = GlobalConfig(**REFERENCE_PARITY)
+    assert g.beginning_of_all_times == "0001-01-01 00:00:01"
+    assert g.end_of_all_times == "8888-12-31 23:59:59"
+    assert g.beginning_of_all_times_date == "0001-01-01"
+    assert g.end_of_all_times_date == "8888-12-31"
+    assert g.hash_case_fold == "upper"
+    # non-parity fields stay at shipped defaults and remain overridable
+    assert g.hash == "MD5"
+    assert GlobalConfig(**{**REFERENCE_PARITY, "hash": "SHA256"}).hash == "SHA256"
+    # the reference sentinels parse as Spark timestamps (outside the
+    # pandas/Python-datetime window by design, so extract the year
+    # JVM-side instead of collecting the raw value)
+    row = spark.sql(
+        f"SELECT year(TIMESTAMP '{g.beginning_of_all_times}') a, "
+        f"year(TIMESTAMP '{g.end_of_all_times}') b").first()
+    assert row.a == 1 and row.b == 8888
+
+
 def test_hash_case_fold_validated():
     """Typos ('UPPER', 'unicode') must not silently fall through to the
     ASCII fold — GlobalConfig rejects them at construction time."""

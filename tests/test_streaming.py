@@ -107,6 +107,129 @@ def test_windowed_counts_stream_matches_batch(spark, event_batches, tmp_path):
     assert len(g) > 0
 
 
+def _cust_stream_cfgs():
+    """A delta-historized customer feed: ldts comes from the file's
+    load_ts column, so later files carry new VERSIONS of existing keys
+    — the case hub/nh_sat ingestion never exercises."""
+    from datavault4dbt_spark.functions.hashing import HashSpec
+    from datavault4dbt_spark.operators.stage import StageConfig
+    from datavault4dbt_spark.operators.sat import SatConfig
+
+    stage = StageConfig(
+        name="stage_cust_stream", source_model="cust_stream",
+        ldts="load_ts", rsrc="!STREAM/customer",
+        source_schema=(("c_custkey", "BIGINT"), ("c_name", "STRING"),
+                       ("c_acctbal", "DOUBLE"), ("c_mktsegment", "STRING"),
+                       ("load_ts", "TIMESTAMP")),
+        hashed_columns=(
+            HashSpec("hk_customer_h", ("c_custkey",)),
+            HashSpec("hd_customer_s", ("c_acctbal", "c_mktsegment"),
+                     is_hashdiff=True)))
+    sat = SatConfig("sat_cust_stream", "stage_cust_stream",
+                    "hk_customer_h", "hd_customer_s",
+                    payload=("c_acctbal", "c_mktsegment"))
+    return stage, sat
+
+
+@pytest.fixture(scope="module")
+def customer_version_batches(tmp_path_factory):
+    """3 arriving files: full snapshot, then two delta files that mix
+    real changes with no-change re-deliveries (same hashdiff, newer
+    ldts) — the rows sat_v0's latest-vs-target compare must drop."""
+    import time
+    import duckdb
+    root = tmp_path_factory.mktemp("cust_stream_src")
+    con = duckdb.connect()
+    base = (f"SELECT c_custkey, c_name, c_acctbal, c_mktsegment "
+            f"FROM '{SF_DIR}/customer.parquet'")
+    batches = [
+        # day 1: initial snapshot of everyone
+        f"SELECT *, TIMESTAMP '2024-03-01' AS load_ts FROM ({base})",
+        # day 2: even keys change balance; odd keys re-delivered verbatim
+        f"""SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 10
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment, TIMESTAMP '2024-03-02' AS load_ts
+            FROM ({base}) WHERE c_custkey % 3 != 0""",
+        # day 3: replay of some day-2 rows (no change) + segment flips
+        f"""SELECT c_custkey, c_name, c_acctbal + 10 AS c_acctbal,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'FLIPPED'
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   TIMESTAMP '2024-03-03' AS load_ts
+            FROM ({base}) WHERE c_custkey % 2 = 0""",
+    ]
+    for i, q in enumerate(batches):
+        con.execute(f"COPY ({q}) TO '{root}/batch_{i}.parquet' "
+                    f"(FORMAT PARQUET)")
+        time.sleep(0.05)  # distinct mtimes: file source processes in order
+    return str(root)
+
+
+def test_streaming_sat_v0_equals_batch(spark, customer_version_batches,
+                                       tmp_path):
+    """Streamed sat_v0 (LAG dedup per batch + latest-vs-target compare +
+    (hk, ldts) replay anti-join) over time-ordered version files must
+    equal the one-shot batch sat_v0 over the union of all files."""
+    from pyspark.sql import functions as F
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.operators.stage import build_stage
+    from datavault4dbt_spark.operators.sat import build_sat_v0
+
+    fixtures.ensure_session_conf(spark)
+    stage_cfg, sat_cfg = _cust_stream_cfgs()
+    cfg = StreamIngestConfig(
+        source_dir=customer_version_batches, source_name="cust_stream",
+        stage=stage_cfg, sats=(sat_cfg,), max_files_per_trigger=1)
+    store = ParquetStore(spark, str(tmp_path / "vault"))
+    schema = spark.read.parquet(customer_version_batches).schema
+
+    q = start_ingest(spark, cfg, store, schema,
+                     str(tmp_path / "ckpt_sat"), available_now=True)
+    q.awaitTermination(300)
+
+    # one-shot batch reference over the union of every arrived file
+    reg = Registry()
+    reg.spark_loaders["cust_stream"] = (
+        lambda sp: sp.read.parquet(customer_version_batches))
+    staged = build_stage(spark, reg, stage_cfg)
+    reg.spark_loaders[stage_cfg.name] = lambda sp: staged
+    want_df = build_sat_v0(spark, reg, sat_cfg)
+
+    cols = ["hk_customer_h", "hd_customer_s", "ldts", "rsrc",
+            "c_acctbal", "c_mktsegment"]
+    want = {tuple(map(str, r)) for r in want_df.select(*cols).collect()}
+    got = {tuple(map(str, r))
+           for r in store.read(sat_cfg.name).select(*cols).collect()}
+    assert got == want
+    # day-2 changes and day-3 flips actually landed (delta history real)
+    n_versions = (store.read(sat_cfg.name)
+                  .groupBy("hk_customer_h").count()
+                  .agg(F.max("count")).first()[0])
+    assert n_versions >= 3
+
+
+def test_streaming_sat_v0_replay_inserts_nothing(spark,
+                                                 customer_version_batches,
+                                                 tmp_path):
+    """At-least-once re-delivery of an already-applied micro-batch must
+    insert zero rows (the (hk, ldts) anti-join guarantee)."""
+    stage_cfg, sat_cfg = _cust_stream_cfgs()
+    fixtures.ensure_session_conf(spark)
+    cfg = StreamIngestConfig(
+        source_dir=customer_version_batches, source_name="cust_stream",
+        stage=stage_cfg, sats=(sat_cfg,), max_files_per_trigger=1)
+    store = ParquetStore(spark, str(tmp_path / "vault"))
+    loader = micro_batch_loader(cfg, store)
+    b0 = spark.read.parquet(f"{customer_version_batches}/batch_0.parquet")
+    b1 = spark.read.parquet(f"{customer_version_batches}/batch_1.parquet")
+    loader(b0, 0)
+    loader(b1, 1)
+    n1 = store.read(sat_cfg.name).count()
+    loader(b1, 2)   # replay the whole second batch
+    n2 = store.read(sat_cfg.name).count()
+    assert n1 == n2 > 0
+
+
 def test_streaming_exact_dedup_matches_batch(spark, event_batches, tmp_path):
     """Streamed horizon-dedup over arriving files (including a full
     duplicate file) must keep exactly one row per content hash — the
