@@ -129,9 +129,15 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
             pit_name, [parts[d] for d in stale])
         store.drop_partitions(pit_name, g.sdts_alias, stale)
         return deleted
-    pit = store.read(pit_name)
-    before = pit.count()
-    store.delete_where(pit_name, ~F.col(g.sdts_alias).isin(active))
+    # Rewrite path (unpartitioned/mixed parquet layout) — or the native
+    # DELETE path on stores whose delete is already targeted (Delta:
+    # partition-predicate deletes are metadata-only commits and report
+    # numDeletedRows themselves, so no before/after count scans).
+    cond = ~F.col(g.sdts_alias).isin(active)
+    if getattr(store, "DELETE_RETURNS_METRICS", False):
+        return store.delete_where(pit_name, cond)
+    before = store.read(pit_name).count()
+    store.delete_where(pit_name, cond)
     return before - store.read(pit_name).count()
 
 

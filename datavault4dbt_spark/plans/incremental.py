@@ -78,7 +78,13 @@ class ParquetStore:
 
     Stands in for Delta in this container (delta-spark is not baked in);
     the write pattern (append of records_to_insert) is identical.
+    ``plans.delta.DeltaStore`` implements this same interface over
+    Delta Lake transactions (``make_store`` picks at runtime).
     """
+
+    # delete_where cannot report rows deleted without extra scans here;
+    # DeltaStore flips this and returns the commit's numDeletedRows.
+    DELETE_RETURNS_METRICS = False
 
     def __init__(self, spark, root: str):
         self.spark = spark
@@ -215,15 +221,20 @@ class ParquetStore:
         os.rename(tmp, final)
         shutil.rmtree(old, ignore_errors=True)
 
-    def delete_where(self, name: str, condition):
+    def delete_where(self, name: str, condition) -> int | None:
         """DELETE FROM name WHERE condition (reference:
         macros/hooks/clean_up_pits.sql:128-137 uses warehouse DELETE;
-        with Delta this would be DeltaTable.delete).
+        DeltaStore overrides this with a native DeltaTable.delete).
 
         SQL DELETE removes only rows where the condition is TRUE; rows
         where it evaluates to NULL are KEPT. A bare ``~condition`` would
         instead drop them (NULL negates to NULL, filter drops), so the
-        condition is coalesced to FALSE before negating."""
+        condition is coalesced to FALSE before negating.
+
+        Returns rows deleted when the backend can report it without
+        extra scans (``DELETE_RETURNS_METRICS``), else None — callers
+        needing a count on this store must count around the call."""
         keep = ~F.coalesce(condition, F.lit(False))
         df = self.read(name).filter(keep)
         self.overwrite(name, df)
+        return None

@@ -102,8 +102,10 @@ def run_pipeline(spark, decls: dict, store: ParquetStore,
             new.unpersist()
         counts[name] = n
         # downstream entities read the STORED table, not the plan
-        # (_invalidate also unpersists any cached copy of the old plan)
+        # (_invalidate also unpersists any cached copy of the old plan);
+        # going through store.read keeps the pipeline storage-agnostic
+        # (ParquetStore and DeltaStore plug in identically)
         reg._invalidate(name)
         reg.spark_loaders[name] = (
-            lambda spark, p=store.path(name): spark.read.parquet(p))
+            lambda spark, s=store, n=name: s.read(n))
     return counts

@@ -71,6 +71,60 @@ def test_clean_up_pit(spark, sf_dir, tmp_path):
     assert left <= active
 
 
+def test_clean_up_pit_uses_delete_metrics_when_store_reports_them(
+        spark, sf_dir, tmp_path):
+    """A store with DELETE_RETURNS_METRICS (DeltaStore) must get its
+    deleted count straight from delete_where — no before/after count
+    scans. Verified with an instrumented ParquetStore double."""
+    class MetricStore(ParquetStore):
+        DELETE_RETURNS_METRICS = True
+        reads_after_delete = 0
+        deleted_called = 0
+
+        def delete_where(self, name, condition):
+            keep = ~F.coalesce(condition, F.lit(False))
+            df = self.read(name)
+            total = df.count()
+            kept = df.filter(keep)
+            n = total - kept.count()
+            self.overwrite(name, kept)
+            self.deleted_called += 1
+            self._post_delete = True
+            return n
+
+        def read(self, name):
+            if getattr(self, "_post_delete", False):
+                self.reads_after_delete += 1
+            return super().read(name)
+
+    store = MetricStore(spark, str(tmp_path))
+    pit = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    store.overwrite("pit_customer", pit)
+    before = store.read("pit_customer").count()
+    store._post_delete = False
+    store.reads_after_delete = 0
+
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    thinned = snap.withColumn(
+        "is_active", F.col("is_active") & F.col("is_beginning_of_week"))
+    deleted = clean_up_pit(store, "pit_customer", thinned)
+    assert store.deleted_called == 1
+    assert store.reads_after_delete == 0      # no post-delete count scan
+    assert deleted == before - store.read("pit_customer").count() > 0
+
+
+def test_make_store_falls_back_to_parquet_without_delta(spark, tmp_path):
+    from datavault4dbt_spark.plans.delta import make_store, delta_available
+    s = make_store(spark, str(tmp_path / "v"), prefer="auto")
+    if delta_available():
+        pytest.skip("delta installed; covered by test_delta_store.py")
+    assert type(s) is ParquetStore
+    with pytest.raises(ImportError):
+        make_store(spark, str(tmp_path / "v"), prefer="delta")
+    with pytest.raises(ValueError):
+        make_store(spark, str(tmp_path / "v"), prefer="bogus")
+
+
 def test_clean_up_pit_refuses_empty_active_set(spark, sf_dir, tmp_path):
     """An empty active set (misconfigured trigger / empty control table)
     must raise instead of silently deleting the whole PIT."""
