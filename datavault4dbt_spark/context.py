@@ -159,6 +159,10 @@ class Registry:
     # equivalent of a materialized staging table.
     persist_names: set = field(default_factory=set)
     _df_cache: dict = field(default_factory=dict)
+    # loads may race when a DAG scheduler builds entities from threads
+    # (plans/replay.py): without the lock two threads can build-and-
+    # persist the same shared subtree, leaking a duplicate cached copy
+    _lock: object = field(default_factory=lambda: __import__("threading").RLock())
 
     def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
         self._invalidate(name)
@@ -188,13 +192,22 @@ class Registry:
             self._invalidate(name)
 
     def load(self, spark, name: str):
-        if name in self._df_cache:
-            return self._df_cache[name]
+        df = self._df_cache.get(name)
+        if df is not None:
+            return df
+        # Build OUTSIDE the lock: loaders recurse into load() for their
+        # dependencies (and a top-level load may fan out worker threads
+        # that need this registry — holding the lock through a build
+        # would self-deadlock). Concurrent threads may duplicate plan
+        # construction (cheap, no actions); only the winner's plan is
+        # cached and persisted, so nothing leaks.
         df = self.spark_loaders[name](spark)
-        if name in self.persist_names:
-            df = df.persist()  # MEMORY_AND_DISK; LRU-evicted
-        self._df_cache[name] = df
-        return df
+        with self._lock:
+            if name not in self._df_cache:
+                if name in self.persist_names:
+                    df = df.persist()  # MEMORY_AND_DISK; LRU-evicted
+                self._df_cache[name] = df
+            return self._df_cache[name]
 
     def duckdb_relation(self, name: str) -> str:
         return self.duckdb_relations[name]

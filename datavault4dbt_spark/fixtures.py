@@ -42,10 +42,13 @@ from .plans.replay import (ReplayConfig, ReplayMember, run_replay,
                            replay_oracle)
 from .llm.dedup import (
     ExactDedupConfig, MinHashLshConfig, SimHashConfig, NgramJaccardConfig,
-    EmbeddingCosineConfig, build_exact_dedup, build_minhash_lsh,
-    build_simhash_dedup, build_ngram_jaccard, build_embedding_cosine,
-    exact_dedup_oracle, minhash_lsh_oracle, simhash_dedup_oracle,
-    ngram_jaccard_oracle, embedding_cosine_oracle)
+    EmbeddingCosineConfig, DupGroupsConfig, build_exact_dedup,
+    build_minhash_lsh, build_simhash_dedup, build_ngram_jaccard,
+    build_embedding_cosine, build_dup_groups, exact_dedup_oracle,
+    minhash_lsh_oracle, simhash_dedup_oracle, ngram_jaccard_oracle,
+    embedding_cosine_oracle, dup_groups_oracle)
+from .llm.contamination import (ContaminationConfig, build_contamination,
+                                contamination_oracle)
 from .llm.similarity import (AnnConfig, build_ann_topk, ann_topk_oracle,
                              IvfConfig, build_ann_ivf, ann_ivf_oracle)
 from .llm.textstats import (
@@ -352,6 +355,13 @@ BUNDLES = {
                      "CAST(s_suppkey AS STRING)"),
         BundleMember("sat_nation_s", "hk_nation_h", "hd_nation_s"),
         BundleMember("sat_customer_p0_s", "hk_customer_h", "hd_customer_p_s"),
+        # hub x6 and ref_hub's whole chain (ref_table/ref_sats) remain
+        # individually exposed; these two free slots for the round-5
+        # LLM ops (dedup_groups, contamination) at constant surface
+        BundleMember("hub_nation", "hk_nation_h",
+                     "CAST(n_nationkey AS STRING)"),
+        BundleMember("ref_hub_nation", "CAST(n_nationkey AS STRING)",
+                     "CAST(NULL AS STRING)"),
     )),
 }
 
@@ -402,6 +412,12 @@ DEDUP_SIMHASH = {"dedup_simhash": SimHashConfig("dedup_simhash")}
 DEDUP_JACCARD = {"dedup_ngram_jaccard": NgramJaccardConfig("dedup_ngram_jaccard")}
 DEDUP_COSINE = {"dedup_embedding_cosine":
                 EmbeddingCosineConfig("dedup_embedding_cosine")}
+# connected components over the MinHash candidate pairs: group id =
+# min doc id per component, the canonical survivor-selection step
+DEDUP_GROUPS = {"dedup_groups": DupGroupsConfig("dedup_groups")}
+# train/eval n-gram overlap (decontamination); eval set = doc_id % 17
+CONTAMINATION = {"contamination_ngrams":
+                 ContaminationConfig("contamination_ngrams")}
 ANNS = {
     "ann_cosine_topk": AnnConfig("ann_cosine_topk"),
     "ann_lsh_topk": AnnConfig("ann_lsh_topk", lsh_bits=6),
@@ -478,6 +494,9 @@ _FAMILIES = [
     (DEDUP_SIMHASH, build_simhash_dedup, simhash_dedup_oracle, _NO_DEPS),
     (DEDUP_JACCARD, build_ngram_jaccard, ngram_jaccard_oracle, _NO_DEPS),
     (DEDUP_COSINE, build_embedding_cosine, embedding_cosine_oracle, _NO_DEPS),
+    (DEDUP_GROUPS, build_dup_groups, dup_groups_oracle,
+     lambda c: [c.pairs_entity]),
+    (CONTAMINATION, build_contamination, contamination_oracle, _NO_DEPS),
     (ANNS, build_ann_topk, ann_topk_oracle, _NO_DEPS),
     (ANN_IVFS, build_ann_ivf, ann_ivf_oracle, _NO_DEPS),
     (TEXT_LANGID, build_langid, langid_oracle, _NO_DEPS),

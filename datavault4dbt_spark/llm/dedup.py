@@ -652,3 +652,98 @@ def embedding_cosine_oracle(b: SqlBuilder, reg: Registry,
         f"FROM {cand} c JOIN {n} va ON va.{cfg.id_col} = c.id_a "
         f"JOIN {n} vb ON vb.{cfg.id_col} = c.id_b "
         f"WHERE round({dot} / (va.nrm * vb.nrm), 6) >= {cfg.threshold}")
+
+
+# ------------------------------------------------------- dup groups CC --
+
+@dataclass(frozen=True)
+class DupGroupsConfig:
+    """Duplicate-GROUP resolution: connected components over a
+    near-duplicate pair list. Pair discovery (LSH) yields edges; a
+    training-data pipeline needs the transitive closure — one group id
+    per connected set of documents — to pick one survivor per group
+    (keeping "A~B, B~C" as two independent pairs can drop both B and C
+    or neither). No reference analogue; standard corpus-dedup step.
+    """
+
+    name: str
+    pairs_entity: str = "dedup_minhash_lsh"   # emits (id_a, id_b, n_bands)
+    min_bands: int = 1       # edge = pair colliding in >= min_bands bands
+    max_iter: int = 15       # propagation rounds (>= group diameter)
+
+
+def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node's label converges
+    to the smallest doc id in its component, which becomes the group id
+    (and the canonical survivor). Returns (doc_id, group_id, group_size)
+    for every document in some duplicate group.
+
+    Scale design: one round = one shuffle (edge join on the propagation
+    key + min-aggregate), and near-duplicate components are near-cliques
+    by construction (every member pair collides in some LSH band), so
+    the diameter — and the round count — is small and independent of
+    corpus size; `localCheckpoint` truncates lineage each round so plans
+    don't grow. The per-round convergence probe is a driver-side scalar
+    action, same pattern as the HWM probes (plans/incremental.py:27).
+    For adversarial long-chain graphs swap in pointer-jumping
+    (large-star/small-star, Kiveris et al. 2014) — near-dup dedup does
+    not produce those.
+    """
+    pairs = reg.load(spark, cfg.pairs_entity) \
+        .filter(F.col("n_bands") >= cfg.min_bands).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"))).persist()
+    labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(cfg.max_iter):
+        nbr = (edges.join(labels, edges.id_b == labels.doc_id)
+               .groupBy("id_a").agg(F.min("label").alias("nbr_min")))
+        upd = (labels.join(nbr, labels.doc_id == nbr.id_a, "left")
+               .select(labels.doc_id, labels.label,
+                       F.least(labels.label,
+                               F.coalesce(F.col("nbr_min"), labels.label))
+                       .alias("new_label"))
+               .localCheckpoint(eager=True))
+        changed = upd.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = upd.select("doc_id", F.col("new_label").alias("label"))
+        if not changed:
+            break
+    else:
+        raise ValueError(
+            f"{cfg.name}: no fixpoint after {cfg.max_iter} rounds — "
+            f"component diameter exceeds max_iter (raise it, or use "
+            f"pointer-jumping for chain-shaped graphs)")
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("group_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("group_id"), "group_size"))
+
+
+def dup_groups_oracle(b: SqlBuilder, reg: Registry, cfg: DupGroupsConfig,
+                      g: GlobalConfig = DEFAULT) -> str:
+    """Independent semantics: recursive transitive closure (reach set
+    per node), group id = min reachable id. O(sum of component^2) — an
+    oracle-side cost only; the Spark plan never materializes closures."""
+    pairs = reg.duckdb_relation(cfg.pairs_entity)
+    e = b.cte(f"{cfg.name}__e",
+              f"SELECT id_a AS a, id_b AS bb FROM {pairs} "
+              f"WHERE n_bands >= {cfg.min_bands}\n"
+              f"UNION ALL\n"
+              f"SELECT id_b AS a, id_a AS bb FROM {pairs} "
+              f"WHERE n_bands >= {cfg.min_bands}")
+    r = b.cte(f"{cfg.name}__reach",
+              f"SELECT a AS node, bb AS peer FROM {e}\n"
+              f"UNION\n"
+              f"SELECT r.node, e.bb AS peer FROM {cfg.name}__reach r "
+              f"JOIN {e} e ON r.peer = e.a",
+              recursive=True)
+    lab = b.cte(f"{cfg.name}__lab",
+                f"SELECT node AS doc_id, least(node, min(peer)) AS group_id "
+                f"FROM {r} GROUP BY node")
+    return b.cte(
+        cfg.name,
+        f"SELECT doc_id, group_id, "
+        f"count(*) OVER (PARTITION BY group_id) AS group_size FROM {lab}")

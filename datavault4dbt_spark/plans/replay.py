@@ -78,14 +78,23 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
         phase1.spark_loaders[s] = (
             lambda sp, o=orig, c=cut: o(sp).filter(c))
 
-    finals = []
-    for m in cfg.members:
+    # Members are independent two-phase loads (own store paths, no
+    # cross-member data deps) — run them concurrently: each thread
+    # submits Spark jobs that the scheduler interleaves, exactly how a
+    # DAG scheduler runs parallel vault branches in production. Shared
+    # stage subtrees are persist()ed in the registries, so the first
+    # thread to touch one materializes it and the rest reuse the cache.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_member(m: ReplayMember):
         mcfg, bld, _orc, _deps = index[m.entity]
         store.append(m.entity, bld(spark, phase1, mcfg, g, target=None))
         inc = bld(spark, reg, mcfg, g, target=store.read(m.entity))
         store.append(m.entity, inc)
-        finals.append(
-            store.read(m.entity).selectExpr(*_member_exprs(m, g)))
+        return store.read(m.entity).selectExpr(*_member_exprs(m, g))
+
+    with ThreadPoolExecutor(max_workers=len(cfg.members)) as pool:
+        finals = list(pool.map(load_member, cfg.members))
     return reduce(lambda a, b: a.unionByName(b), finals)
 
 

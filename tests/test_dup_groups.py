@@ -1,0 +1,102 @@
+"""Duplicate-group connected components + n-gram contamination:
+edge-case semantics the oracle-parity sweep can't isolate (chain
+graphs, empty edge sets, non-convergence guard, eval-set boundaries).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavault4dbt_spark.context import Registry
+from datavault4dbt_spark.llm.dedup import DupGroupsConfig, build_dup_groups
+from datavault4dbt_spark.llm.contamination import (ContaminationConfig,
+                                                   build_contamination)
+
+
+def _pairs_reg(spark, rows):
+    reg = Registry()
+    reg.spark_loaders["pairs"] = (
+        lambda sp, r=rows: sp.createDataFrame(
+            r, "id_a bigint, id_b bigint, n_bands bigint"))
+    return reg
+
+
+def test_chain_graph_converges_to_component_min(spark):
+    """a-b-c-d chain (diameter 3, NOT a clique): every node must land
+    in one group labeled by the min id, sized 4."""
+    reg = _pairs_reg(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    out = build_dup_groups(spark, reg, DupGroupsConfig(
+        "g", pairs_entity="pairs")).collect()
+    assert {(r.doc_id, r.group_id, r.group_size) for r in out} == {
+        (1, 1, 4), (2, 1, 4), (3, 1, 4), (4, 1, 4)}
+
+
+def test_two_components_and_min_bands_filter(spark):
+    """n_bands below min_bands is not an edge; components stay split."""
+    reg = _pairs_reg(spark, [(1, 2, 3), (5, 6, 3), (2, 5, 1)])  # weak 2-5
+    out = build_dup_groups(spark, reg, DupGroupsConfig(
+        "g", pairs_entity="pairs", min_bands=2)).collect()
+    groups = {r.doc_id: r.group_id for r in out}
+    assert groups == {1: 1, 2: 1, 5: 5, 6: 5}
+    assert all(r.group_size == 2 for r in out)
+
+
+def test_empty_pairs_yield_empty_result_with_schema(spark):
+    reg = _pairs_reg(spark, [])
+    out = build_dup_groups(spark, reg, DupGroupsConfig(
+        "g", pairs_entity="pairs"))
+    assert out.columns == ["doc_id", "group_id", "group_size"]
+    assert out.count() == 0
+
+
+def test_non_convergence_raises(spark):
+    """A chain longer than max_iter must fail loudly, not return a
+    half-propagated grouping."""
+    chain = [(i, i + 1, 1) for i in range(1, 8)]   # diameter 7
+    reg = _pairs_reg(spark, chain)
+    with pytest.raises(ValueError, match="fixpoint"):
+        build_dup_groups(spark, reg, DupGroupsConfig(
+            "g", pairs_entity="pairs", max_iter=2))
+
+
+def _docs_reg(spark, rows):
+    reg = Registry()
+    reg.spark_loaders["docs"] = (
+        lambda sp, r=rows: sp.createDataFrame(r, "doc_id bigint, text string"))
+    return reg
+
+
+def test_contamination_flags_only_train_docs_with_overlap(spark):
+    # doc 0 is EVAL (0 % 17 == 0); doc 18 shares its 3-gram, doc 19 not
+    reg = _docs_reg(spark, [
+        (0, "the quick brown fox"),
+        (18, "see the quick brown dog"),
+        (19, "entirely different words here"),
+    ])
+    out = build_contamination(spark, reg, ContaminationConfig(
+        "c", source="docs", ngram_n=3)).collect()
+    assert {(r.doc_id, r.n_shared_ngrams, r.n_eval_docs_hit)
+            for r in out} == {(18, 1, 1)}
+
+
+def test_contamination_counts_distinct_grams_and_eval_docs(spark):
+    # two eval docs (0, 17) share distinct 2-grams with train doc 5
+    reg = _docs_reg(spark, [
+        (0, "alpha beta gamma"),
+        (17, "delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon"),
+    ])
+    out = {r.doc_id: (r.n_shared_ngrams, r.n_eval_docs_hit)
+           for r in build_contamination(spark, reg, ContaminationConfig(
+               "c", source="docs", ngram_n=2)).collect()}
+    # doc 5 grams: alpha-beta, beta-gamma (eval 0) + delta-epsilon (eval 17)
+    assert out == {5: (3, 2)}
+
+
+def test_contamination_eval_docs_never_flagged(spark):
+    reg = _docs_reg(spark, [
+        (0, "same exact words here"),
+        (17, "same exact words here"),
+    ])
+    out = build_contamination(spark, reg, ContaminationConfig(
+        "c", source="docs", ngram_n=2)).collect()
+    assert out == []   # eval-eval overlap is not contamination

@@ -174,3 +174,26 @@ def test_embedding_cosine_rejects_short_vectors(spark, sf_dir):
     cfg = EmbeddingCosineConfig("bad", source="short_vecs")
     with pytest.raises(ValueError, match="lsh_bands"):
         build_embedding_cosine(spark, reg, cfg)
+
+
+def test_contamination_eval_grams_broadcast_no_cartesian(spark, sf_dir):
+    """The eval gram set is tiny by construction (benchmarks vs corpus):
+    the probe join must broadcast it — a shuffle or cartesian over the
+    corpus gram explosion is the 100 TB failure mode."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("contamination_ngrams")(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_groups_no_cartesian_and_converged(spark, sf_dir):
+    """CC propagation joins stay equi-joins on the edge keys; the
+    returned frame reflects a reached fixpoint (builder raises
+    otherwise), so the plan is the final labels join only."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("dedup_groups")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
