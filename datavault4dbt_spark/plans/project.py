@@ -94,6 +94,51 @@ KINDS = {
 }
 
 
+def _llm_kinds() -> dict:
+    """Training-data operators as project entities: derived analytics
+    results, so they materialize as full-rebuild tables (rerunning a
+    project recomputes them from current inputs — dedup/quality output
+    is not incremental by nature)."""
+    from ..llm.dedup import (build_exact_dedup, build_minhash_lsh,
+                             build_simhash_dedup, build_ngram_jaccard,
+                             build_embedding_cosine, build_dup_groups)
+    from ..llm.similarity import build_ann_topk, build_ann_ivf
+    from ..llm.textstats import (build_langid, build_quality,
+                                 build_token_count, build_fingerprint)
+    from ..llm.multimodal import build_multimodal_features
+    from ..llm.curation import build_curation
+    from ..llm.contamination import build_contamination
+
+    src = lambda c: [c.source]                       # noqa: E731
+    kinds = {
+        "exact_dedup": (build_exact_dedup, src),
+        "minhash_lsh": (build_minhash_lsh, src),
+        "simhash_dedup": (build_simhash_dedup, src),
+        "ngram_jaccard": (build_ngram_jaccard, src),
+        "embedding_cosine": (build_embedding_cosine, src),
+        "dup_groups": (build_dup_groups, lambda c: [c.pairs_entity]),
+        "ann_topk": (build_ann_topk, src),
+        "ann_ivf": (build_ann_ivf, src),
+        "langid": (build_langid, src),
+        "quality": (build_quality, src),
+        "token_count": (build_token_count, src),
+        "fingerprint": (build_fingerprint, src),
+        "multimodal": (build_multimodal_features, src),
+        "curation": (build_curation,
+                     lambda c: [c.quality_entity, c.langid_entity,
+                                c.dedup_entity]),
+        "contamination": (build_contamination, src),
+    }
+    # 'table' = full rebuild: run_pipeline never passes target= for it,
+    # matching the builders' signatures; declaring one of these
+    # 'incremental' in YAML fails loudly (no target kwarg) rather than
+    # silently appending duplicate derived rows on rerun.
+    return {k: (b, "table", deps) for k, (b, deps) in kinds.items()}
+
+
+KINDS.update(_llm_kinds())
+
+
 def load_project(project_dir: str) -> dict:
     """Parse every ``*.yml``/``*.yaml`` in ``project_dir`` into
     EntityDecls keyed by entity name. Fails loudly on unknown kinds,

@@ -354,6 +354,65 @@ def parse_control_snap_v1(yaml_metadata, name: str,
                         current_ts=m.get("current_ts"))
 
 
+def _dataclass_parser(cls):
+    """Generic YAML parser for the flat LLM-operator configs: every
+    YAML key must be a dataclass field; YAML lists become tuples
+    (recursively) to satisfy frozen-dataclass hashing. Unknown keys
+    fail loudly — a typo'd knob must not silently keep its default."""
+    import dataclasses
+
+    field_names = {f.name for f in dataclasses.fields(cls)} - {"name"}
+
+    def _to_tuple(v):
+        if isinstance(v, list):
+            return tuple(_to_tuple(x) for x in v)
+        return v
+
+    def parse_fn(yaml_metadata, name: str):
+        m = _load(yaml_metadata)
+        unknown = set(m) - field_names
+        if unknown:
+            raise ValueError(
+                f"{cls.__name__}: unknown yaml keys {sorted(unknown)} "
+                f"(expected a subset of {sorted(field_names)})")
+        return cls(name=name, **{k: _to_tuple(v) for k, v in m.items()})
+
+    return parse_fn
+
+
+def _llm_parsers() -> dict:
+    """kind -> parser for the beyond-reference training-data operators,
+    so a project YAML can declare the full curation pipeline alongside
+    the vault entities (plans/project.py wires the builders)."""
+    from .llm.dedup import (ExactDedupConfig, MinHashLshConfig,
+                            SimHashConfig, NgramJaccardConfig,
+                            EmbeddingCosineConfig, DupGroupsConfig)
+    from .llm.similarity import AnnConfig, IvfConfig
+    from .llm.textstats import (LangIdConfig, QualityConfig,
+                                TokenCountConfig, FingerprintConfig)
+    from .llm.multimodal import MultimodalConfig
+    from .llm.curation import CurationConfig
+    from .llm.contamination import ContaminationConfig
+
+    return {
+        "exact_dedup": _dataclass_parser(ExactDedupConfig),
+        "minhash_lsh": _dataclass_parser(MinHashLshConfig),
+        "simhash_dedup": _dataclass_parser(SimHashConfig),
+        "ngram_jaccard": _dataclass_parser(NgramJaccardConfig),
+        "embedding_cosine": _dataclass_parser(EmbeddingCosineConfig),
+        "dup_groups": _dataclass_parser(DupGroupsConfig),
+        "ann_topk": _dataclass_parser(AnnConfig),
+        "ann_ivf": _dataclass_parser(IvfConfig),
+        "langid": _dataclass_parser(LangIdConfig),
+        "quality": _dataclass_parser(QualityConfig),
+        "token_count": _dataclass_parser(TokenCountConfig),
+        "fingerprint": _dataclass_parser(FingerprintConfig),
+        "multimodal": _dataclass_parser(MultimodalConfig),
+        "curation": _dataclass_parser(CurationConfig),
+        "contamination": _dataclass_parser(ContaminationConfig),
+    }
+
+
 PARSERS = {
     "stage": parse_stage, "hub": parse_hub, "link": parse_link,
     "sat_v0": parse_sat_v0, "sat_v1": parse_sat_v1,
@@ -365,6 +424,7 @@ PARSERS = {
     "ref_sat_v1": parse_ref_sat_v1, "ref_table": parse_ref_table,
     "control_snap_v0": parse_control_snap_v0,
     "control_snap_v1": parse_control_snap_v1,
+    **_llm_parsers(),
 }
 
 

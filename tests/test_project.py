@@ -123,3 +123,30 @@ def test_run_project_snapshot_pit_chain(spark, sf_dir, tmp_path):
     counts2 = run_project(spark, proj, store, make_registry(sf_dir))
     assert counts2["pit_customer"] == 0
     assert store.read("pit_customer").count() == hub_n * active_n
+
+
+def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
+    """The YAML project front door drives the training-data operators:
+    examples/curation_project materializes quality -> langid ->
+    minhash -> dup_groups/curation/contamination in dependency order,
+    and each stored table equals the direct fixture-built result."""
+    import shutil
+
+    fixtures.ensure_session_conf(spark)
+    proj = str(tmp_path / "cur_proj")
+    shutil.copytree("examples/curation_project", proj)
+    store = ParquetStore(spark, str(tmp_path / "cur_wh"))
+
+    counts = run_project(spark, proj, store, make_registry(sf_dir))
+    assert set(counts) == {"text_quality", "text_langid",
+                           "dedup_minhash_lsh", "dedup_groups",
+                           "docs_curated", "contamination_ngrams"}
+    for name in ("dedup_groups", "docs_curated", "contamination_ngrams"):
+        want = _rows(fixtures.entity_query(name)(spark, sf_dir))
+        assert _rows(store.read(name)) == want, name
+
+    # rerun: table materializations rebuild to the same state
+    counts2 = run_project(spark, proj, store, make_registry(sf_dir))
+    assert counts2 == counts
+    assert _rows(store.read("docs_curated")) == _rows(
+        fixtures.entity_query("docs_curated")(spark, sf_dir))

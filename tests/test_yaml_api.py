@@ -176,3 +176,32 @@ hashed_columns:
   hk_user_h: [user_id]
 """, name="stage_events_seq")
     assert cfg == fixtures.STAGES["stage_events_seq"]
+
+
+def test_llm_kind_yaml_roundtrip():
+    """Generic dataclass parser: YAML keys map to config fields, lists
+    become tuples, name comes from the file stem."""
+    cfg = yaml_api.parse("minhash_lsh", """
+source: documents
+shingle_n: 3
+num_perm: 16
+bands: 4
+""", name="dedup_minhash_lsh")
+    assert cfg == fixtures.DEDUP_MINHASH["dedup_minhash_lsh"]
+
+    dg = yaml_api.parse("dup_groups", "pairs_entity: dedup_minhash_lsh\n",
+                        name="dedup_groups")
+    assert dg == fixtures.DEDUP_GROUPS["dedup_groups"]
+
+    q = yaml_api.parse("quality", """
+source: documents
+stopwords: [the, a, of, and, to, in, is]
+""", name="text_quality")
+    assert q == fixtures.TEXT_QUALITY["text_quality"]
+    assert isinstance(q.stopwords, tuple)
+
+
+def test_llm_kind_rejects_unknown_keys():
+    import pytest
+    with pytest.raises(ValueError, match="unknown yaml keys"):
+        yaml_api.parse("contamination", "ngram_size: 5\n", name="c")
