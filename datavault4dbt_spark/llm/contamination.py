@@ -44,19 +44,25 @@ class ContaminationConfig:
 def _grams(cfg: ContaminationConfig, reg: Registry, spark) -> DataFrame:
     df = reg.load(spark, cfg.source)
     w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
-    return (w.selectExpr(cfg.id_col,
-                         f"explode({spark_shingles('w', cfg.ngram_n)}) AS gram")
-            .distinct())
+    return w.selectExpr(
+        cfg.id_col, f"explode({spark_shingles('w', cfg.ngram_n)}) AS gram")
 
 
 def build_contamination(spark, reg: Registry, cfg: ContaminationConfig,
                         g: GlobalConfig = DEFAULT) -> DataFrame:
     """(doc_id, n_shared_ngrams, n_eval_docs_hit) for every TRAIN
-    document sharing >= 1 n-gram with the eval set."""
+    document sharing >= 1 n-gram with the eval set.
+
+    The corpus side is deliberately NOT pre-deduplicated: a distinct
+    over the full gram explosion is a corpus-wide shuffle, while the
+    countDistinct aggregation dedupes within the (much smaller) per-doc
+    groups after the broadcast join has filtered to overlap rows only.
+    Only the eval side (small) pays an explicit distinct."""
     grams = _grams(cfg, reg, spark)
     is_eval = (F.col(cfg.id_col) % cfg.eval_mod) == 0
     eval_grams = (grams.filter(is_eval)
-                  .select(F.col(cfg.id_col).alias("eval_id"), "gram"))
+                  .select(F.col(cfg.id_col).alias("eval_id"), "gram")
+                  .distinct())
     if cfg.broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     train = grams.filter(~is_eval)

@@ -696,8 +696,7 @@ def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
         pairs.select(F.col("id_b").alias("id_a"),
                      F.col("id_a").alias("id_b"))).persist()
     labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
-              .localCheckpoint(eager=True))
+              .withColumn("label", F.col("doc_id")))
     for _ in range(cfg.max_iter):
         nbr = (edges.join(labels, edges.id_b == labels.doc_id)
                .groupBy("id_a").agg(F.min("label").alias("nbr_min")))
@@ -717,9 +716,13 @@ def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
             f"component diameter exceeds max_iter (raise it, or use "
             f"pointer-jumping for chain-shaped graphs)")
     edges.unpersist()
-    sizes = labels.groupBy("label").agg(F.count("*").alias("group_size"))
-    return (labels.join(sizes, "label")
-            .select("doc_id", F.col("label").alias("group_id"), "group_size"))
+    # group size via a window over the converged labels: ONE shuffle on
+    # group_id (a groupBy + join-back would shuffle twice)
+    from pyspark.sql import Window
+    wsz = Window.partitionBy("label")
+    return labels.select(
+        "doc_id", F.col("label").alias("group_id"),
+        F.count("*").over(wsz).alias("group_size"))
 
 
 def dup_groups_oracle(b: SqlBuilder, reg: Registry, cfg: DupGroupsConfig,
