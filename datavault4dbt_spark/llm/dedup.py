@@ -697,25 +697,30 @@ def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
                      F.col("id_a").alias("id_b"))).persist()
     labels = (edges.select(F.col("id_a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
-    for _ in range(cfg.max_iter):
-        nbr = (edges.join(labels, edges.id_b == labels.doc_id)
-               .groupBy("id_a").agg(F.min("label").alias("nbr_min")))
-        upd = (labels.join(nbr, labels.doc_id == nbr.id_a, "left")
-               .select(labels.doc_id, labels.label,
-                       F.least(labels.label,
-                               F.coalesce(F.col("nbr_min"), labels.label))
-                       .alias("new_label"))
-               .localCheckpoint(eager=True))
-        changed = upd.filter(F.col("new_label") < F.col("label")).limit(1).count()
-        labels = upd.select("doc_id", F.col("new_label").alias("label"))
-        if not changed:
-            break
-    else:
-        raise ValueError(
-            f"{cfg.name}: no fixpoint after {cfg.max_iter} rounds — "
-            f"component diameter exceeds max_iter (raise it, or use "
-            f"pointer-jumping for chain-shaped graphs)")
-    edges.unpersist()
+    try:
+        for _ in range(cfg.max_iter):
+            nbr = (edges.join(labels, edges.id_b == labels.doc_id)
+                   .groupBy("id_a").agg(F.min("label").alias("nbr_min")))
+            upd = (labels.join(nbr, labels.doc_id == nbr.id_a, "left")
+                   .select(labels.doc_id, labels.label,
+                           F.least(labels.label,
+                                   F.coalesce(F.col("nbr_min"), labels.label))
+                           .alias("new_label"))
+                   .localCheckpoint(eager=True))
+            changed = upd.filter(
+                F.col("new_label") < F.col("label")).limit(1).count()
+            labels = upd.select("doc_id", F.col("new_label").alias("label"))
+            if not changed:
+                break
+        else:
+            raise ValueError(
+                f"{cfg.name}: no fixpoint after {cfg.max_iter} rounds — "
+                f"component diameter exceeds max_iter (raise it, or use "
+                f"pointer-jumping for chain-shaped graphs)")
+    finally:
+        # release the cached edge set on every exit path (the converged
+        # labels are checkpointed, so nothing downstream needs it)
+        edges.unpersist()
     # group size via a window over the converged labels: ONE shuffle on
     # group_id (a groupBy + join-back would shuffle twice)
     from pyspark.sql import Window

@@ -177,7 +177,12 @@ def _kmeans_refine(cfg: IvfConfig, n: DataFrame, cents: DataFrame) -> DataFrame:
                  .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
                       .alias("s"))
                  .selectExpr("cell", "transform(s, e -> e.m) AS cv")
-                 .selectExpr("cell", "cv", f"{_spark_norm('cv')} AS cnrm"))
+                 .selectExpr("cell", "cv", f"{_spark_norm('cv')} AS cnrm")
+                 # materialize the (tiny) centroid table per iteration:
+                 # cuts the nested plan AND executes the pool scans now,
+                 # so the pool cache can be released before returning
+                 .localCheckpoint(eager=True))
+    pool.unpersist()
     return cents
 
 

@@ -133,7 +133,18 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     # DELETE path on stores whose delete is already targeted (Delta:
     # partition-predicate deletes are metadata-only commits and report
     # numDeletedRows themselves, so no before/after count scans).
+    # Same drift guard as the hive fast path: if NO stored row matches
+    # any active sdts (session-timezone or timestamp-type drift between
+    # write and cleanup), "delete everything stale" means the whole PIT
+    # — refuse. The probe is limit(1) over an sdts-pruned scan, cheap
+    # on any backend.
     cond = ~F.col(g.sdts_alias).isin(active)
+    if not store.read(pit_name).filter(
+            F.col(g.sdts_alias).isin(active)).limit(1).count():
+        raise ValueError(
+            f"clean_up_pit({pit_name}): no stored row matches any active "
+            f"snapshot sdts (tz/type drift between write and cleanup?); "
+            f"refusing to delete every row")
     if getattr(store, "DELETE_RETURNS_METRICS", False):
         return store.delete_where(pit_name, cond)
     before = store.read(pit_name).count()

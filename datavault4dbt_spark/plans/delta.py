@@ -101,12 +101,29 @@ class DeltaStore(ParquetStore):
         """Native targeted DELETE. With a partition-column predicate
         Delta drops whole files from the log (metadata-only); otherwise
         it rewrites only the files containing matches. Returns rows
-        deleted, from the commit's operation metrics."""
+        deleted, from the commit's operation metrics.
+
+        The metrics read is guarded: if the latest history entry is not
+        a DELETE (a concurrent writer committed in between) or the
+        engine omitted numDeletedRows, this raises instead of returning
+        a silently wrong 0 — callers that don't need the count can
+        ignore the exception path by not racing writers during
+        maintenance windows (the reference's cleanup assumption too)."""
         t = self._DeltaTable.forPath(self.spark, self.path(name))
         t.delete(condition)
-        last = t.history(1).select("operationMetrics").first()
-        metrics = last[0] if last else {}
-        return int(metrics.get("numDeletedRows", 0) or 0)
+        last = t.history(1).select("operation", "operationMetrics").first()
+        if last is None or last[0] != "DELETE":
+            raise RuntimeError(
+                f"delete_where({name}): latest commit is "
+                f"{last[0] if last else 'absent'!r}, not the DELETE just "
+                f"issued — concurrent writer? Deleted-count unavailable.")
+        metrics = last[1] or {}
+        if "numDeletedRows" not in metrics:
+            raise RuntimeError(
+                f"delete_where({name}): DELETE commit reported no "
+                f"numDeletedRows metric on this engine version; count "
+                f"rows around delete_where instead of relying on it")
+        return int(metrics["numDeletedRows"])
 
     # -- hive-layout protocol: superseded by native DELETE ------------
     def partitions(self, name: str, col: str) -> dict:
@@ -119,12 +136,18 @@ class DeltaStore(ParquetStore):
         return False
 
     def drop_partitions(self, name: str, col: str, values) -> int:
-        """Partition drop as a native delete (metadata-only commit)."""
+        """Partition drop as a native delete (metadata-only commit).
+        Matches the ParquetStore contract: returns the number of
+        requested values actually PRESENT (a partition-pruned distinct
+        over the partition column, answered from file metadata), not
+        the number requested."""
         vals = list(values)
         if not vals:
             return 0
+        present = (self.read(name).filter(F.col(col).isin(vals))
+                   .select(col).distinct().count())
         self.delete_where(name, F.col(col).isin(vals))
-        return len(vals)
+        return present
 
     def partition_row_count(self, name: str, dirs) -> int:
         raise ValueError(

@@ -130,13 +130,16 @@ def _llm_kinds() -> dict:
         "contamination": (build_contamination, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
-    # matching the builders' signatures; declaring one of these
-    # 'incremental' in YAML fails loudly (no target kwarg) rather than
-    # silently appending duplicate derived rows on rerun.
+    # matching the builders' signatures. 'incremental' is rejected at
+    # project-load time (see load_project) — derived analytics rebuilt
+    # incrementally would silently append duplicate rows on rerun.
     return {k: (b, "table", deps) for k, (b, deps) in kinds.items()}
 
 
-KINDS.update(_llm_kinds())
+_LLM = _llm_kinds()
+KINDS.update(_LLM)
+LLM_KINDS = frozenset(_LLM)
+del _LLM
 
 
 def load_project(project_dir: str) -> dict:
@@ -157,6 +160,12 @@ def load_project(project_dir: str) -> dict:
         if name in decls:
             raise ValueError(f"{fn}: duplicate entity name {name!r}")
         materialize = doc.pop("materialize", None)
+        if kind in LLM_KINDS and materialize == "incremental":
+            raise ValueError(
+                f"{fn}: kind {kind!r} cannot be materialized "
+                f"incrementally (derived analytics rebuild fully; an "
+                f"incremental append would duplicate rows on rerun) — "
+                f"drop the materialize key or use 'table'/'view'")
         declared_deps = tuple(doc.pop("depends_on", ()) or ())
         cfg = yaml_api.parse(kind, doc, name)
         build, default_mat, deps_of = KINDS[kind]

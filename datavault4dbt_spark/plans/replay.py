@@ -26,25 +26,24 @@ branches end-to-end.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from ..context import GlobalConfig, DEFAULT, Registry
+from ..operators.bundle import (BundleMember, BundleConfig, bundle_oracle,
+                                _member_exprs)
 from ..plans.sqlbuild import SqlBuilder
 from .incremental import ParquetStore
 
-
-@dataclass(frozen=True)
-class ReplayMember:
-    """``hk``/``hd`` are SQL expressions valid in BOTH dialects over the
-    member's output columns."""
-
-    entity: str
-    hk: str
-    hd: str
+# The replay result rows use the same (entity, hk, hd, ldts, rsrc)
+# projection as the bundle operator — share its member shape and
+# oracle generator so the two surfaces cannot drift.
+ReplayMember = BundleMember
 
 
 @dataclass(frozen=True)
@@ -54,17 +53,33 @@ class ReplayConfig:
     members: tuple  # ReplayMember
 
 
-def _member_exprs(m: ReplayMember, g: GlobalConfig) -> list:
-    return [f"'{m.entity}' AS entity", f"{m.hk} AS hk", f"{m.hd} AS hd",
-            g.ldts_alias, g.rsrc_alias]
+# One scratch warehouse per replay name, reused across invocations
+# (member tables are cleared before each run) and removed at process
+# exit — repeated bench/correctness runs must not accumulate a new
+# materialized warehouse per call.
+_SCRATCH_DIRS: dict = {}
+
+
+def _scratch_store(spark, name: str) -> ParquetStore:
+    root = _SCRATCH_DIRS.get(name)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"dv4dbt_replay_{name}_")
+        _SCRATCH_DIRS[name] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return ParquetStore(spark, root)
 
 
 def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
                index: dict, stage_names) -> DataFrame:
     """``index``: fixtures' name -> (cfg, builder, oracle, deps);
-    ``stage_names``: entities whose phase-1 output is ldts-truncated."""
-    store = ParquetStore(
-        spark, tempfile.mkdtemp(prefix="dv4dbt_replay_"))
+    ``stage_names``: entities whose phase-1 output is ldts-truncated.
+
+    Rerunning invalidates DataFrames returned by a PREVIOUS run (their
+    scans point at the cleared member tables) — same contract as any
+    store overwrite."""
+    store = _scratch_store(spark, cfg.name)
+    for m in cfg.members:
+        shutil.rmtree(store.path(m.entity), ignore_errors=True)
 
     # phase-1 registry: same loaders, but every stage is truncated to
     # ldts <= cutoff (the end-of-times ghost row rides along so the
@@ -101,9 +116,6 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
 def replay_oracle(b: SqlBuilder, reg: Registry, cfg: ReplayConfig,
                   g: GlobalConfig = DEFAULT) -> str:
     """Full-load oracle in the replay projection — members' initial-load
-    CTEs must already be in ``b`` (resolved as dependencies)."""
-    selects = [
-        f"SELECT {', '.join(_member_exprs(m, g))} "
-        f"FROM {reg.duckdb_relation(m.entity)}"
-        for m in cfg.members]
-    return b.cte(cfg.name, "\nUNION ALL\n".join(selects))
+    CTEs must already be in ``b`` (resolved as dependencies). Delegates
+    to the bundle oracle: identical projection, one implementation."""
+    return bundle_oracle(b, reg, BundleConfig(cfg.name, cfg.members), g)

@@ -365,3 +365,22 @@ def test_rehash_vault_detects_orphans(spark, sf_dir, tmp_path):
     store.append("sat_customer_n0_s", orphan)
     with pytest.raises(ValueError, match="parent join missed"):
         rehash_vault(store, REHASH_YAML, GlobalConfig(hash="SHA256"))
+
+
+def test_clean_up_pit_rewrite_path_refuses_on_sdts_drift(
+        spark, sf_dir, tmp_path):
+    """Unpartitioned PIT + active sdts values matching NOTHING stored
+    (tz/type drift): 'delete everything stale' would mean the whole
+    PIT — the rewrite/native-DELETE path must refuse like the hive
+    fast path does."""
+    store = ParquetStore(spark, str(tmp_path))
+    pit = fixtures.entity_query("pit_customer")(spark, sf_dir)
+    store.overwrite("pit_customer", pit)   # flat layout, no partitions
+
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    shifted = snap.withColumn(
+        "sdts", F.col("sdts") + F.expr("INTERVAL 37 MINUTE"))
+    before = store.read("pit_customer").count()
+    with pytest.raises(ValueError, match="no stored row matches"):
+        clean_up_pit(store, "pit_customer", shifted)
+    assert store.read("pit_customer").count() == before   # untouched

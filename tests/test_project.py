@@ -150,3 +150,13 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
     assert counts2 == counts
     assert _rows(store.read("docs_curated")) == _rows(
         fixtures.entity_query("docs_curated")(spark, sf_dir))
+
+
+def test_load_project_rejects_incremental_llm_kind(tmp_path):
+    d = tmp_path / "bad_llm"
+    d.mkdir()
+    (d / "dedup_groups.yml").write_text(
+        "kind: dup_groups\nmaterialize: incremental\n"
+        "pairs_entity: dedup_minhash_lsh\n")
+    with pytest.raises(ValueError, match="cannot be materialized"):
+        load_project(str(d))
