@@ -9,6 +9,7 @@ model registry (name -> DataFrame / DuckDB relation name).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 
@@ -162,7 +163,7 @@ class Registry:
     # loads may race when a DAG scheduler builds entities from threads
     # (plans/replay.py): without the lock two threads can build-and-
     # persist the same shared subtree, leaking a duplicate cached copy
-    _lock: object = field(default_factory=lambda: __import__("threading").RLock())
+    _lock: object = field(default_factory=threading.RLock)
 
     def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
         self._invalidate(name)
