@@ -161,7 +161,9 @@ def _kmeans_refine(cfg: IvfConfig, n: DataFrame, cents: DataFrame) -> DataFrame:
         pool = n.filter(
             F.pmod(F.xxhash64(F.col(cfg.id_col)),
                    F.lit(cfg.kmeans_sample_mod)) == 0)
-    pool = pool.select(cfg.id_col, "v", "nrm").persist()
+    # NOT persisted: pool is a cheap filter over the already-persisted
+    # `n`, so per-iteration rescans hit that cache — no second cached
+    # copy to manage (and leak)
     for _ in range(cfg.kmeans_iters):
         w = (Window.partitionBy(cfg.id_col)
              .orderBy(F.desc("csim"), F.asc("cell")))
@@ -177,12 +179,10 @@ def _kmeans_refine(cfg: IvfConfig, n: DataFrame, cents: DataFrame) -> DataFrame:
                  .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
                       .alias("s"))
                  .selectExpr("cell", "transform(s, e -> e.m) AS cv")
-                 .selectExpr("cell", "cv", f"{_spark_norm('cv')} AS cnrm")
-                 # materialize the (tiny) centroid table per iteration:
-                 # cuts the nested plan AND executes the pool scans now,
-                 # so the pool cache can be released before returning
-                 .localCheckpoint(eager=True))
-    pool.unpersist()
+                 .selectExpr("cell", "cv", f"{_spark_norm('cv')} AS cnrm"))
+    # stays LAZY: kmeans_iters is small (1-2), so the nested plan is
+    # shallow and the whole refine+search executes as ONE job instead
+    # of paying the per-job floor once per iteration
     return cents
 
 
