@@ -57,6 +57,12 @@ from .llm.textstats import (
     langid_oracle, quality_oracle, token_count_oracle, fingerprint_oracle)
 from .llm.multimodal import (MultimodalConfig, build_multimodal_features,
                              multimodal_oracle)
+from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
+                        build_pii_redact, repetition_oracle, pii_redact_oracle)
+from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
+                           build_dataset_mix, build_sequence_packing,
+                           dataset_mix_oracle, sequence_packing_oracle)
+from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.curation import CurationConfig, build_curation, curation_oracle
 from .plans.sqlbuild import SqlBuilder
 
@@ -362,6 +368,22 @@ BUNDLES = {
                      "CAST(n_nationkey AS STRING)"),
         BundleMember("ref_hub_nation", "CAST(n_nationkey AS STRING)",
                      "CAST(NULL AS STRING)"),
+        # five more redundant instances bundled to free slots for the
+        # round-5 LLM ops (repetition, pii_redact, dataset_mix,
+        # sequence_packing, semdedup); every operator keeps >= 1
+        # individually exposed instance (link_part_supplier,
+        # sat_customer_n0_s_v1, ref_sat_nation_v1, hub x5). sat_v1's
+        # hd folds ledts in so end-dating regressions still fail the
+        # bundle hash; the v0/ref_sat hds pin payload via the hashdiff.
+        BundleMember("link_customer_nation", "hk_customer_nation_l",
+                     "hk_customer_h"),
+        BundleMember("link_supplier_nation", "hk_supplier_nation_l",
+                     "hk_supplier_h"),
+        BundleMember("sat_part_s_v1", "hk_part_h",
+                     "concat(hd_part_s, '|', CAST(ledts AS STRING))"),
+        BundleMember("ref_sat_nation_v0", "CAST(n_nationkey AS STRING)",
+                     "hd_nation_s"),
+        BundleMember("hub_user", "hk_user_h", "CAST(user_id AS STRING)"),
     )),
 }
 
@@ -440,6 +462,25 @@ TEXT_TOKENS = {"text_token_count": TokenCountConfig("text_token_count")}
 TEXT_FPRINT = {"text_fingerprint": FingerprintConfig("text_fingerprint")}
 MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
 CURATION = {"docs_curated": CurationConfig("docs_curated")}
+# Gopher-style within-document repetition signals (threshold low enough
+# that the synthetic corpus — short docs drawn from a small vocabulary —
+# produces both flag values)
+REPETITION = {"text_repetition": RepetitionConfig("text_repetition",
+                                                  flag_threshold=0.2)}
+# PII scrubbing exercised on a derived column that plants one email and
+# one IPv4 per document (the synthetic corpus is PII-free word soup, so
+# scanning raw `text` would make every count 0 and the redaction an
+# identity — the derived column keeps counts/redaction genuinely
+# exercised while staying a deterministic expression over the input,
+# identical in both dialects)
+PII = {"pii_redact": PiiRedactConfig(
+    "pii_redact",
+    text_expr=("concat(text, ' contact user', CAST(doc_id AS STRING), "
+               "'@mail.example.com from 10.0.', "
+               "CAST(doc_id % 256 AS STRING), '.7')"))}
+SAMPLING = {"dataset_mix": DatasetMixConfig("dataset_mix")}
+PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
+SEMDEDUP = {"semdedup_embeddings": SemDedupConfig("semdedup_embeddings")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -506,6 +547,11 @@ _FAMILIES = [
     (MULTIMODAL, build_multimodal_features, multimodal_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity, c.dedup_entity]),
+    (REPETITION, build_repetition, repetition_oracle, _NO_DEPS),
+    (PII, build_pii_redact, pii_redact_oracle, _NO_DEPS),
+    (SAMPLING, build_dataset_mix, dataset_mix_oracle, _NO_DEPS),
+    (PACKING, build_sequence_packing, sequence_packing_oracle, _NO_DEPS),
+    (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),
 ]
 
 

@@ -1,0 +1,161 @@
+"""Corpus sampling operators: weighted dataset mixing and sequence
+packing.
+
+- ``dataset_mix`` : deterministic weighted stratified sampling — the
+  "mix web 30% / code 50% / books 100%" step of assembling a training
+  corpus (Gao et al. 2020, The Pile §1; every modern data recipe).
+  Each document draws a uniform u in [0, 1) from md5 of its id (a
+  salted hash, NOT rand() — reruns and both engines agree bit-for-bit)
+  and survives iff u < weight(stratum).
+- ``sequence_packing`` : pack documents into fixed token-budget bins
+  (context-window packing for LLM training). Documents are streamed in
+  id order within ``n_shards`` deterministic shards; a document starts
+  in the bin numbered by the tokens accumulated before it
+  (``floor(prefix_sum_before / budget)``), so bins fill greedily and
+  may overflow by at most one document — the standard scalable
+  approximation of first-fit (exact greedy is inherently sequential).
+
+Scale design (100 TB): dataset_mix is zero-shuffle — hash, weight
+lookup and filter all live in the scan stage, so it composes with
+partition pruning and runs at scan speed. sequence_packing's only
+shuffle is the per-shard prefix-sum window; shards bound the window's
+partition size (n_shards ~ cluster parallelism), so no single reducer
+ever sees the whole corpus, and the final per-bin aggregation keys on
+(shard, bin) with map-side combine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from .textprep import spark_tokens, duck_tokens, spark_nibble
+
+
+def _u01(id_col: str, salt: str) -> str:
+    """Uniform [0, 1) from the first 16 bits of md5(salt:id) — the
+    expression text is valid and equivalent in Spark SQL and DuckDB
+    (md5/substr/instr/CAST all agree)."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS STRING)))"
+    u16 = "0"
+    for i in range(1, 5):
+        u16 = f"({u16} * 16 + {spark_nibble(f'substr({h}, {i}, 1)')})"
+    # CAST, not a 65536.0 literal: Spark parses x.0 literals as DECIMAL
+    # and int/DECIMAL division truncates to scale 7 before rounding
+    # (0.7447815 -> 0.744782), while DuckDB reads the same literal as
+    # DOUBLE (0.744781494 -> 0.744781)
+    return f"({u16} / CAST(65536 AS DOUBLE))"
+
+
+# --------------------------------------------------------- dataset_mix --
+
+@dataclass(frozen=True)
+class DatasetMixConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    strata_col: str = "lang"
+    weights: tuple = (("en", 0.9), ("de", 0.6), ("es", 0.3))
+    default_weight: float = 0.1
+    salt: str = "mix"
+
+
+def _weight_case(cfg: DatasetMixConfig) -> str:
+    whens = " ".join(f"WHEN '{s}' THEN CAST({w} AS DOUBLE)"
+                     for s, w in cfg.weights)
+    return (f"CASE {cfg.strata_col} {whens} "
+            f"ELSE CAST({cfg.default_weight} AS DOUBLE) END")
+
+
+def build_dataset_mix(spark, reg: Registry, cfg: DatasetMixConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    u = _u01(cfg.id_col, cfg.salt)
+    return (df.selectExpr(cfg.id_col, cfg.strata_col,
+                          f"{u} AS u_sample",
+                          f"{_weight_case(cfg)} AS sample_weight")
+            .filter("u_sample < sample_weight")
+            .selectExpr(cfg.id_col, cfg.strata_col,
+                        "round(u_sample, 6) AS u_sample", "sample_weight"))
+
+
+def dataset_mix_oracle(b: SqlBuilder, reg: Registry, cfg: DatasetMixConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u = _u01(cfg.id_col, cfg.salt)
+    t = b.cte(f"{cfg.name}__u",
+              f"SELECT {cfg.id_col}, {cfg.strata_col}, {u} AS u_sample, "
+              f"{_weight_case(cfg)} AS sample_weight FROM {src}")
+    return b.cte(cfg.name,
+                 f"SELECT {cfg.id_col}, {cfg.strata_col}, "
+                 f"round(u_sample, 6) AS u_sample, sample_weight "
+                 f"FROM {t} WHERE u_sample < sample_weight")
+
+
+# ----------------------------------------------------- sequence_packing --
+
+@dataclass(frozen=True)
+class SequencePackingConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    budget: int = 256        # tokens per bin (context window)
+    n_shards: int = 8        # independent packing streams
+
+
+def build_sequence_packing(spark, reg: Registry, cfg: SequencePackingConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
+             f"% {cfg.n_shards}")
+    t = df.selectExpr(cfg.id_col, f"{shard} AS shard",
+                      f"size({spark_tokens(cfg.text_col)}) AS n_tok")
+    cum = t.selectExpr(
+        cfg.id_col, "shard", "n_tok",
+        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+    binned = cum.selectExpr(
+        cfg.id_col, "shard", "n_tok",
+        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) AS BIGINT) AS bin")
+    return (binned.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("CAST(sum(n_tok) AS BIGINT)").alias("bin_tokens"),
+                 F.min(cfg.id_col).alias("first_doc"))
+            .selectExpr("shard", "bin", "n_docs", "bin_tokens", "first_doc",
+                        f"bin_tokens >= {cfg.budget} AS is_full"))
+
+
+def sequence_packing_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: SequencePackingConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
+             f"% {cfg.n_shards}")
+    t = b.cte(f"{cfg.name}__t",
+              f"SELECT {cfg.id_col}, {shard} AS shard, "
+              f"len({duck_tokens(cfg.text_col)}) AS n_tok FROM {src}")
+    cum = b.cte(
+        f"{cfg.name}__cum",
+        f"SELECT {cfg.id_col}, shard, n_tok, "
+        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        f"FROM {t}")
+    binned = b.cte(
+        f"{cfg.name}__bin",
+        f"SELECT {cfg.id_col}, shard, n_tok, "
+        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) AS BIGINT) AS bin "
+        f"FROM {cum}")
+    agg = b.cte(
+        f"{cfg.name}__agg",
+        f"SELECT shard, bin, count(*) AS n_docs, "
+        f"CAST(sum(n_tok) AS BIGINT) AS bin_tokens, "
+        f"min({cfg.id_col}) AS first_doc "
+        f"FROM {binned} GROUP BY shard, bin")
+    return b.cte(
+        cfg.name,
+        f"SELECT shard, bin, n_docs, bin_tokens, first_doc, "
+        f"bin_tokens >= {cfg.budget} AS is_full FROM {agg}")

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, functions as F
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..operators.stage import StageConfig, build_stage
 from ..operators.hub import HubConfig, build_hub
-from ..operators.nh import NhSatConfig, build_nh_sat
+from ..operators.link import LinkConfig, build_link
+from ..operators.nh import (NhSatConfig, NhLinkConfig, build_nh_sat,
+                            build_nh_link)
 from ..operators.sat import SatConfig, build_sat_v0
 from ..plans.incremental import ParquetStore, anti_join_new
 
@@ -40,7 +42,9 @@ class StreamIngestConfig:
     source_name: str              # registry name the stage reads
     stage: StageConfig
     hubs: tuple = ()              # HubConfig, loaded per micro-batch
+    links: tuple = ()             # LinkConfig (same earliest-arrival shape)
     nh_sats: tuple = ()           # NhSatConfig
+    nh_links: tuple = ()          # NhLinkConfig (pure anti-join inserts)
     sats: tuple = ()              # SatConfig (sat_v0, delta-historized)
     max_files_per_trigger: int = 10
 
@@ -73,6 +77,18 @@ def micro_batch_loader(cfg: StreamIngestConfig, store: ParquetStore,
             new = build_hub(spark, reg, hub_cfg, g, target=target,
                             disable_hwm=True)
             store.append(hub_cfg.name, new)
+        for link_cfg in cfg.links:
+            # same earliest-arrival + anti-join shape as hubs: a link row
+            # is keyed by its link hashkey, so replay inserts nothing
+            target = store.read(link_cfg.name) if store.exists(link_cfg.name) else None
+            new = build_link(spark, reg, link_cfg, g, target=target,
+                             disable_hwm=True)
+            store.append(link_cfg.name, new)
+        for nhl_cfg in cfg.nh_links:
+            target = store.read(nhl_cfg.name) if store.exists(nhl_cfg.name) else None
+            new = build_nh_link(spark, reg, nhl_cfg, g, target=target,
+                                disable_hwm=True)
+            store.append(nhl_cfg.name, new)
         for sat_cfg in cfg.nh_sats:
             target = store.read(sat_cfg.name) if store.exists(sat_cfg.name) else None
             # disable_hwm: file-arrival order is NOT ldts order, so the

@@ -262,3 +262,75 @@ def test_streaming_exact_dedup_matches_batch(spark, event_batches, tmp_path):
             .select(F.md5(F.col("props").cast("string")).alias("h"))
             .distinct().count())
     assert len(hashes) == len(set(hashes)) == want
+
+
+def _link_stream_cfgs():
+    """An events stage carrying a (user, event) link hashkey so link and
+    nh_link ingestion are exercised (the stock stage_events has no link
+    hashkeys)."""
+    from datavault4dbt_spark.functions.hashing import HashSpec
+    from datavault4dbt_spark.operators.link import LinkConfig
+    from datavault4dbt_spark.operators.nh import NhLinkConfig
+    from datavault4dbt_spark.operators.stage import StageConfig
+
+    stage = StageConfig(
+        name="stage_events_link", source_model="events",
+        ldts="date_trunc('hour', ts)", rsrc="!STREAM/events",
+        source_schema=(("event_id", "BIGINT"), ("ts", "TIMESTAMP"),
+                       ("user_id", "BIGINT"), ("event_type", "STRING"),
+                       ("value", "DOUBLE")),
+        hashed_columns=(
+            HashSpec("hk_user_h", ("user_id",)),
+            HashSpec("hk_event_h", ("event_id",)),
+            HashSpec("hk_user_event_l", ("user_id", "event_id")),
+        ))
+    link = LinkConfig("link_user_event", "hk_user_event_l",
+                      ("hk_user_h", "hk_event_h"),
+                      (fixtures.EntitySource("stage_events_link"),))
+    nh_link = NhLinkConfig("nh_link_user_event", "hk_user_event_l",
+                           ("hk_user_h", "hk_event_h"), ("value",),
+                           (fixtures.EntitySource("stage_events_link"),),
+                           source_is_single_batch=False)
+    return stage, link, nh_link
+
+
+def test_streaming_link_equals_batch(spark, event_batches, tmp_path):
+    """Streamed link + nh_link loads over arriving files must equal the
+    one-shot batch loads, and replaying a batch must insert nothing."""
+    from datavault4dbt_spark.operators.link import build_link
+    from datavault4dbt_spark.operators.nh import build_nh_link
+
+    fixtures.ensure_session_conf(spark)
+    stage_cfg, link_cfg, nhl_cfg = _link_stream_cfgs()
+    cfg = StreamIngestConfig(
+        source_dir=event_batches, source_name="events",
+        stage=stage_cfg, links=(link_cfg,), nh_links=(nhl_cfg,),
+        max_files_per_trigger=1)
+    store = ParquetStore(spark, str(tmp_path / "vault"))
+    schema = spark.read.parquet(event_batches).schema
+
+    q = start_ingest(spark, cfg, store, schema,
+                     str(tmp_path / "ckpt_link"), available_now=True)
+    q.awaitTermination(300)
+
+    reg = Registry()
+    reg.spark_loaders["events"] = (
+        lambda sp: sp.read.parquet(event_batches))
+    staged = build_stage(spark, reg, stage_cfg)
+    reg.spark_loaders[stage_cfg.name] = lambda sp: staged
+
+    want_link = {tuple(map(str, r)) for r in
+                 build_link(spark, reg, link_cfg).collect()}
+    got_link = {tuple(map(str, r)) for r in
+                store.read(link_cfg.name).collect()}
+    assert got_link == want_link and len(got_link) > 0
+
+    want_nhl = build_nh_link(spark, reg, nhl_cfg).count()
+    assert store.read(nhl_cfg.name).count() == want_nhl > 0
+
+    # at-least-once replay of an already-applied file inserts nothing
+    loader = micro_batch_loader(cfg, store)
+    b0 = spark.read.parquet(f"{event_batches}/batch_0.parquet")
+    loader(b0, 99)
+    assert store.read(link_cfg.name).count() == len(got_link)
+    assert store.read(nhl_cfg.name).count() == want_nhl

@@ -1,0 +1,152 @@
+"""Semantic tests for the round-5 training-data operators beyond oracle
+parity: repetition flags, PII redaction, mix weights, packing bins,
+semdedup cluster scoping."""
+
+import pytest
+
+from datavault4dbt_spark import fixtures
+from datavault4dbt_spark.context import Registry
+from datavault4dbt_spark.llm.scrub import (RepetitionConfig, PiiRedactConfig,
+                                           build_repetition, build_pii_redact)
+from datavault4dbt_spark.llm.sampling import (DatasetMixConfig,
+                                              SequencePackingConfig,
+                                              build_dataset_mix,
+                                              build_sequence_packing)
+from datavault4dbt_spark.llm.semdedup import SemDedupConfig, build_semdedup
+
+
+def _doc_reg(spark, rows):
+    """Registry over an inline documents table: rows = (doc_id, text)."""
+    reg = Registry()
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    return reg
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    reg = _doc_reg(spark, [
+        (1, "spam spam spam spam spam spam"),       # one bigram repeated
+        (2, "a quick brown fox jumps over dogs"),   # all bigrams unique
+        (3, "x"),                                   # too short for bigrams
+    ])
+    cfg = RepetitionConfig("rep", flag_threshold=0.5)
+    out = {r["doc_id"]: r.asDict()
+           for r in build_repetition(spark, reg, cfg).collect()}
+    assert out[1]["is_repetitive"] and out[1]["dup_ngram_fraction"] == 1.0
+    assert out[1]["top_ngram_share"] == 1.0
+    assert not out[2]["is_repetitive"] and out[2]["dup_ngram_fraction"] == 0.0
+    # short doc survives the left join with zeroed gram stats
+    assert out[3]["n_tokens"] == 1 and out[3]["dup_ngram_fraction"] == 0.0
+    assert out[2]["distinct_token_ratio"] == 1.0
+    assert out[1]["distinct_token_ratio"] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    reg = _doc_reg(spark, [
+        (1, "mail bob.smith@corp.example.com and 192.168.0.1 please"),
+        (2, "clean text no pii"),
+        (3, "call +1 555 123 4567 twice +44 207 946 0958"),
+    ])
+    cfg = PiiRedactConfig("pii")
+    out = {r["doc_id"]: r.asDict()
+           for r in build_pii_redact(spark, reg, cfg).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<IP>" in out[1]["redacted"]
+    assert "bob.smith" not in out[1]["redacted"]
+    assert out[2]["pii_free"] and out[2]["redacted"] == "clean text no pii"
+    assert out[3]["n_phone"] == 2 and out[3]["redacted"].count("<PHONE>") == 2
+    assert out[3]["redacted"] == "call <PHONE> twice <PHONE>"
+    assert out[1]["n_pii_total"] == 2 and not out[1]["pii_free"]
+
+
+def test_pii_patterns_reject_unportable_regex(spark):
+    reg = _doc_reg(spark, [(1, "x")])
+    bad = PiiRedactConfig("bad", patterns=(("d", "\\d+", "<N>"),))
+    with pytest.raises(ValueError, match="portability"):
+        build_pii_redact(spark, reg, bad)
+
+
+def test_dataset_mix_respects_weights(spark, sf_dir):
+    reg = fixtures.registry(spark, sf_dir)
+    cfg = DatasetMixConfig("mix")
+    docs = reg.load(spark, "documents")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").count().withColumnRenamed("count", "n")
+                  .collect()}
+    kept = {r["lang"]: r["n"] for r in
+            build_dataset_mix(spark, reg, cfg)
+            .groupBy("lang").count().withColumnRenamed("count", "n")
+            .collect()}
+    weights = dict(cfg.weights)
+    for lang, total in totals.items():
+        w = weights.get(lang, cfg.default_weight)
+        frac = kept.get(lang, 0) / total
+        # md5-uniform sampling: loose 3-sigma-ish bound at fixture scale
+        assert abs(frac - w) < 0.15, (lang, frac, w)
+    # determinism: the same plan yields the identical kept set
+    a = {r["doc_id"] for r in build_dataset_mix(spark, reg, cfg).collect()}
+    b = {r["doc_id"] for r in build_dataset_mix(spark, reg, cfg).collect()}
+    assert a == b
+
+
+def test_sequence_packing_matches_python_reference(spark, sf_dir):
+    """The distributed prefix-sum packing must equal a sequential Python
+    replay of the same boundary-assignment rule, per shard."""
+    reg = fixtures.registry(spark, sf_dir)
+    cfg = SequencePackingConfig("pack", budget=256, n_shards=4)
+    rows = build_sequence_packing(spark, reg, cfg).collect()
+    assert rows
+
+    docs = sorted(
+        (r["doc_id"], len([t for t in (r["text"] or "").split(" ") if t]))
+        for r in reg.load(spark, "documents").select("doc_id", "text")
+                    .collect())
+    want = {}
+    offset = [0] * cfg.n_shards
+    for doc_id, n_tok in docs:
+        shard = doc_id % cfg.n_shards
+        b = offset[shard] // cfg.budget
+        key = (shard, b)
+        agg = want.setdefault(key, [0, 0, doc_id])
+        agg[0] += 1
+        agg[1] += n_tok
+        offset[shard] += n_tok
+    got = {(r["shard"], r["bin"]):
+           [r["n_docs"], r["bin_tokens"], r["first_doc"]] for r in rows}
+    assert got == want
+    # the rule's fill guarantee: consecutive bins' combined tokens cover
+    # at least one full budget (a single bin may run short only because
+    # the previous bin's last document overflowed into its range)
+    by_shard = {}
+    for (shard, b), (_n, tok, _f) in sorted(want.items()):
+        by_shard.setdefault(shard, []).append(tok)
+    for shard, toks in by_shard.items():
+        for a, b2 in zip(toks, toks[1:]):
+            assert a + b2 >= cfg.budget
+
+
+def test_semdedup_scopes_pairs_to_cells(spark):
+    # 2 clusters along axes; ids 0/1 seed the centroids. Vectors 0,2,4
+    # are near-parallel (cluster A); 1,3 near-parallel (cluster B);
+    # 5 is cluster-A-assigned but dissimilar enough to survive.
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]), (3, [0.01, 0.999, 0.0]),
+        (4, [0.998, 0.02, 0.0]), (5, [0.7, 0.0, 0.714]),
+    ]
+    reg = Registry()
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    reg.spark_loaders["embeddings"] = lambda _s: df
+    cfg = SemDedupConfig("sd", n_clusters=2, threshold=0.95)
+    out = {r["vec_id"]: r.asDict()
+           for r in build_semdedup(spark, reg, cfg).collect()}
+    # losers: higher ids of each near-parallel pair, scoped to cells
+    assert set(out) == {2, 3, 4}
+    assert out[2]["cell"] == 0 and out[4]["cell"] == 0
+    assert out[3]["cell"] == 1
+    assert out[4]["n_better_dups"] == 2          # dup of both 0 and 2
+    assert out[4]["best_sim"] >= 0.99
+    # the plan joins on the cell key — no cartesian pair generation
+    plan = build_semdedup(spark, reg, cfg)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
