@@ -108,6 +108,9 @@ def _llm_kinds() -> dict:
     from ..llm.multimodal import build_multimodal_features
     from ..llm.curation import build_curation
     from ..llm.contamination import build_contamination
+    from ..llm.scrub import build_repetition, build_pii_redact
+    from ..llm.sampling import build_dataset_mix, build_sequence_packing
+    from ..llm.semdedup import build_semdedup
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -128,6 +131,11 @@ def _llm_kinds() -> dict:
                      lambda c: [c.quality_entity, c.langid_entity,
                                 c.dedup_entity]),
         "contamination": (build_contamination, src),
+        "repetition": (build_repetition, src),
+        "pii_redact": (build_pii_redact, src),
+        "dataset_mix": (build_dataset_mix, src),
+        "sequence_packing": (build_sequence_packing, src),
+        "semdedup": (build_semdedup, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -393,6 +393,9 @@ def _llm_parsers() -> dict:
     from .llm.multimodal import MultimodalConfig
     from .llm.curation import CurationConfig
     from .llm.contamination import ContaminationConfig
+    from .llm.scrub import RepetitionConfig, PiiRedactConfig
+    from .llm.sampling import DatasetMixConfig, SequencePackingConfig
+    from .llm.semdedup import SemDedupConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -410,6 +413,11 @@ def _llm_parsers() -> dict:
         "multimodal": _dataclass_parser(MultimodalConfig),
         "curation": _dataclass_parser(CurationConfig),
         "contamination": _dataclass_parser(ContaminationConfig),
+        "repetition": _dataclass_parser(RepetitionConfig),
+        "pii_redact": _dataclass_parser(PiiRedactConfig),
+        "dataset_mix": _dataclass_parser(DatasetMixConfig),
+        "sequence_packing": _dataclass_parser(SequencePackingConfig),
+        "semdedup": _dataclass_parser(SemDedupConfig),
     }
 
 
