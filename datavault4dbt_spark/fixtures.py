@@ -63,6 +63,8 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            build_dataset_mix, build_sequence_packing,
                            dataset_mix_oracle, sequence_packing_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
+from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
+                           scalar_quantize_oracle)
 from .llm.curation import CurationConfig, build_curation, curation_oracle
 from .plans.sqlbuild import SqlBuilder
 
@@ -384,6 +386,9 @@ BUNDLES = {
         BundleMember("ref_sat_nation_v0", "CAST(n_nationkey AS STRING)",
                      "hd_nation_s"),
         BundleMember("hub_user", "hk_user_h", "CAST(user_id AS STRING)"),
+        # frees the slot for quantize_embeddings (hub keeps hub_customer,
+        # hub_nation_multisource, hub_order, hub_part_enriched exposed)
+        BundleMember("hub_part", "hk_part_h", "CAST(p_partkey AS STRING)"),
     )),
 }
 
@@ -481,6 +486,8 @@ PII = {"pii_redact": PiiRedactConfig(
 SAMPLING = {"dataset_mix": DatasetMixConfig("dataset_mix")}
 PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
 SEMDEDUP = {"semdedup_embeddings": SemDedupConfig("semdedup_embeddings")}
+QUANTIZE = {"quantize_embeddings":
+            ScalarQuantizeConfig("quantize_embeddings")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -552,6 +559,7 @@ _FAMILIES = [
     (SAMPLING, build_dataset_mix, dataset_mix_oracle, _NO_DEPS),
     (PACKING, build_sequence_packing, sequence_packing_oracle, _NO_DEPS),
     (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),
+    (QUANTIZE, build_scalar_quantize, scalar_quantize_oracle, _NO_DEPS),
 ]
 
 

@@ -111,6 +111,7 @@ def _llm_kinds() -> dict:
     from ..llm.scrub import build_repetition, build_pii_redact
     from ..llm.sampling import build_dataset_mix, build_sequence_packing
     from ..llm.semdedup import build_semdedup
+    from ..llm.quantize import build_scalar_quantize
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -136,6 +137,7 @@ def _llm_kinds() -> dict:
         "dataset_mix": (build_dataset_mix, src),
         "sequence_packing": (build_sequence_packing, src),
         "semdedup": (build_semdedup, src),
+        "scalar_quantize": (build_scalar_quantize, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

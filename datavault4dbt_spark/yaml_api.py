@@ -396,6 +396,7 @@ def _llm_parsers() -> dict:
     from .llm.scrub import RepetitionConfig, PiiRedactConfig
     from .llm.sampling import DatasetMixConfig, SequencePackingConfig
     from .llm.semdedup import SemDedupConfig
+    from .llm.quantize import ScalarQuantizeConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -418,6 +419,7 @@ def _llm_parsers() -> dict:
         "dataset_mix": _dataclass_parser(DatasetMixConfig),
         "sequence_packing": _dataclass_parser(SequencePackingConfig),
         "semdedup": _dataclass_parser(SemDedupConfig),
+        "scalar_quantize": _dataclass_parser(ScalarQuantizeConfig),
     }
 
 

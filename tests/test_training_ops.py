@@ -150,3 +150,28 @@ def test_semdedup_scopes_pairs_to_cells(spark):
     plan = build_semdedup(spark, reg, cfg)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_scalar_quantize_roundtrip_error_bound(spark):
+    from datavault4dbt_spark.llm.quantize import (ScalarQuantizeConfig,
+                                                  build_scalar_quantize)
+    rows = [
+        (0, [0.0, 5.0, 1.0]),
+        (1, [1.0, 5.0, 0.5]),
+        (2, [0.5, 5.0, 0.25]),   # dim 1 is constant -> code 0, err 0
+    ]
+    reg = Registry()
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    reg.spark_loaders["embeddings"] = lambda _s: df
+    cfg = ScalarQuantizeConfig("q", levels=4)
+    out = {r["vec_id"]: r.asDict()
+           for r in build_scalar_quantize(spark, reg, cfg).collect()}
+    assert all(r["n_dims"] == 3 for r in out.values())
+    codes = {k: [int(c) for c in v["codes"].split(",")] for k, v in out.items()}
+    # dim 0 range [0,1], 4 levels: 0.0->0, 1.0->3 (clamped), 0.5->2
+    assert codes[0][0] == 0 and codes[1][0] == 3 and codes[2][0] == 2
+    # constant dimension always codes to 0
+    assert all(codes[k][1] == 0 for k in codes)
+    # reconstruction error bounded by half a quantization step per dim;
+    # here max step is range/levels = 0.25 -> per-dim err <= 0.125
+    assert all(v["recon_mae"] <= 0.125 + 1e-9 for v in out.values())
