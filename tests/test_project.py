@@ -140,8 +140,13 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
     counts = run_project(spark, proj, store, make_registry(sf_dir))
     assert set(counts) == {"text_quality", "text_langid",
                            "dedup_minhash_lsh", "dedup_groups",
-                           "docs_curated", "contamination_ngrams"}
-    for name in ("dedup_groups", "docs_curated", "contamination_ngrams"):
+                           "docs_curated", "contamination_ngrams",
+                           "text_repetition", "pii_redact", "dataset_mix",
+                           "sequence_packing", "semdedup_embeddings",
+                           "quantize_embeddings"}
+    for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
+                 "text_repetition", "dataset_mix", "sequence_packing",
+                 "semdedup_embeddings", "quantize_embeddings"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 
