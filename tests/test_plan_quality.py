@@ -197,3 +197,53 @@ def test_dup_groups_no_cartesian_and_converged(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dataset_mix_and_pii_are_scan_stage_only(spark, sf_dir):
+    """The sampling filter and the redaction chain must not shuffle:
+    hash, weight lookup, regexes all live in the scan stage."""
+    from datavault4dbt_spark.llm.sampling import (DatasetMixConfig,
+                                                  build_dataset_mix)
+    from datavault4dbt_spark.llm.scrub import (PiiRedactConfig,
+                                               build_pii_redact)
+    reg = fixtures.registry(spark, sf_dir)
+    for df in (build_dataset_mix(spark, reg, DatasetMixConfig("m")),
+               build_pii_redact(spark, reg, PiiRedactConfig("p"))):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_single_shuffle_on_shard(spark, sf_dir):
+    """One hashpartitioning(shard) exchange feeds BOTH the prefix-sum
+    window and the (shard, bin) aggregation — bin is a function of the
+    shard-partitioned cumsum, so Spark must not repartition again."""
+    from datavault4dbt_spark.llm.sampling import (SequencePackingConfig,
+                                                  build_sequence_packing)
+    reg = fixtures.registry(spark, sf_dir)
+    df = build_sequence_packing(spark, reg, SequencePackingConfig("pk"))
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_repetition_shuffles_key_on_doc_id(spark, sf_dir):
+    """Gram counting and per-doc rollup both key on doc_id (plus gram);
+    no broadcast-defeating cartesian, no global exchange."""
+    from datavault4dbt_spark.llm.scrub import (RepetitionConfig,
+                                               build_repetition)
+    reg = fixtures.registry(spark, sf_dir)
+    plan = _plan(build_repetition(spark, reg, RepetitionConfig("r")))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_quantize_stats_are_broadcast(spark, sf_dir):
+    """The n_dims-row stats table must broadcast; the only hash
+    exchanges key on the dimension (stats) and vec_id (reassembly)."""
+    from datavault4dbt_spark.llm.quantize import (ScalarQuantizeConfig,
+                                                  build_scalar_quantize)
+    reg = fixtures.registry(spark, sf_dir)
+    plan = _plan(build_scalar_quantize(spark, reg,
+                                       ScalarQuantizeConfig("sq")))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
