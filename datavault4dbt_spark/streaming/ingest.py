@@ -31,6 +31,7 @@ from ..operators.link import LinkConfig, build_link
 from ..operators.nh import (NhSatConfig, NhLinkConfig, build_nh_sat,
                             build_nh_link)
 from ..operators.sat import SatConfig, build_sat_v0
+from ..operators.ma_sat import MaSatConfig, build_ma_sat_v0
 from ..plans.incremental import ParquetStore, anti_join_new
 
 
@@ -46,6 +47,7 @@ class StreamIngestConfig:
     nh_sats: tuple = ()           # NhSatConfig
     nh_links: tuple = ()          # NhLinkConfig (pure anti-join inserts)
     sats: tuple = ()              # SatConfig (sat_v0, delta-historized)
+    ma_sats: tuple = ()           # MaSatConfig (group-hashdiff historized)
     max_files_per_trigger: int = 10
 
 
@@ -116,6 +118,19 @@ def micro_batch_loader(cfg: StreamIngestConfig, store: ParquetStore,
             new = anti_join_new(new, target,
                                 [sat_cfg.parent_hashkey, g.ldts_alias])
             store.append(sat_cfg.name, new)
+        for ma_cfg in cfg.ma_sats:
+            target = store.read(ma_cfg.name) if store.exists(ma_cfg.name) else None
+            # ma_sat per micro-batch: the GROUP hashdiff (LISTAGG over
+            # the multi-active key) is computed within the batch, the
+            # latest-vs-target compare drops unchanged groups, and the
+            # same (hk, ldts) anti-join as sat_v0 makes re-delivery a
+            # no-op — a group's identity is (parent, load timestamp).
+            # Same ldts-ordered-arrival contract as sat_v0 above.
+            new = build_ma_sat_v0(spark, reg, ma_cfg, g, target=target,
+                                  disable_hwm=True)
+            new = anti_join_new(new, target,
+                                [ma_cfg.parent_hashkey, g.ldts_alias])
+            store.append(ma_cfg.name, new)
 
     return load
 

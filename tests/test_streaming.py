@@ -334,3 +334,55 @@ def test_streaming_link_equals_batch(spark, event_batches, tmp_path):
     loader(b0, 99)
     assert store.read(link_cfg.name).count() == len(got_link)
     assert store.read(nhl_cfg.name).count() == want_nhl
+
+
+@pytest.fixture(scope="module")
+def order_version_batches(tmp_path_factory):
+    """The orders table split into its 3 deterministic daily batches
+    (ldts = day keyed on o_orderkey % 3, matching stage_orders), written
+    in day order — so streamed per-batch ma_sat group semantics must
+    equal the one-shot load."""
+    import time
+    import duckdb
+    root = tmp_path_factory.mktemp("order_stream_src")
+    con = duckdb.connect()
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_DIR}/orders.parquet' "
+            f"WHERE o_orderkey % 3 = {i}) "
+            f"TO '{root}/batch_{i}.parquet' (FORMAT PARQUET)")
+        time.sleep(0.05)
+    return str(root)
+
+
+def test_streaming_ma_sat_equals_batch(spark, sf_dir, order_version_batches,
+                                       tmp_path):
+    """Streamed ma_sat_v0 (group hashdiff per micro-batch +
+    latest-vs-target compare + (hk, ldts) replay anti-join) must equal
+    the one-shot batch load, and replay must insert nothing."""
+    fixtures.ensure_session_conf(spark)
+    ma_cfg = fixtures.MA_SATS["ma_sat_customer_orders"]
+    cfg = StreamIngestConfig(
+        source_dir=order_version_batches, source_name="orders",
+        stage=fixtures.STAGES["stage_orders"], ma_sats=(ma_cfg,),
+        max_files_per_trigger=1)
+    store = ParquetStore(spark, str(tmp_path / "vault"))
+    schema = spark.read.parquet(order_version_batches).schema
+
+    q = start_ingest(spark, cfg, store, schema,
+                     str(tmp_path / "ckpt_ma"), available_now=True)
+    q.awaitTermination(300)
+
+    reg = fixtures.registry(spark, sf_dir)
+    want = {tuple(map(str, r))
+            for r in reg.load(spark, ma_cfg.name).collect()}
+    got = {tuple(map(str, r))
+           for r in store.read(ma_cfg.name)
+           .select(*reg.load(spark, ma_cfg.name).columns).collect()}
+    assert got == want and len(got) > 0
+
+    # replay an already-applied batch: nothing inserted
+    loader = micro_batch_loader(cfg, store)
+    b1 = spark.read.parquet(f"{order_version_batches}/batch_1.parquet")
+    loader(b1, 99)
+    assert store.read(ma_cfg.name).count() == len(got)
