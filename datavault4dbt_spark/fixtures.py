@@ -466,7 +466,8 @@ TEXT_QUALITY = {"text_quality": QualityConfig("text_quality")}
 TEXT_TOKENS = {"text_token_count": TokenCountConfig("text_token_count")}
 TEXT_FPRINT = {"text_fingerprint": FingerprintConfig("text_fingerprint")}
 MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
-CURATION = {"docs_curated": CurationConfig("docs_curated")}
+CURATION = {"docs_curated": CurationConfig(
+    "docs_curated", repetition_entity="text_repetition")}
 # Gopher-style within-document repetition signals (threshold low enough
 # that the synthetic corpus — short docs drawn from a small vocabulary —
 # produces both flag values)
@@ -553,7 +554,8 @@ _FAMILIES = [
     (TEXT_FPRINT, build_fingerprint, fingerprint_oracle, _NO_DEPS),
     (MULTIMODAL, build_multimodal_features, multimodal_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
-     lambda c: [c.quality_entity, c.langid_entity, c.dedup_entity]),
+     lambda c: [c.quality_entity, c.langid_entity, c.dedup_entity]
+               + ([c.repetition_entity] if c.repetition_entity else [])),
     (REPETITION, build_repetition, repetition_oracle, _NO_DEPS),
     (PII, build_pii_redact, pii_redact_oracle, _NO_DEPS),
     (SAMPLING, build_dataset_mix, dataset_mix_oracle, _NO_DEPS),

@@ -130,7 +130,9 @@ def _llm_kinds() -> dict:
         "multimodal": (build_multimodal_features, src),
         "curation": (build_curation,
                      lambda c: [c.quality_entity, c.langid_entity,
-                                c.dedup_entity]),
+                                c.dedup_entity]
+                     + ([c.repetition_entity]
+                        if c.repetition_entity else [])),
         "contamination": (build_contamination, src),
         "repetition": (build_repetition, src),
         "pii_redact": (build_pii_redact, src),
