@@ -39,6 +39,12 @@ class ContaminationConfig:
     ngram_n: int = 5          # 13 in the GPT-3 recipe; 5 suits short docs
     eval_mod: int = 17        # doc_id % eval_mod == 0 -> eval set
     broadcast_eval: bool = True
+    # > 0: drop grams appearing in more than this many corpus documents
+    # before the probe join (boilerplate suppression, same idea as
+    # NgramJaccardConfig.max_doc_freq). Costs one extra gram-keyed
+    # aggregation shuffle, so it is opt-in; the hot-gram set it yields
+    # is small by definition and is broadcast for the anti-join.
+    max_doc_freq: int = 0
 
 
 def _grams(cfg: ContaminationConfig, reg: Registry, spark) -> DataFrame:
@@ -66,6 +72,11 @@ def build_contamination(spark, reg: Registry, cfg: ContaminationConfig,
     if cfg.broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     train = grams.filter(~is_eval)
+    if cfg.max_doc_freq:
+        hot = (grams.groupBy("gram")
+               .agg(F.countDistinct(cfg.id_col).alias("df"))
+               .filter(F.col("df") > cfg.max_doc_freq).select("gram"))
+        train = train.join(F.broadcast(hot), "gram", "left_anti")
     return (train.join(eval_grams, "gram")
             .groupBy(cfg.id_col)
             .agg(F.countDistinct("gram").alias("n_shared_ngrams"),
@@ -85,6 +96,13 @@ def contamination_oracle(b: SqlBuilder, reg: Registry,
     ev = b.cte(f"{cfg.name}__ev",
                f"SELECT {cfg.id_col} AS eval_id, gram FROM {gr} "
                f"WHERE {cfg.id_col} % {cfg.eval_mod} = 0")
+    hot_gate = ""
+    if cfg.max_doc_freq:
+        hot = b.cte(
+            f"{cfg.name}__hot",
+            f"SELECT gram FROM {gr} GROUP BY gram "
+            f"HAVING count(DISTINCT {cfg.id_col}) > {cfg.max_doc_freq}")
+        hot_gate = f"AND t.gram NOT IN (SELECT gram FROM {hot}) "
     return b.cte(
         cfg.name,
         f"SELECT t.{cfg.id_col}, "
@@ -92,4 +110,5 @@ def contamination_oracle(b: SqlBuilder, reg: Registry,
         f"count(DISTINCT e.eval_id) AS n_eval_docs_hit "
         f"FROM {gr} t JOIN {ev} e USING (gram) "
         f"WHERE t.{cfg.id_col} % {cfg.eval_mod} != 0 "
+        f"{hot_gate}"
         f"GROUP BY t.{cfg.id_col}")

@@ -149,12 +149,23 @@ class PiiRedactConfig:
 
 
 def _pii_checks(cfg: PiiRedactConfig) -> None:
-    for label, pat, _repl in cfg.patterns:
+    import re as _re
+
+    for label, pat, repl in cfg.patterns:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", label):
+            raise ValueError(
+                f"{cfg.name}: label {label!r} must be an identifier — it "
+                f"becomes the n_{{label}} column name in both dialects")
         if "\\" in pat or "'" in pat:
             raise ValueError(
                 f"{cfg.name}: pattern {label!r} violates the portability "
                 f"contract (backslash/quote in {pat!r}) — Java regex and "
                 f"RE2 disagree on literal escaping")
+        if "\\" in repl or "'" in repl:
+            raise ValueError(
+                f"{cfg.name}: replacement for {label!r} violates the "
+                f"portability contract (backslash/quote in {repl!r}) — "
+                f"it is interpolated into a SQL string literal")
 
 
 def _redact_chain(cfg: PiiRedactConfig, dialect: str) -> str:
@@ -167,6 +178,13 @@ def _redact_chain(cfg: PiiRedactConfig, dialect: str) -> str:
 
 def build_pii_redact(spark, reg: Registry, cfg: PiiRedactConfig,
                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Per-pattern counts are measured INDEPENDENTLY over the original
+    text, while redaction applies the patterns as a sequential chain —
+    overlapping matches (an IPv4-shaped string inside an email) are
+    counted once per pattern but redacted only by the first pattern to
+    consume them, so ``n_pii_total`` can exceed the number of ``<...>``
+    markers in ``redacted``. Counts answer "what did we detect",
+    redaction answers "what is left" — both engines agree on both."""
     _pii_checks(cfg)
     df = reg.load(spark, cfg.source)
     t = df.selectExpr(cfg.id_col, f"({cfg.text_expr}) AS txt")

@@ -141,6 +141,11 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     cond = ~F.col(g.sdts_alias).isin(active)
     if not store.read(pit_name).filter(
             F.col(g.sdts_alias).isin(active)).limit(1).count():
+        # distinguish drift (rows exist, none match -> refuse) from a
+        # legitimately empty PIT (nothing to clean -> 0, like before
+        # the guard existed)
+        if not store.read(pit_name).limit(1).count():
+            return 0
         raise ValueError(
             f"clean_up_pit({pit_name}): no stored row matches any active "
             f"snapshot sdts (tz/type drift between write and cleanup?); "

@@ -110,14 +110,22 @@ class DeltaStore(ParquetStore):
         ignore the exception path by not racing writers during
         maintenance windows (the reference's cleanup assumption too)."""
         t = self._DeltaTable.forPath(self.spark, self.path(name))
+        pre = t.history(1).select("version").first()
+        pre_version = pre[0] if pre else -1
         t.delete(condition)
-        last = t.history(1).select("operation", "operationMetrics").first()
-        if last is None or last[0] != "DELETE":
+        last = t.history(1).select("version", "operation",
+                                   "operationMetrics").first()
+        # Delta skips committing empty transactions: a DELETE matching
+        # zero rows leaves the version unchanged (idempotent cleanup
+        # reruns land here) — that IS the count, not a race
+        if last is not None and last[0] == pre_version:
+            return 0
+        if last is None or last[1] != "DELETE":
             raise RuntimeError(
                 f"delete_where({name}): latest commit is "
-                f"{last[0] if last else 'absent'!r}, not the DELETE just "
+                f"{last[1] if last else 'absent'!r}, not the DELETE just "
                 f"issued — concurrent writer? Deleted-count unavailable.")
-        metrics = last[1] or {}
+        metrics = last[2] or {}
         if "numDeletedRows" not in metrics:
             raise RuntimeError(
                 f"delete_where({name}): DELETE commit reported no "

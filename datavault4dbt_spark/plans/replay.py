@@ -52,6 +52,11 @@ class ReplayConfig:
     cutoff: str   # 'YYYY-MM-DD HH:MM:SS': phase 1 loads ldts <= cutoff
     members: tuple  # ReplayMember
 
+    def __post_init__(self):
+        if not self.members:
+            raise ValueError(
+                f"replay {self.name}: needs >= 1 member entity")
+
 
 # One scratch warehouse per replay name, reused across invocations
 # (member tables are cleared before each run) and removed at process

@@ -32,6 +32,23 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_spark_cache():
+    """Spark's cache is keyed on canonicalized PLANS, so a subtree
+    persist()ed by one test (e.g. the bundle multi-consuming a full-width
+    stage) silently substitutes an InMemoryRelation into a LATER test's
+    identical subtree — defeating the scan properties (column pruning)
+    that test asserts. Clear the cache at each module boundary so plan
+    assertions always see cold scans (and cached leaks don't accumulate
+    across the suite)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.catalog.clearCache()
+    yield
+
+
 def duck_con(sf_dir):
     """DuckDB connection with the driver's view layout."""
     import duckdb

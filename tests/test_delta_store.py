@@ -61,6 +61,10 @@ def test_delete_where_reports_metrics(dspark, store):
     assert n == 5
     assert store.read("t").count() == 5
     assert store.DELETE_RETURNS_METRICS
+    # zero-match DELETE: delta skips the empty commit, so history(1)
+    # still shows the previous operation — must report 0, not raise
+    assert store.delete_where("t", F.col("sdts") == "b") == 0
+    assert store.read("t").count() == 5
 
 
 def test_partitioned_append_and_native_partition_drop(dspark, store):

@@ -121,3 +121,50 @@ def test_streaming_dedup_batch_path_keeps_first_arrival(spark):
     out = {r.content_hash: r.id for r in
            streaming_exact_dedup(df, "props", "ts").collect()}
     assert sorted(out.values()) == [2, 3]      # earliest per hash
+
+
+def test_contamination_max_doc_freq_caps_hot_grams(spark, sf_dir):
+    """The opt-in document-frequency cap drops boilerplate grams before
+    the probe join, with identical semantics in the oracle."""
+    from conftest import compare_spark_duck
+    from datavault4dbt_spark import fixtures
+    from datavault4dbt_spark.llm.contamination import (
+        ContaminationConfig, build_contamination, contamination_oracle)
+    from datavault4dbt_spark.plans.sqlbuild import SqlBuilder
+
+    cfg = ContaminationConfig("contam_capped", max_doc_freq=2)
+    reg = fixtures.registry(spark, sf_dir)
+    df = build_contamination(spark, reg, cfg)
+    b = SqlBuilder()
+    final = contamination_oracle(b, fixtures.oracle_registry(), cfg)
+    compare_spark_duck(spark, sf_dir, df, b.render(f"SELECT * FROM {final}"))
+    # the cap genuinely bites on this corpus (small vocabulary -> hot
+    # shingles exist): capped totals are strictly below uncapped
+    uncapped = build_contamination(
+        spark, reg, ContaminationConfig("contam_raw"))
+    from pyspark.sql import functions as F
+    tot = lambda d: d.agg(F.sum("n_shared_ngrams")).first()[0]  # noqa: E731
+    assert tot(df) < tot(uncapped)
+
+
+def test_pii_rejects_bad_label_and_replacement(spark):
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.llm.scrub import (PiiRedactConfig,
+                                               build_pii_redact)
+    reg = Registry()
+    reg.spark_loaders["documents"] = lambda sp: sp.range(1).selectExpr(
+        "id AS doc_id", "'x' AS text")
+    with pytest.raises(ValueError, match="identifier"):
+        build_pii_redact(spark, reg,
+                         PiiRedactConfig("p", patterns=(
+                             ("bad label", "x", "<X>"),)))
+    with pytest.raises(ValueError, match="portability"):
+        build_pii_redact(spark, reg,
+                         PiiRedactConfig("p", patterns=(
+                             ("ok", "x", "<owner's>"),)))
+
+
+def test_replay_rejects_empty_members():
+    from datavault4dbt_spark.plans.replay import ReplayConfig
+    with pytest.raises(ValueError, match="member"):
+        ReplayConfig("r", "2024-01-01 00:00:00", ())

@@ -384,3 +384,19 @@ def test_clean_up_pit_rewrite_path_refuses_on_sdts_drift(
     with pytest.raises(ValueError, match="no stored row matches"):
         clean_up_pit(store, "pit_customer", shifted)
     assert store.read("pit_customer").count() == before   # untouched
+
+
+def test_clean_up_pit_on_empty_pit_returns_zero(spark, sf_dir, tmp_path):
+    """A PIT table with zero rows is 'nothing to clean', not sdts
+    drift: clean_up_pit must return 0, not raise."""
+    from datavault4dbt_spark import fixtures
+    from datavault4dbt_spark.operators.maintenance import clean_up_pit
+    from datavault4dbt_spark.plans.incremental import ParquetStore
+
+    fixtures.ensure_session_conf(spark)
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    reg = fixtures.registry(spark, sf_dir)
+    pit = reg.load(spark, "pit_customer")
+    store.append("pit_customer", pit.filter("1 = 0"))  # schema, no rows
+    snap = reg.load(spark, "control_snap_v1")
+    assert clean_up_pit(store, "pit_customer", snap) == 0
