@@ -175,3 +175,32 @@ def test_scalar_quantize_roundtrip_error_bound(spark):
     # reconstruction error bounded by half a quantization step per dim;
     # here max step is range/levels = 0.25 -> per-dim err <= 0.125
     assert all(v["recon_mae"] <= 0.125 + 1e-9 for v in out.values())
+
+
+def test_null_text_follows_null_in_null_out(spark):
+    """NULL document text: metrics go NULL (or zero where a missing
+    gram-group legitimately means 'none'), rows are never dropped —
+    the same convention as multimodal's NULL payloads. Both engines
+    produce NULL for the same expressions, so oracle parity holds by
+    construction; this pins the Spark-side shape."""
+    from datavault4dbt_spark.llm.sampling import (SequencePackingConfig,
+                                                  build_sequence_packing)
+    reg = _doc_reg(spark, [(1, None), (2, "two tokens here")])
+
+    rep = {r["doc_id"]: r.asDict() for r in build_repetition(
+        spark, reg, RepetitionConfig("r")).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[1]["n_tokens"] is None and rep[1]["dup_ngram_fraction"] == 0.0
+    assert not rep[1]["is_repetitive"]
+
+    pii = {r["doc_id"]: r.asDict() for r in build_pii_redact(
+        spark, reg, PiiRedactConfig("p")).collect()}
+    assert pii[1]["redacted"] is None and pii[1]["pii_free"] is None
+    assert pii[2]["pii_free"]
+
+    # NULL token counts collect in the NULL bin (sum() skips NULLs, the
+    # bin expression propagates NULL) — deterministic on both engines
+    packs = build_sequence_packing(
+        spark, reg, SequencePackingConfig("pk", n_shards=1)).collect()
+    bins = {r["bin"]: r for r in packs}
+    assert None in bins and bins[None]["n_docs"] == 1
