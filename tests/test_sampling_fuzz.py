@@ -1,0 +1,66 @@
+"""Property-based checks for the sampling operators: random corpora
+through sequence_packing must equal a sequential Python replay of the
+boundary-assignment rule, and dataset_mix must equal the md5-derived
+Python decision per document. Batched like test_hash_fuzz (few
+examples, one Spark job each — per-example jobs would take minutes)."""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from datavault4dbt_spark.context import Registry
+from datavault4dbt_spark.llm.sampling import (DatasetMixConfig,
+                                              SequencePackingConfig,
+                                              build_dataset_mix,
+                                              build_sequence_packing)
+
+# word-soup documents: token counts 0..80, ids sparse and unordered
+_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.integers(min_value=0, max_value=80)),
+    min_size=1, max_size=40,
+    unique_by=lambda t: t[0])
+
+
+def _reg(spark, rows):
+    reg = Registry()
+    data = [(i, " ".join("w" for _ in range(n)), "en" if i % 2 else "de")
+            for i, n in rows]
+    df = spark.createDataFrame(data, "doc_id BIGINT, text STRING, lang STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    return reg
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_docs)
+def test_fuzz_packing_equals_sequential_replay(spark, rows):
+    cfg = SequencePackingConfig("pk", budget=64, n_shards=3)
+    got = {(r["shard"], r["bin"]): (r["n_docs"], r["bin_tokens"],
+                                    r["first_doc"])
+           for r in build_sequence_packing(spark, _reg(spark, rows), cfg)
+           .collect()}
+    want: dict = {}
+    offset = [0] * cfg.n_shards
+    for doc_id, n_tok in sorted(rows):
+        shard = doc_id % cfg.n_shards
+        b = offset[shard] // cfg.budget
+        n, tok, first = want.get((shard, b), (0, 0, doc_id))
+        want[(shard, b)] = (n + 1, tok + n_tok, first)
+        offset[shard] += n_tok
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_docs)
+def test_fuzz_mix_equals_python_md5_decision(spark, rows):
+    cfg = DatasetMixConfig("mx", weights=(("en", 0.7),), default_weight=0.2)
+    got = {r["doc_id"] for r in
+           build_dataset_mix(spark, _reg(spark, rows), cfg).collect()}
+    want = set()
+    for doc_id, _n in rows:
+        h = hashlib.md5(f"{cfg.salt}:{doc_id}".encode()).hexdigest()
+        u = int(h[:4], 16) / 65536.0
+        w = 0.7 if doc_id % 2 else 0.2
+        if u < w:
+            want.add(doc_id)
+    assert got == want
