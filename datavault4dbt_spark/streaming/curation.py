@@ -1,0 +1,69 @@
+"""Streaming training-data curation: score, gate, and dedup documents
+as they ARRIVE.
+
+The batch curation chain (``llm.curation``) is quality gate -> language
+tag -> near-dup removal over a complete corpus. Its streaming
+counterpart applies the same per-document scoring — all stateless
+Column expressions, so they run unchanged inside a micro-batch plan —
+and swaps the corpus-wide MinHash dedup for the watermark-bounded
+exact dedup (``streaming.dedup``): global LSH needs the whole corpus,
+horizon dedup needs state bounded by (arrival rate x watermark). The
+composition mirrors production ingest: stream -> curated append-only
+table now, periodic batch MinHash/SemDeDup sweep over the accumulated
+store later.
+
+Scale: scoring is whole-stage codegen in the micro-batch scan;
+the only stateful operator is dropDuplicatesWithinWatermark keyed on
+the content md5 (uniform, no skew). Works on a BATCH DataFrame too
+(the dedup degrades to first-per-hash), which is how the
+stream-equals-batch test pins parity with the oracle-checked batch
+builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..llm.textprep import spark_tokens
+from ..llm.textstats import DEFAULT_LEXICONS, _lang_hits
+from .dedup import streaming_exact_dedup
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def streaming_curation(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       event_time_col: str = "ts",
+                       min_quality: float = 0.5,
+                       stopwords: tuple = DEFAULT_STOPWORDS,
+                       lexicons: tuple = DEFAULT_LEXICONS,
+                       dedup_watermark: str = "24 hours") -> DataFrame:
+    """Curated stream: documents that pass the quality gate, tagged with
+    ``predicted_lang``/``quality_score``, first-arrival-per-content only.
+
+    The metric expressions are the SAME formulas as the oracle-checked
+    batch builders (``llm.textstats.build_quality`` / ``build_langid``)
+    — the stream-equals-batch test in ``tests/test_streaming.py`` pins
+    that the two paths cannot drift.
+    """
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    langs = [lang for lang, _ in lexicons]
+    w = docs.selectExpr("*", f"{spark_tokens(text_col)} AS w")
+    feat = w.selectExpr(
+        "*", "size(w) AS n_tokens",
+        f"size(filter(w, t -> array_contains(array({sw}), t))) AS __n_stop",
+        *_lang_hits(lexicons, "spark"))
+    max_expr = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    cascade = "CASE " + " ".join(
+        f"WHEN hits_{l} = {max_expr} THEN '{l}'" for l in langs) + " END"
+    scored = feat.selectExpr(
+        id_col, event_time_col, text_col, "n_tokens",
+        f"{cascade} AS predicted_lang",
+        "round(least(n_tokens / 50.0, 1.0) * 0.5 "
+        "+ least(__n_stop / cast(greatest(n_tokens, 1) AS DOUBLE) * 5.0, "
+        "1.0) * 0.5, 6) AS quality_score")
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+    deduped = streaming_exact_dedup(kept, text_col, event_time_col,
+                                    watermark=dedup_watermark)
+    return deduped.select(id_col, event_time_col, "n_tokens",
+                          "predicted_lang", "quality_score", "content_hash")

@@ -386,3 +386,63 @@ def test_streaming_ma_sat_equals_batch(spark, sf_dir, order_version_batches,
     b1 = spark.read.parquet(f"{order_version_batches}/batch_1.parquet")
     loader(b1, 99)
     assert store.read(ma_cfg.name).count() == len(got)
+
+
+@pytest.fixture(scope="module")
+def doc_batches(tmp_path_factory):
+    """documents split into 3 arriving files in doc_id order, each with
+    a synthetic arrival timestamp one day apart."""
+    import duckdb
+    import time
+    root = tmp_path_factory.mktemp("doc_stream_src")
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT max(doc_id) FROM '{SF_DIR}/documents.parquet'").fetchone()[0]
+    step = (n + 3) // 3
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT doc_id, text, TIMESTAMP '2024-05-01' "
+            f"+ INTERVAL {i} DAY AS ts "
+            f"FROM '{SF_DIR}/documents.parquet' "
+            f"WHERE doc_id >= {i * step} AND doc_id < {(i + 1) * step}) "
+            f"TO '{root}/batch_{i}.parquet' (FORMAT PARQUET)")
+        time.sleep(0.05)
+    return str(root)
+
+
+def test_streaming_curation_equals_batch(spark, sf_dir, doc_batches,
+                                         tmp_path):
+    """The streamed curation chain must equal (a) the same chain on a
+    batch read of all files, and (b) the oracle-checked batch builders'
+    quality/langid values for every surviving document."""
+    from pyspark.sql import functions as F
+    from datavault4dbt_spark.streaming.curation import streaming_curation
+
+    fixtures.ensure_session_conf(spark)
+    schema = spark.read.parquet(doc_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches))
+    out = streaming_curation(stream, dedup_watermark="3650 days")
+    q = (out.writeStream.format("memory").queryName("cur_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_cur")).start())
+    q.awaitTermination(300)
+    got = {tuple(map(str, r)) for r in spark.table("cur_stream").collect()}
+
+    want_df = streaming_curation(spark.read.parquet(doc_batches),
+                                 dedup_watermark="3650 days")
+    want = {tuple(map(str, r)) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    # streamed dedup actually dropped planted exact duplicates
+    assert len(got) < spark.read.parquet(doc_batches).filter(
+        "length(text) > 0").count()
+
+    # metric parity with the oracle-checked batch builders
+    reg = fixtures.registry(spark, sf_dir)
+    bq = reg.load(spark, "text_quality").select("doc_id", "quality_score")
+    bl = reg.load(spark, "text_langid").select("doc_id", "predicted_lang")
+    ref = {(str(r["doc_id"]), str(r["quality_score"]),
+            str(r["predicted_lang"]))
+           for r in bq.join(bl, "doc_id").collect()}
+    for doc_id, _ts, _n, lang, score, _h in got:
+        assert (doc_id, score, lang) in ref
