@@ -97,6 +97,20 @@ class DeltaStore(ParquetStore):
         (df.write.format("delta").mode("overwrite")
          .option("overwriteSchema", "true").save(self.path(name)))
 
+    def compact(self, name: str, partition_by: tuple = ()) -> int:
+        """Native OPTIMIZE bin-packing compaction: no table rewrite, no
+        reader interruption (Delta swaps files transactionally); falls
+        back to the parquet read-then-overwrite on engine versions
+        without the optimize API."""
+        t = self._DeltaTable.forPath(self.spark, self.path(name))
+        if not hasattr(t, "optimize"):
+            return super().compact(name, partition_by)
+        t.optimize().executeCompaction()
+        return int(
+            self.spark.sql(
+                f"SELECT count(*) FROM (SELECT input_file_name() f "
+                f"FROM delta.`{self.path(name)}` GROUP BY 1)").first()[0])
+
     def delete_where(self, name: str, condition) -> int:
         """Native targeted DELETE. With a partition-column predicate
         Delta drops whole files from the log (metadata-only); otherwise

@@ -221,6 +221,39 @@ class ParquetStore:
         os.rename(tmp, final)
         shutil.rmtree(old, ignore_errors=True)
 
+    def compact(self, name: str, partition_by: tuple = ()) -> int:
+        """Rewrite the table to right-sized files — the maintenance step
+        micro-batch appends make necessary (every foreachBatch append
+        lands one file set; a day of 1-minute triggers is ~1440 small
+        files whose open/footer cost dominates scans at 100 TB).
+
+        No explicit coalesce: the parquet reader bin-packs small files
+        into `spark.sql.files.maxPartitionBytes`-sized splits, so
+        read-then-overwrite naturally emits consolidated files while
+        staying fully distributed. ``partition_by`` preserves a
+        hive layout (compaction happens within each partition).
+        Returns the resulting file count. DeltaStore overrides with
+        OPTIMIZE when available."""
+        import os
+
+        df = self.read(name)
+        final = self.path(name)
+        tmp = final + ".__tmp__"
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        old = final + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+        return sum(1 for _base, _d, files in os.walk(final)
+                   for f in files if f.endswith(".parquet"))
+
     def delete_where(self, name: str, condition) -> int | None:
         """DELETE FROM name WHERE condition (reference:
         macros/hooks/clean_up_pits.sql:128-137 uses warehouse DELETE;

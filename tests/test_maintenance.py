@@ -400,3 +400,33 @@ def test_clean_up_pit_on_empty_pit_returns_zero(spark, sf_dir, tmp_path):
     store.append("pit_customer", pit.filter("1 = 0"))  # schema, no rows
     snap = reg.load(spark, "control_snap_v1")
     assert clean_up_pit(store, "pit_customer", snap) == 0
+
+
+def test_compact_consolidates_small_files(spark, sf_dir, tmp_path):
+    """Many tiny appends (the streaming-ingest pattern) -> one compact
+    rewrite -> far fewer files, identical rows; hive layout preserved."""
+    import os
+    from datavault4dbt_spark.plans.incremental import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS day")
+    for i in range(10):   # 10 micro-batch appends, 8 partitions each
+        store.append("t", df.filter(f"id % 10 = {i}"))
+
+    def nfiles():
+        return sum(1 for _b, _d, fs in os.walk(store.path("t"))
+                   for f in fs if f.endswith(".parquet"))
+
+    before = nfiles()
+    rows_before = sorted(r["id"] for r in store.read("t").collect())
+    got = store.compact("t")
+    assert got == nfiles() < before
+    assert sorted(r["id"] for r in store.read("t").collect()) == rows_before
+
+    # partitioned variant keeps the hive layout compactable per-day
+    for i in range(6):
+        store.append("p", df.filter(f"id % 6 = {i}"), partition_by=("day",))
+    store.compact("p", partition_by=("day",))
+    assert set(store.partitions("p", "day")) == {"0", "1", "2"}
+    assert store.read("p").count() == 1000
