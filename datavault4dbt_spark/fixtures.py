@@ -65,6 +65,8 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
+from .llm.substring import (SubstringDupConfig, build_substring_dup,
+                            substring_dup_oracle)
 from .llm.curation import CurationConfig, build_curation, curation_oracle
 from .plans.sqlbuild import SqlBuilder
 
@@ -389,6 +391,10 @@ BUNDLES = {
         # frees the slot for quantize_embeddings (hub keeps hub_customer,
         # hub_nation_multisource, hub_order, hub_part_enriched exposed)
         BundleMember("hub_part", "hk_part_h", "CAST(p_partkey AS STRING)"),
+        # frees the slot for dedup_substring (hub keeps hub_customer,
+        # hub_nation_multisource, hub_part_enriched exposed)
+        BundleMember("hub_order", "hk_order_h",
+                     "CAST(o_orderkey AS STRING)"),
     )),
 }
 
@@ -489,6 +495,7 @@ PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
 SEMDEDUP = {"semdedup_embeddings": SemDedupConfig("semdedup_embeddings")}
 QUANTIZE = {"quantize_embeddings":
             ScalarQuantizeConfig("quantize_embeddings")}
+SUBSTRING = {"dedup_substring": SubstringDupConfig("dedup_substring")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -562,6 +569,7 @@ _FAMILIES = [
     (PACKING, build_sequence_packing, sequence_packing_oracle, _NO_DEPS),
     (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),
     (QUANTIZE, build_scalar_quantize, scalar_quantize_oracle, _NO_DEPS),
+    (SUBSTRING, build_substring_dup, substring_dup_oracle, _NO_DEPS),
 ]
 
 

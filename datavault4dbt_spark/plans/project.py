@@ -112,6 +112,7 @@ def _llm_kinds() -> dict:
     from ..llm.sampling import build_dataset_mix, build_sequence_packing
     from ..llm.semdedup import build_semdedup
     from ..llm.quantize import build_scalar_quantize
+    from ..llm.substring import build_substring_dup
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -140,6 +141,7 @@ def _llm_kinds() -> dict:
         "sequence_packing": (build_sequence_packing, src),
         "semdedup": (build_semdedup, src),
         "scalar_quantize": (build_scalar_quantize, src),
+        "substring_dup": (build_substring_dup, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

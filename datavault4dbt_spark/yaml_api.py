@@ -397,6 +397,7 @@ def _llm_parsers() -> dict:
     from .llm.sampling import DatasetMixConfig, SequencePackingConfig
     from .llm.semdedup import SemDedupConfig
     from .llm.quantize import ScalarQuantizeConfig
+    from .llm.substring import SubstringDupConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -420,6 +421,7 @@ def _llm_parsers() -> dict:
         "sequence_packing": _dataclass_parser(SequencePackingConfig),
         "semdedup": _dataclass_parser(SemDedupConfig),
         "scalar_quantize": _dataclass_parser(ScalarQuantizeConfig),
+        "substring_dup": _dataclass_parser(SubstringDupConfig),
     }
 
 

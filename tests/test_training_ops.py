@@ -204,3 +204,23 @@ def test_null_text_follows_null_in_null_out(spark):
         spark, reg, SequencePackingConfig("pk", n_shards=1)).collect()
     bins = {r["bin"]: r for r in packs}
     assert None in bins and bins[None]["n_docs"] == 1
+
+
+def test_substring_dup_finds_known_shared_run(spark):
+    from datavault4dbt_spark.llm.substring import (SubstringDupConfig,
+                                                   build_substring_dup)
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reg = _doc_reg(spark, [
+        (1, f"prefix one two {shared} suffix here now"),
+        (2, f"{shared} completely different tail words follow after"),
+        (3, "unrelated content with no overlap at all whatsoever"),
+        # shares only 6 tokens with doc 1 (< min_run 8)
+        (4, "prefix one two alpha beta gamma nothing else matches"),
+    ])
+    cfg = SubstringDupConfig("ss", gram_n=3, min_run=8, max_doc_freq=0)
+    out = {(r["id_a"], r["id_b"]): r.asDict()
+           for r in build_substring_dup(spark, reg, cfg).collect()}
+    assert set(out) == {(1, 2)}
+    # t consecutive 3-gram matches == run of t + 2 tokens; the shared
+    # block is exactly 10 tokens
+    assert out[(1, 2)]["max_shared_run"] == 10
