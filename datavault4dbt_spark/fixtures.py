@@ -67,6 +67,7 @@ from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
 from .llm.substring import (SubstringDupConfig, build_substring_dup,
                             substring_dup_oracle)
+from .llm.tfidf import TfidfConfig, build_tfidf, tfidf_oracle
 from .llm.curation import CurationConfig, build_curation, curation_oracle
 from .plans.sqlbuild import SqlBuilder
 
@@ -395,6 +396,10 @@ BUNDLES = {
         # hub_nation_multisource, hub_part_enriched exposed)
         BundleMember("hub_order", "hk_order_h",
                      "CAST(o_orderkey AS STRING)"),
+        # frees the slot for text_tfidf; like sat_v1 above, the v1
+        # ledts folds into the hash so end-dating stays pinned
+        BundleMember("ref_sat_nation_v1", "CAST(n_nationkey AS STRING)",
+                     "concat(hd_nation_s, '|', CAST(ledts AS STRING))"),
     )),
 }
 
@@ -496,6 +501,7 @@ SEMDEDUP = {"semdedup_embeddings": SemDedupConfig("semdedup_embeddings")}
 QUANTIZE = {"quantize_embeddings":
             ScalarQuantizeConfig("quantize_embeddings")}
 SUBSTRING = {"dedup_substring": SubstringDupConfig("dedup_substring")}
+TFIDF = {"text_tfidf": TfidfConfig("text_tfidf")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -570,6 +576,7 @@ _FAMILIES = [
     (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),
     (QUANTIZE, build_scalar_quantize, scalar_quantize_oracle, _NO_DEPS),
     (SUBSTRING, build_substring_dup, substring_dup_oracle, _NO_DEPS),
+    (TFIDF, build_tfidf, tfidf_oracle, _NO_DEPS),
 ]
 
 

@@ -113,6 +113,7 @@ def _llm_kinds() -> dict:
     from ..llm.semdedup import build_semdedup
     from ..llm.quantize import build_scalar_quantize
     from ..llm.substring import build_substring_dup
+    from ..llm.tfidf import build_tfidf
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -142,6 +143,7 @@ def _llm_kinds() -> dict:
         "semdedup": (build_semdedup, src),
         "scalar_quantize": (build_scalar_quantize, src),
         "substring_dup": (build_substring_dup, src),
+        "tfidf": (build_tfidf, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

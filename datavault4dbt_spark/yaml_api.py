@@ -398,6 +398,7 @@ def _llm_parsers() -> dict:
     from .llm.semdedup import SemDedupConfig
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
+    from .llm.tfidf import TfidfConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -422,6 +423,7 @@ def _llm_parsers() -> dict:
         "semdedup": _dataclass_parser(SemDedupConfig),
         "scalar_quantize": _dataclass_parser(ScalarQuantizeConfig),
         "substring_dup": _dataclass_parser(SubstringDupConfig),
+        "tfidf": _dataclass_parser(TfidfConfig),
     }
 
 

@@ -224,3 +224,22 @@ def test_substring_dup_finds_known_shared_run(spark):
     # t consecutive 3-gram matches == run of t + 2 tokens; the shared
     # block is exactly 10 tokens
     assert out[(1, 2)]["max_shared_run"] == 10
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    from datavault4dbt_spark.llm.tfidf import TfidfConfig, build_tfidf
+    reg = _doc_reg(spark, [
+        (1, "common common common rareword common"),
+        (2, "common words only common here"),
+        (3, "common another doc common common"),
+    ])
+    out = {r["doc_id"]: r for r in
+           build_tfidf(spark, reg, TfidfConfig("tt", top_k=1)).collect()}
+    # 'rareword': tf=1, df=1, n=3 -> 3.0; 'common' in doc 1: tf=4, df=3
+    # -> 4.0 — common still wins on raw tf; verify exact scores instead
+    full = {(r["doc_id"], r["term"]): r["tfidf"] for r in
+            build_tfidf(spark, reg, TfidfConfig("tt", top_k=10)).collect()}
+    assert full[(1, "rareword")] == 3.0
+    assert full[(1, "common")] == 4.0
+    assert out[2]["term"] in ("words", "only", "here")  # df=1 terms win
+    assert out[2]["tfidf"] == 3.0
