@@ -67,11 +67,7 @@ def build_langid(spark, reg: Registry, cfg: LangIdConfig,
     hits = w.selectExpr(cfg.id_col, "size(w) AS n_tokens",
                         *_lang_hits(cfg.lexicons, "spark"))
     langs = [lang for lang, _ in cfg.lexicons]
-    # argmax cascade (first language reaching the max wins — the CASE
-    # order is the deterministic tie-break, identical on the oracle side)
-    max_expr = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
-    cascade = "CASE " + " ".join(
-        f"WHEN hits_{l} = {max_expr} THEN '{l}'" for l in langs) + " END"
+    cascade = langid_cascade_expr(cfg.lexicons)
     total = " + ".join(f"hits_{l}" for l in langs)
     return hits.selectExpr(
         cfg.id_col, "n_tokens",
@@ -89,9 +85,7 @@ def langid_oracle(b: SqlBuilder, reg: Registry, cfg: LangIdConfig,
                  f"SELECT {cfg.id_col}, len(w) AS n_tokens, "
                  + ", ".join(_lang_hits(cfg.lexicons, "duck")) + f" FROM {w}")
     langs = [lang for lang, _ in cfg.lexicons]
-    max_expr = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
-    cascade = "CASE " + " ".join(
-        f"WHEN hits_{l} = {max_expr} THEN '{l}'" for l in langs) + " END"
+    cascade = langid_cascade_expr(cfg.lexicons)
     total = " + ".join(f"hits_{l}" for l in langs)
     return b.cte(cfg.name,
                  f"SELECT {cfg.id_col}, n_tokens, {cascade} AS predicted_lang, "
@@ -101,13 +95,39 @@ def langid_oracle(b: SqlBuilder, reg: Registry, cfg: LangIdConfig,
 
 # -------------------------------------------------------------- quality --
 
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def quality_score_expr(n_tokens: str = "n_tokens",
+                       n_stop: str = "n_stop") -> str:
+    """The quality formula, shared verbatim by the batch builder, the
+    DuckDB oracle, and the streaming curation path — one definition, so
+    the three cannot drift. Valid in both dialects (round/least/
+    greatest/CAST agree). In [0,1]; rewards mid-length docs with some
+    stopwords."""
+    return (f"round(least({n_tokens} / 50.0, 1.0) * 0.5 "
+            f"+ least({n_stop} / cast(greatest({n_tokens}, 1) AS DOUBLE)"
+            f" * 5.0, 1.0) * 0.5, 6)")
+
+
+def langid_cascade_expr(lexicons: tuple) -> str:
+    """Argmax cascade over hits_<lang> columns (first language reaching
+    the max wins — CASE order is the deterministic tie-break). Shared by
+    the batch builder, the oracle, and streaming curation; identical in
+    both dialects."""
+    langs = [lang for lang, _ in lexicons]
+    max_expr = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    return ("CASE " + " ".join(
+        f"WHEN hits_{l} = {max_expr} THEN '{l}'" for l in langs) + " END")
+
+
 @dataclass(frozen=True)
 class QualityConfig:
     name: str
     source: str = "documents"
     id_col: str = "doc_id"
     text_col: str = "text"
-    stopwords: tuple = ("the", "a", "of", "and", "to", "in", "is")
+    stopwords: tuple = DEFAULT_STOPWORDS
 
 
 def build_quality(spark, reg: Registry, cfg: QualityConfig,
@@ -127,10 +147,7 @@ def build_quality(spark, reg: Registry, cfg: QualityConfig,
         "AS avg_token_len",
         "round(n_stop / cast(greatest(n_tokens, 1) AS DOUBLE), 6) "
         "AS stopword_ratio",
-        # quality: in [0,1]; rewards mid-length docs with some stopwords
-        "round(least(n_tokens / 50.0, 1.0) * 0.5 "
-        "+ least(n_stop / cast(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0)"
-        " * 0.5, 6) AS quality_score")
+        f"{quality_score_expr()} AS quality_score")
 
 
 def quality_oracle(b: SqlBuilder, reg: Registry, cfg: QualityConfig,
@@ -153,9 +170,7 @@ def quality_oracle(b: SqlBuilder, reg: Registry, cfg: QualityConfig,
         f"AS avg_token_len, "
         f"round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) "
         f"AS stopword_ratio, "
-        f"round(least(n_tokens / 50.0, 1.0) * 0.5 "
-        f"+ least(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0)"
-        f" * 0.5, 6) AS quality_score FROM {feat}")
+        f"{quality_score_expr()} AS quality_score FROM {feat}")
 
 
 # --------------------------------------------------------------- tokens --

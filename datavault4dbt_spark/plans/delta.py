@@ -90,26 +90,34 @@ class DeltaStore(ParquetStore):
             w = w.partitionBy(*partition_by)
         w.save(self.path(name))
 
-    def overwrite(self, name: str, df: DataFrame):
+    def overwrite(self, name: str, df: DataFrame, partition_by: tuple = ()):
         """Transactional replace — readers of the old version are
         unaffected mid-write; no temp-and-swap, no read-own-path
         hazard (Delta snapshots the version at plan time)."""
-        (df.write.format("delta").mode("overwrite")
-         .option("overwriteSchema", "true").save(self.path(name)))
+        w = (df.write.format("delta").mode("overwrite")
+             .option("overwriteSchema", "true"))
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(self.path(name))
+
+    def _num_files(self, name: str) -> int:
+        t = self._DeltaTable.forPath(self.spark, self.path(name))
+        return int(t.detail().select("numFiles").first()[0])
 
     def compact(self, name: str, partition_by: tuple = ()) -> int:
         """Native OPTIMIZE bin-packing compaction: no table rewrite, no
-        reader interruption (Delta swaps files transactionally); falls
-        back to the parquet read-then-overwrite on engine versions
-        without the optimize API."""
+        reader interruption (Delta swaps files transactionally). On
+        engine versions without the optimize API, fall back to a
+        TRANSACTIONAL read-then-overwrite through this class's own
+        ``overwrite`` — never the parquet directory swap, which would
+        strip the _delta_log and brick the table. File count comes from
+        table metadata (``detail().numFiles``), not a data scan."""
         t = self._DeltaTable.forPath(self.spark, self.path(name))
-        if not hasattr(t, "optimize"):
-            return super().compact(name, partition_by)
-        t.optimize().executeCompaction()
-        return int(
-            self.spark.sql(
-                f"SELECT count(*) FROM (SELECT input_file_name() f "
-                f"FROM delta.`{self.path(name)}` GROUP BY 1)").first()[0])
+        if hasattr(t, "optimize"):
+            t.optimize().executeCompaction()
+        else:
+            self.overwrite(name, self.read(name), partition_by=partition_by)
+        return self._num_files(name)
 
     def delete_where(self, name: str, condition) -> int:
         """Native targeted DELETE. With a partition-column predicate

@@ -198,7 +198,7 @@ class ParquetStore:
                 dropped += 1
         return dropped
 
-    def overwrite(self, name: str, df: DataFrame):
+    def overwrite(self, name: str, df: DataFrame, partition_by: tuple = ()):
         """Read-modify-write safe overwrite: the plan may READ the path
         being replaced, so write distributed to a sibling temp dir and
         swap directories (never collect() to the driver — with Delta
@@ -206,14 +206,19 @@ class ParquetStore:
         swap is NOT atomic: a crash between the renames leaves `final`
         missing with the committed copy in `.__old__`; `_recover`
         (called by read/exists) restores it, so no window loses
-        committed data — the worst case is redoing the overwrite."""
+        committed data — the worst case is redoing the overwrite.
+        This swap is the store's single crash-recovery protocol —
+        `compact` funnels through here rather than reimplementing it."""
         import os
         import shutil
 
         final = self.path(name)
         tmp = final + ".__tmp__"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         old = final + ".__old__"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(final):
@@ -233,25 +238,11 @@ class ParquetStore:
         staying fully distributed. ``partition_by`` preserves a
         hive layout (compaction happens within each partition).
         Returns the resulting file count. DeltaStore overrides with
-        OPTIMIZE when available."""
+        OPTIMIZE."""
         import os
 
-        df = self.read(name)
-        final = self.path(name)
-        tmp = final + ".__tmp__"
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
-        old = final + ".__old__"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
-        return sum(1 for _base, _d, files in os.walk(final)
+        self.overwrite(name, self.read(name), partition_by=partition_by)
+        return sum(1 for _base, _d, files in os.walk(self.path(name))
                    for f in files if f.endswith(".parquet"))
 
     def delete_where(self, name: str, condition) -> int | None:

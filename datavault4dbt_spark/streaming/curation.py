@@ -25,10 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..llm.textprep import spark_tokens
-from ..llm.textstats import DEFAULT_LEXICONS, _lang_hits
+from ..llm.textstats import (DEFAULT_LEXICONS, DEFAULT_STOPWORDS,
+                             _lang_hits, langid_cascade_expr,
+                             quality_score_expr)
 from .dedup import streaming_exact_dedup
-
-DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def streaming_curation(docs: DataFrame, *, id_col: str = "doc_id",
@@ -41,29 +41,26 @@ def streaming_curation(docs: DataFrame, *, id_col: str = "doc_id",
     """Curated stream: documents that pass the quality gate, tagged with
     ``predicted_lang``/``quality_score``, first-arrival-per-content only.
 
-    The metric expressions are the SAME formulas as the oracle-checked
-    batch builders (``llm.textstats.build_quality`` / ``build_langid``)
-    — the stream-equals-batch test in ``tests/test_streaming.py`` pins
-    that the two paths cannot drift.
+    The metric expressions are IMPORTED from the oracle-checked batch
+    builders (``llm.textstats.quality_score_expr`` /
+    ``langid_cascade_expr``) — shared definitions, so the stream and
+    batch paths cannot drift; the stream-equals-batch test pins it.
     """
     sw = ", ".join(f"'{s}'" for s in stopwords)
-    langs = [lang for lang, _ in lexicons]
     w = docs.selectExpr("*", f"{spark_tokens(text_col)} AS w")
     feat = w.selectExpr(
         "*", "size(w) AS n_tokens",
         f"size(filter(w, t -> array_contains(array({sw}), t))) AS __n_stop",
         *_lang_hits(lexicons, "spark"))
-    max_expr = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
-    cascade = "CASE " + " ".join(
-        f"WHEN hits_{l} = {max_expr} THEN '{l}'" for l in langs) + " END"
     scored = feat.selectExpr(
         id_col, event_time_col, text_col, "n_tokens",
-        f"{cascade} AS predicted_lang",
-        "round(least(n_tokens / 50.0, 1.0) * 0.5 "
-        "+ least(__n_stop / cast(greatest(n_tokens, 1) AS DOUBLE) * 5.0, "
-        "1.0) * 0.5, 6) AS quality_score")
+        f"{langid_cascade_expr(lexicons)} AS predicted_lang",
+        f"{quality_score_expr('n_tokens', '__n_stop')} AS quality_score")
     kept = scored.filter(F.col("quality_score") >= min_quality)
+    # id tiebreak: batch-stamped corpora give duplicates EQUAL event
+    # times, so the batch twin needs a deterministic equal-ts survivor
     deduped = streaming_exact_dedup(kept, text_col, event_time_col,
-                                    watermark=dedup_watermark)
+                                    watermark=dedup_watermark,
+                                    tiebreak_col=id_col)
     return deduped.select(id_col, event_time_col, "n_tokens",
                           "predicted_lang", "quality_score", "content_hash")

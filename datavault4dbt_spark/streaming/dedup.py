@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, functions as F
 def streaming_exact_dedup(events: DataFrame, content_col: str,
                           event_time_col: str = "ts",
                           watermark: str = "24 hours",
-                          hash_col: str = "content_hash") -> DataFrame:
+                          hash_col: str = "content_hash",
+                          tiebreak_col: str | None = None) -> DataFrame:
     """First arrival per content hash within the watermark horizon.
 
     On a streaming DataFrame: ``withWatermark`` +
@@ -46,9 +47,15 @@ def streaming_exact_dedup(events: DataFrame, content_col: str,
     else:
         # deterministic batch twin of "first arrival": min event time per
         # hash (bare dropDuplicates keeps an arbitrary partition-order
-        # row, which would make stream/batch parity flaky)
+        # row, which would make stream/batch parity flaky). When
+        # duplicates can SHARE an event time (batch-stamped corpora),
+        # pass `tiebreak_col` (e.g. the doc id) — otherwise the equal-ts
+        # survivor is still partition-order arbitrary
         from pyspark.sql import Window
-        w = Window.partitionBy(hash_col).orderBy(event_time_col)
+        order = [F.col(event_time_col)]
+        if tiebreak_col:
+            order.append(F.col(tiebreak_col))
+        w = Window.partitionBy(hash_col).orderBy(*order)
         out = (out.withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__rn") == 1).drop("__rn"))
     return out

@@ -125,9 +125,33 @@ def micro_batch_loader(cfg: StreamIngestConfig, store: ParquetStore,
             # latest-vs-target compare drops unchanged groups, and the
             # same (hk, ldts) anti-join as sat_v0 makes re-delivery a
             # no-op — a group's identity is (parent, load timestamp).
-            # Same ldts-ordered-arrival contract as sat_v0 above.
+            # CONTRACT (stronger than sat_v0's ldts ordering): every
+            # (parent_hashkey, ldts) group must arrive WHOLE in one
+            # micro-batch — the group hashdiff is a function of all
+            # the group's rows, so a split group would store a partial
+            # hashdiff and the anti-join would silently drop the rest.
+            # Time-partitioned source files give this for free (a load
+            # timestamp's rows live in that load's files); the guard
+            # below turns a violation into a loud error instead of a
+            # silent row loss.
             new = build_ma_sat_v0(spark, reg, ma_cfg, g, target=target,
                                   disable_hwm=True)
+            if target is not None:
+                keys = [ma_cfg.parent_hashkey, g.ldts_alias]
+                split = (new.select(*keys, ma_cfg.hdiff).distinct()
+                         .join(target.select(*keys, F.col(ma_cfg.hdiff)
+                                             .alias("__t_hd")).distinct(),
+                               on=keys)
+                         .filter(F.col(ma_cfg.hdiff) != F.col("__t_hd")))
+                bad = split.limit(1).collect()
+                if bad:
+                    r = bad[0]
+                    raise ValueError(
+                        f"{ma_cfg.name}: group ({r[0]}, {r[1]}) arrived "
+                        f"split across micro-batches (stored group "
+                        f"hashdiff differs from this batch's) — ma_sat "
+                        f"streaming requires whole (hashkey, ldts) "
+                        f"groups per batch")
             new = anti_join_new(new, target,
                                 [ma_cfg.parent_hashkey, g.ldts_alias])
             store.append(ma_cfg.name, new)
