@@ -16,12 +16,19 @@ This is engine capability the reference cannot express: its warehouses
 tables) leave physical co-location to the platform. Here it is a
 first-class storage option beside ``ParquetStore``/``DeltaStore`` —
 catalog-backed because Spark only tracks bucketing through the
-catalog, not through bare parquet paths.
+catalog, not through bare parquet paths — and implements the same
+store protocol (read/exists/append/overwrite), so ``run_pipeline`` can
+materialize a whole vault bucketed by passing a BucketedVault as the
+store (``tests/test_bucketing.py`` drives that end-to-end).
 
 Sizing rule at scale: pick ``n_buckets`` so a bucket of the LARGEST
 bucketed table fits an executor's shuffle-free sort (~100-500 MB);
 all tables that join each other must share the bucket count, so size
 for the satellite (biggest), not the hub.
+
+Spark enforces bucket-spec consistency: appending with a different
+bucket count / columns (or unbucketed) to an existing bucketed table
+raises — a misdeclared entity cannot silently corrupt the layout.
 """
 
 from __future__ import annotations
@@ -30,19 +37,23 @@ from pyspark.sql import DataFrame
 
 
 class BucketedVault:
-    """Catalog-backed store writing every table bucketed by its join key.
+    """Catalog-backed store writing tables bucketed by their join key.
 
-    Mirrors the ``ParquetStore`` read/append surface closely enough for
-    entity loads (read / exists / append), but appends must declare the
-    bucket key on first write; subsequent appends reuse the recorded
-    bucketing (Spark enforces consistency).
+    ``bucket_cols`` maps entity name -> tuple of bucket columns; every
+    mapped entity is also sortBy'd on those columns (sorted buckets let
+    the join skip its per-bucket sort). Unmapped entities write as
+    plain catalog tables — the store protocol stays total, so a
+    pipeline can bucket just its hubs/sats and leave spines alone.
     """
 
+    DELETE_RETURNS_METRICS = False
+
     def __init__(self, spark, database: str, location: str,
-                 n_buckets: int = 16):
+                 n_buckets: int = 16, bucket_cols: dict | None = None):
         self.spark = spark
         self.database = database
         self.n_buckets = n_buckets
+        self.bucket_cols = dict(bucket_cols or {})
         loc = location.replace("'", "''")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database} "
                   f"LOCATION '{loc}'")
@@ -56,15 +67,32 @@ class BucketedVault:
     def read(self, name: str) -> DataFrame:
         return self.spark.table(self._qualified(name))
 
-    def append(self, name: str, df: DataFrame, bucket_cols=("hk",),
-               sort_cols=()):
-        """Insert-only append, bucketed by the join key. Sorting within
-        buckets (``sort_cols``) additionally lets the join skip its
-        per-bucket sort when both sides are sorted the same way."""
-        w = (df.write.mode("append").format("parquet")
-             .bucketBy(self.n_buckets, *bucket_cols))
-        if sort_cols:
-            w = w.sortBy(*sort_cols)
+    def _writer(self, df: DataFrame, name: str, mode: str):
+        w = df.write.mode(mode).format("parquet")
+        cols = self.bucket_cols.get(name)
+        if cols:
+            w = w.bucketBy(self.n_buckets, *cols).sortBy(*cols)
+        return w
+
+    def append(self, name: str, df: DataFrame, partition_by: tuple = ()):
+        """Insert-only append; ``partition_by`` composes with bucketing
+        (hive partitions outer, buckets inner) like any Spark table."""
+        w = self._writer(df, name, "append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(self._qualified(name))
+
+    def overwrite(self, name: str, df: DataFrame, partition_by: tuple = ()):
+        """Full replace. saveAsTable(Overwrite) drops and recreates the
+        table in one catalog operation — readers racing the swap see
+        the old or the new table, never a half-written directory. The
+        plan may read the table being replaced: materialize via a
+        local checkpoint first (catalog overwrite cannot read its own
+        target the way the path-swap store can)."""
+        df = df.localCheckpoint(eager=True)
+        w = self._writer(df, name, "overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
         w.saveAsTable(self._qualified(name))
 
     def drop(self, name: str):

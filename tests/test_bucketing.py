@@ -1,6 +1,7 @@
 """Bucketed co-located joins: two tables bucketed on the join key must
-join with ZERO Exchange (the 100 TB amortized-shuffle story), and
-bucketed reads must equal path-based reads."""
+join with ZERO Exchange (the 100 TB amortized-shuffle story), bucketed
+reads must equal path-based reads, and run_pipeline must materialize a
+vault through a BucketedVault store end-to-end."""
 
 import pytest
 
@@ -12,14 +13,15 @@ from datavault4dbt_spark.plans.bucketing import BucketedVault
 def vault(spark, sf_dir, tmp_path_factory):
     fixtures.ensure_session_conf(spark)
     loc = tmp_path_factory.mktemp("bucketed_vault")
-    v = BucketedVault(spark, "bkt_test", str(loc), n_buckets=4)
+    v = BucketedVault(
+        spark, "bkt_test", str(loc), n_buckets=4,
+        bucket_cols={"hub_customer": ("hk_customer_h",),
+                     "sat_customer_n0_s": ("hk_customer_h",)})
     reg = fixtures.registry(spark, sf_dir)
     hub = reg.load(spark, "hub_customer")
     sat = reg.load(spark, "sat_customer_n0_s")
-    v.append("hub_customer", hub, bucket_cols=("hk_customer_h",),
-             sort_cols=("hk_customer_h",))
-    v.append("sat_customer_n0_s", sat, bucket_cols=("hk_customer_h",),
-             sort_cols=("hk_customer_h",))
+    v.append("hub_customer", hub)
+    v.append("sat_customer_n0_s", sat)
     yield v, hub, sat
     v.drop("hub_customer")
     v.drop("sat_customer_n0_s")
@@ -48,7 +50,6 @@ def test_bucketed_join_has_no_exchange(spark, vault):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
-        # and the join is still correct
         assert j.count() == sat.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -69,9 +70,71 @@ def test_unbucketed_join_pays_the_shuffle(spark, vault):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_append_accumulates_rows(spark, vault):
+def test_append_accumulates_and_enforces_spec(spark, vault):
     v, hub, _sat = vault
     before = v.read("hub_customer").count()
-    v.append("hub_customer", v.read("hub_customer").limit(5),
-             bucket_cols=("hk_customer_h",), sort_cols=("hk_customer_h",))
+    v.append("hub_customer", v.read("hub_customer").limit(5))
     assert v.read("hub_customer").count() == before + 5
+    # Spark rejects an append with a different bucket layout
+    v2 = BucketedVault(spark, "bkt_test", v.spark.conf.get(
+        "spark.sql.warehouse.dir"), n_buckets=8,
+        bucket_cols={"hub_customer": ("hk_customer_h",)})
+    with pytest.raises(Exception, match="[Bb]ucket"):
+        v2.append("hub_customer", v.read("hub_customer").limit(1))
+
+
+def test_run_pipeline_through_bucketed_store(spark, sf_dir,
+                                             tmp_path_factory):
+    """A hub + sat vault materializes through BucketedVault via the
+    generic pipeline, re-runs idempotently, and the stored tables join
+    shuffle-free — the whole-vault co-location story end-to-end."""
+    from datavault4dbt_spark.context import testdata_registry
+    from datavault4dbt_spark.operators.hub import build_hub
+    from datavault4dbt_spark.operators.sat import build_sat_v0
+    from datavault4dbt_spark.operators.stage import build_stage
+    from datavault4dbt_spark.plans.pipeline import EntityDecl, run_pipeline
+
+    fixtures.ensure_session_conf(spark)
+    loc = tmp_path_factory.mktemp("bucketed_pipeline")
+    store = BucketedVault(
+        spark, "bkt_pipe", str(loc), n_buckets=4,
+        bucket_cols={"hub_customer": ("hk_customer_h",),
+                     "sat_customer_n0_s": ("hk_customer_h",)})
+    decls = {
+        "stage_customer": EntityDecl(
+            "stage_customer", build_stage,
+            fixtures.STAGES["stage_customer"], materialize="view"),
+        "hub_customer": EntityDecl(
+            "hub_customer", build_hub, fixtures.HUBS["hub_customer"],
+            deps=("stage_customer",), keys=("hk_customer_h",)),
+        "sat_customer_n0_s": EntityDecl(
+            "sat_customer_n0_s", build_sat_v0,
+            fixtures.SATS["sat_customer_n0_s"],
+            deps=("stage_customer",),
+            keys=("hk_customer_h", "hd_customer_n_s", "ldts")),
+    }
+    try:
+        counts1 = run_pipeline(spark, decls, store,
+                               testdata_registry(sf_dir))
+        counts2 = run_pipeline(spark, decls, store,
+                               testdata_registry(sf_dir))
+        assert counts1["hub_customer"] > 0
+        assert counts2["hub_customer"] == 0   # idempotent rerun inserts nothing
+        reg = fixtures.registry(spark, sf_dir)
+        assert (store.read("hub_customer").count()
+                == reg.load(spark, "hub_customer").count())
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = store.read("hub_customer").join(
+                store.read("sat_customer_n0_s")
+                .select("hk_customer_h", "hd_customer_n_s"),
+                on="hk_customer_h")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        store.drop("stage_customer")
+        store.drop("hub_customer")
+        store.drop("sat_customer_n0_s")
