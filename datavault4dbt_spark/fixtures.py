@@ -37,7 +37,8 @@ from .operators.snapshots import (SnapV0Config, SnapV1Config, LogLogic,
                                   snap_v0_oracle, snap_v1_oracle)
 from .operators.pit import PitConfig, build_pit, pit_oracle
 from .operators.bundle import (BundleConfig, BundleMember, build_bundle,
-                               bundle_oracle)
+                               bundle_oracle, UnionBundleConfig,
+                               build_union_bundle, union_bundle_oracle)
 from .plans.replay import (ReplayConfig, ReplayMember, run_replay,
                            replay_oracle)
 from .llm.dedup import (
@@ -60,15 +61,19 @@ from .llm.multimodal import (MultimodalConfig, build_multimodal_features,
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
-                           build_dataset_mix, build_sequence_packing,
-                           dataset_mix_oracle, sequence_packing_oracle)
+                           PackingManifestConfig, build_dataset_mix,
+                           build_sequence_packing, build_packing_manifest,
+                           dataset_mix_oracle, sequence_packing_oracle,
+                           packing_manifest_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
 from .llm.substring import (SubstringDupConfig, build_substring_dup,
                             substring_dup_oracle)
 from .llm.tfidf import TfidfConfig, build_tfidf, tfidf_oracle
-from .llm.curation import CurationConfig, build_curation, curation_oracle
+from .llm.curation import (CurationConfig, DedupReportConfig,
+                           build_curation, build_dedup_report,
+                           curation_oracle, dedup_report_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -403,6 +408,16 @@ BUNDLES = {
     )),
 }
 
+# Same-schema row-union over the three ANN variants (all emit
+# (query_id, neighbor_id, rank, cosine)): one exposed slot, full
+# external verification of each variant's complete result.
+UNION_BUNDLES = {
+    "ann_bundle": UnionBundleConfig(
+        "ann_bundle",
+        ("ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk"),
+        ("query_id", "neighbor_id", "rank", "cosine")),
+}
+
 # Two-phase incremental replay through the real HWM/anti-join/latest-
 # compare/deactivation code paths (see plans/replay.py): the member set
 # covers one entity per incremental strategy — multi-source hub dedup +
@@ -497,11 +512,14 @@ PII = {"pii_redact": PiiRedactConfig(
                "CAST(doc_id % 256 AS STRING), '.7')"))}
 SAMPLING = {"dataset_mix": DatasetMixConfig("dataset_mix")}
 PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
+PACK_MANIFEST = {"packing_manifest":
+                 PackingManifestConfig("packing_manifest")}
 SEMDEDUP = {"semdedup_embeddings": SemDedupConfig("semdedup_embeddings")}
 QUANTIZE = {"quantize_embeddings":
             ScalarQuantizeConfig("quantize_embeddings")}
 SUBSTRING = {"dedup_substring": SubstringDupConfig("dedup_substring")}
 TFIDF = {"text_tfidf": TfidfConfig("text_tfidf")}
+DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -546,6 +564,8 @@ _FAMILIES = [
      lambda c: [c.tracked_entity, c.snapshot_relation] + list(c.sat_names)),
     (BUNDLES, build_bundle, bundle_oracle,
      lambda c: [m.entity for m in c.members]),
+    (UNION_BUNDLES, build_union_bundle, union_bundle_oracle,
+     lambda c: list(c.members)),
     (REPLAYS,
      lambda spark, reg, cfg, g: run_replay(spark, reg, cfg, g, _index(),
                                            STAGES),
@@ -577,6 +597,10 @@ _FAMILIES = [
     (QUANTIZE, build_scalar_quantize, scalar_quantize_oracle, _NO_DEPS),
     (SUBSTRING, build_substring_dup, substring_dup_oracle, _NO_DEPS),
     (TFIDF, build_tfidf, tfidf_oracle, _NO_DEPS),
+    (PACK_MANIFEST, build_packing_manifest, packing_manifest_oracle,
+     _NO_DEPS),
+    (DEDUP_REPORT, build_dedup_report, dedup_report_oracle,
+     lambda c: [c.langid_entity, c.quality_entity, c.groups_entity]),
 ]
 
 
@@ -714,7 +738,8 @@ def entity_query(name: str):
 # first 50, so every exposed query is externally verified. Order is
 # plain declaration order, no reordering.
 _BUNDLED = frozenset(
-    m.entity for c in BUNDLES.values() for m in c.members)
+    [m.entity for c in BUNDLES.values() for m in c.members]
+    + [m for c in UNION_BUNDLES.values() for m in c.members])
 
 
 def all_entity_names() -> list:

@@ -69,3 +69,65 @@ def curation_oracle(b: SqlBuilder, reg: Registry, cfg: CurationConfig,
         f"WHERE q.quality_score >= {cfg.min_quality} "
         f"{rep_gate}"
         f"AND q.{cfg.id_col} NOT IN (SELECT id_b FROM {dup})")
+
+
+# ------------------------------------------------------- dedup_report --
+
+@dataclass(frozen=True)
+class DedupReportConfig:
+    """Per-language corpus QA rollup: how much of each language stratum
+    is duplicated, and its quality range — the dashboard query a data
+    curation run ends with. Aggregations are deliberately EXACT
+    (counts, ratios of counts, min/max): avg/sum over doubles
+    accumulate in shuffle order and are not bit-reproducible across
+    engines, which would break the oracle gate this repo holds every
+    operator to."""
+
+    name: str
+    langid_entity: str = "text_langid"
+    quality_entity: str = "text_quality"
+    groups_entity: str = "dedup_groups"
+    id_col: str = "doc_id"
+
+
+def build_dedup_report(spark, reg: Registry, cfg: DedupReportConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    lang = reg.load(spark, cfg.langid_entity) \
+        .select(cfg.id_col, "predicted_lang")
+    q = reg.load(spark, cfg.quality_entity) \
+        .select(cfg.id_col, "quality_score")
+    grp = reg.load(spark, cfg.groups_entity) \
+        .select(cfg.id_col, "group_id")
+    joined = (lang.join(q, cfg.id_col)
+              .join(grp, cfg.id_col, "left"))
+    return (joined.groupBy("predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("group_id").alias("n_dup_docs"),
+                 F.min("quality_score").alias("min_quality"),
+                 F.max("quality_score").alias("max_quality"))
+            .selectExpr("predicted_lang", "n_docs", "n_dup_docs",
+                        "round(n_dup_docs / cast(n_docs AS DOUBLE), 6) "
+                        "AS dup_fraction",
+                        "min_quality", "max_quality"))
+
+
+def dedup_report_oracle(b: SqlBuilder, reg: Registry,
+                        cfg: DedupReportConfig,
+                        g: GlobalConfig = DEFAULT) -> str:
+    lang = reg.duckdb_relation(cfg.langid_entity)
+    q = reg.duckdb_relation(cfg.quality_entity)
+    grp = reg.duckdb_relation(cfg.groups_entity)
+    agg = b.cte(
+        f"{cfg.name}__agg",
+        f"SELECT l.predicted_lang, count(*) AS n_docs, "
+        f"count(g.group_id) AS n_dup_docs, "
+        f"min(q.quality_score) AS min_quality, "
+        f"max(q.quality_score) AS max_quality "
+        f"FROM {lang} l JOIN {q} q ON l.{cfg.id_col} = q.{cfg.id_col} "
+        f"LEFT JOIN {grp} g ON l.{cfg.id_col} = g.{cfg.id_col} "
+        f"GROUP BY l.predicted_lang")
+    return b.cte(
+        cfg.name,
+        f"SELECT predicted_lang, n_docs, n_dup_docs, "
+        f"round(n_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_fraction, "
+        f"min_quality, max_quality FROM {agg}")

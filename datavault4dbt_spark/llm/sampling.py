@@ -159,3 +159,62 @@ def sequence_packing_oracle(b: SqlBuilder, reg: Registry,
         cfg.name,
         f"SELECT shard, bin, n_docs, bin_tokens, first_doc, "
         f"bin_tokens >= {cfg.budget} AS is_full FROM {agg}")
+
+
+# ---------------------------------------------------- packing_manifest --
+
+@dataclass(frozen=True)
+class PackingManifestConfig:
+    """Per-document packing assignments — the artifact a training data
+    loader actually consumes (which context-window bin each document
+    lands in, and at what token offset), where ``sequence_packing``
+    reports the per-bin rollup. Same boundary-assignment rule, same
+    shards; the two views are consistent by construction."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    budget: int = 256
+    n_shards: int = 8
+
+
+def build_packing_manifest(spark, reg: Registry, cfg: PackingManifestConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
+             f"% {cfg.n_shards}")
+    t = df.selectExpr(cfg.id_col, f"{shard} AS shard",
+                      f"size({spark_tokens(cfg.text_col)}) AS n_tok")
+    cum = t.selectExpr(
+        cfg.id_col, "shard", "n_tok",
+        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+    return cum.selectExpr(
+        cfg.id_col, "shard", "n_tok",
+        "cum - n_tok AS bin_offset_tokens",
+        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) "
+        f"AS BIGINT) AS bin")
+
+
+def packing_manifest_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: PackingManifestConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
+             f"% {cfg.n_shards}")
+    t = b.cte(f"{cfg.name}__t",
+              f"SELECT {cfg.id_col}, {shard} AS shard, "
+              f"len({duck_tokens(cfg.text_col)}) AS n_tok FROM {src}")
+    cum = b.cte(
+        f"{cfg.name}__cum",
+        f"SELECT {cfg.id_col}, shard, n_tok, "
+        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        f"FROM {t}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, shard, n_tok, "
+        f"CAST(cum - n_tok AS BIGINT) AS bin_offset_tokens, "
+        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) "
+        f"AS BIGINT) AS bin FROM {cum}")

@@ -70,3 +70,34 @@ def bundle_oracle(b: SqlBuilder, reg: Registry, cfg: BundleConfig,
         f"FROM {reg.duckdb_relation(m.entity)}"
         for m in cfg.members]
     return b.cte(cfg.name, "\nUNION ALL\n".join(selects))
+
+
+@dataclass(frozen=True)
+class UnionBundleConfig:
+    """Row-union of several SAME-SCHEMA entities (e.g. the ANN variants,
+    which all emit (query_id, neighbor_id, rank, cosine)): each member's
+    full result rides into one driver-checked query under an entity tag,
+    so N operator variants cost one exposed slot with no loss of
+    external verification."""
+
+    name: str
+    members: tuple   # entity names
+    columns: tuple   # shared output columns, unioned verbatim
+
+
+def build_union_bundle(spark, reg: Registry, cfg: UnionBundleConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    parts = [reg.load(spark, m)
+             .selectExpr(f"'{m}' AS entity", *cfg.columns)
+             for m in cfg.members]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def union_bundle_oracle(b: SqlBuilder, reg: Registry,
+                        cfg: UnionBundleConfig,
+                        g: GlobalConfig = DEFAULT) -> str:
+    selects = [
+        f"SELECT '{m}' AS entity, {', '.join(cfg.columns)} "
+        f"FROM {reg.duckdb_relation(m)}"
+        for m in cfg.members]
+    return b.cte(cfg.name, "\nUNION ALL\n".join(selects))

@@ -106,10 +106,11 @@ def _llm_kinds() -> dict:
     from ..llm.textstats import (build_langid, build_quality,
                                  build_token_count, build_fingerprint)
     from ..llm.multimodal import build_multimodal_features
-    from ..llm.curation import build_curation
+    from ..llm.curation import build_curation, build_dedup_report
     from ..llm.contamination import build_contamination
     from ..llm.scrub import build_repetition, build_pii_redact
-    from ..llm.sampling import build_dataset_mix, build_sequence_packing
+    from ..llm.sampling import (build_dataset_mix, build_sequence_packing,
+                                build_packing_manifest)
     from ..llm.semdedup import build_semdedup
     from ..llm.quantize import build_scalar_quantize
     from ..llm.substring import build_substring_dup
@@ -144,6 +145,10 @@ def _llm_kinds() -> dict:
         "scalar_quantize": (build_scalar_quantize, src),
         "substring_dup": (build_substring_dup, src),
         "tfidf": (build_tfidf, src),
+        "packing_manifest": (build_packing_manifest, src),
+        "dedup_report": (build_dedup_report,
+                         lambda c: [c.langid_entity, c.quality_entity,
+                                    c.groups_entity]),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

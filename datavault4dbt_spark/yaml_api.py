@@ -391,10 +391,11 @@ def _llm_parsers() -> dict:
     from .llm.textstats import (LangIdConfig, QualityConfig,
                                 TokenCountConfig, FingerprintConfig)
     from .llm.multimodal import MultimodalConfig
-    from .llm.curation import CurationConfig
+    from .llm.curation import CurationConfig, DedupReportConfig
     from .llm.contamination import ContaminationConfig
     from .llm.scrub import RepetitionConfig, PiiRedactConfig
-    from .llm.sampling import DatasetMixConfig, SequencePackingConfig
+    from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
+                               PackingManifestConfig)
     from .llm.semdedup import SemDedupConfig
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
@@ -424,6 +425,8 @@ def _llm_parsers() -> dict:
         "scalar_quantize": _dataclass_parser(ScalarQuantizeConfig),
         "substring_dup": _dataclass_parser(SubstringDupConfig),
         "tfidf": _dataclass_parser(TfidfConfig),
+        "packing_manifest": _dataclass_parser(PackingManifestConfig),
+        "dedup_report": _dataclass_parser(DedupReportConfig),
     }
 
 

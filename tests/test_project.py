@@ -143,11 +143,13 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "docs_curated", "contamination_ngrams",
                            "text_repetition", "pii_redact", "dataset_mix",
                            "sequence_packing", "semdedup_embeddings",
-                           "quantize_embeddings", "dedup_substring", "text_tfidf"}
+                           "quantize_embeddings", "dedup_substring", "text_tfidf",
+                           "packing_manifest", "dedup_report"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
-                 "dedup_substring", "text_tfidf"):
+                 "dedup_substring", "text_tfidf", "packing_manifest",
+                 "dedup_report"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 

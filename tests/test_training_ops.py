@@ -243,3 +243,31 @@ def test_tfidf_ranks_rare_terms_first(spark):
     assert full[(1, "common")] == 4.0
     assert out[2]["term"] in ("words", "only", "here")  # df=1 terms win
     assert out[2]["tfidf"] == 3.0
+
+
+def test_packing_manifest_consistent_with_bin_rollup(spark, sf_dir):
+    """The per-doc manifest and the per-bin rollup are two views of one
+    assignment rule: grouping the manifest must reproduce the rollup."""
+    from datavault4dbt_spark.llm.sampling import (
+        PackingManifestConfig, SequencePackingConfig,
+        build_packing_manifest, build_sequence_packing)
+    from pyspark.sql import functions as F
+
+    reg = fixtures.registry(spark, sf_dir)
+    man = build_packing_manifest(
+        spark, reg, PackingManifestConfig("m", budget=256, n_shards=8))
+    rolled = {(r["shard"], r["bin"]): (r["n_docs"], r["bin_tokens"],
+                                       r["first_doc"])
+              for r in man.groupBy("shard", "bin")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.expr("CAST(sum(n_tok) AS BIGINT)").alias("bin_tokens"),
+                   F.min("doc_id").alias("first_doc")).collect()}
+    bins = {(r["shard"], r["bin"]): (r["n_docs"], r["bin_tokens"],
+                                     r["first_doc"])
+            for r in build_sequence_packing(
+                spark, reg, SequencePackingConfig("p", budget=256,
+                                                  n_shards=8)).collect()}
+    assert rolled == bins
+    # offsets are the prefix sums the bins were cut from
+    row = man.filter("shard = 0").orderBy("doc_id").limit(1).first()
+    assert row["bin_offset_tokens"] == 0 and row["bin"] == 0
