@@ -97,6 +97,44 @@ def dataset_mix_oracle(b: SqlBuilder, reg: Registry, cfg: DatasetMixConfig,
 
 # ----------------------------------------------------- sequence_packing --
 
+def _shard_expr(id_col: str, n_shards: int) -> str:
+    """Deterministic non-negative shard — identical text in both
+    dialects; shared by the bin rollup and the manifest so the two
+    views CANNOT diverge."""
+    return f"((({id_col}) % {n_shards}) + {n_shards}) % {n_shards}"
+
+
+def _bin_expr(budget: int) -> str:
+    """Bin from the tokens accumulated before the document (column
+    ``cum`` = inclusive prefix sum, ``n_tok`` = this doc) — shared by
+    both packing views and both dialects."""
+    return (f"CAST(floor((cum - n_tok) / CAST({budget} AS DOUBLE)) "
+            f"AS BIGINT)")
+
+
+def _spark_cum(df, id_col: str, text_col: str, budget: int,
+               n_shards: int):
+    t = df.selectExpr(id_col, f"{_shard_expr(id_col, n_shards)} AS shard",
+                      f"size({spark_tokens(text_col)}) AS n_tok")
+    return t.selectExpr(
+        id_col, "shard", "n_tok",
+        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+
+
+def _duck_cum(b: SqlBuilder, src: str, name: str, id_col: str,
+              text_col: str, n_shards: int) -> str:
+    t = b.cte(f"{name}__t",
+              f"SELECT {id_col}, {_shard_expr(id_col, n_shards)} AS shard, "
+              f"len({duck_tokens(text_col)}) AS n_tok FROM {src}")
+    return b.cte(
+        f"{name}__cum",
+        f"SELECT {id_col}, shard, n_tok, "
+        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        f"FROM {t}")
+
+
 @dataclass(frozen=True)
 class SequencePackingConfig:
     name: str
@@ -109,18 +147,11 @@ class SequencePackingConfig:
 
 def build_sequence_packing(spark, reg: Registry, cfg: SequencePackingConfig,
                            g: GlobalConfig = DEFAULT) -> DataFrame:
-    df = reg.load(spark, cfg.source)
-    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
-             f"% {cfg.n_shards}")
-    t = df.selectExpr(cfg.id_col, f"{shard} AS shard",
-                      f"size({spark_tokens(cfg.text_col)}) AS n_tok")
-    cum = t.selectExpr(
-        cfg.id_col, "shard", "n_tok",
-        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
-        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+    cum = _spark_cum(reg.load(spark, cfg.source), cfg.id_col, cfg.text_col,
+                     cfg.budget, cfg.n_shards)
     binned = cum.selectExpr(
         cfg.id_col, "shard", "n_tok",
-        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) AS BIGINT) AS bin")
+        f"{_bin_expr(cfg.budget)} AS bin")
     return (binned.groupBy("shard", "bin")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.expr("CAST(sum(n_tok) AS BIGINT)").alias("bin_tokens"),
@@ -132,22 +163,12 @@ def build_sequence_packing(spark, reg: Registry, cfg: SequencePackingConfig,
 def sequence_packing_oracle(b: SqlBuilder, reg: Registry,
                             cfg: SequencePackingConfig,
                             g: GlobalConfig = DEFAULT) -> str:
-    src = reg.duckdb_relation(cfg.source)
-    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
-             f"% {cfg.n_shards}")
-    t = b.cte(f"{cfg.name}__t",
-              f"SELECT {cfg.id_col}, {shard} AS shard, "
-              f"len({duck_tokens(cfg.text_col)}) AS n_tok FROM {src}")
-    cum = b.cte(
-        f"{cfg.name}__cum",
-        f"SELECT {cfg.id_col}, shard, n_tok, "
-        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
-        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
-        f"FROM {t}")
+    cum = _duck_cum(b, reg.duckdb_relation(cfg.source), cfg.name,
+                    cfg.id_col, cfg.text_col, cfg.n_shards)
     binned = b.cte(
         f"{cfg.name}__bin",
         f"SELECT {cfg.id_col}, shard, n_tok, "
-        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) AS BIGINT) AS bin "
+        f"{_bin_expr(cfg.budget)} AS bin "
         f"FROM {cum}")
     agg = b.cte(
         f"{cfg.name}__agg",
@@ -181,40 +202,34 @@ class PackingManifestConfig:
 
 def build_packing_manifest(spark, reg: Registry, cfg: PackingManifestConfig,
                            g: GlobalConfig = DEFAULT) -> DataFrame:
-    df = reg.load(spark, cfg.source)
-    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
-             f"% {cfg.n_shards}")
-    t = df.selectExpr(cfg.id_col, f"{shard} AS shard",
-                      f"size({spark_tokens(cfg.text_col)}) AS n_tok")
-    cum = t.selectExpr(
-        cfg.id_col, "shard", "n_tok",
-        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
-        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
-    return cum.selectExpr(
-        cfg.id_col, "shard", "n_tok",
-        "cum - n_tok AS bin_offset_tokens",
-        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) "
-        f"AS BIGINT) AS bin")
+    """``stream_offset_tokens`` is the document's start in the shard's
+    token stream; ``bin_offset_tokens`` is its start WITHIN the
+    assigned bin (stream offset minus the bin's base) — the position a
+    loader writes the document at inside the context window."""
+    cum = _spark_cum(reg.load(spark, cfg.source), cfg.id_col, cfg.text_col,
+                     cfg.budget, cfg.n_shards)
+    return (cum.selectExpr(
+                cfg.id_col, "shard", "n_tok",
+                "cum - n_tok AS stream_offset_tokens",
+                f"{_bin_expr(cfg.budget)} AS bin")
+            .selectExpr(cfg.id_col, "shard", "n_tok", "bin",
+                        "stream_offset_tokens",
+                        f"stream_offset_tokens - bin * {cfg.budget} "
+                        f"AS bin_offset_tokens"))
 
 
 def packing_manifest_oracle(b: SqlBuilder, reg: Registry,
                             cfg: PackingManifestConfig,
                             g: GlobalConfig = DEFAULT) -> str:
-    src = reg.duckdb_relation(cfg.source)
-    shard = (f"((({cfg.id_col}) % {cfg.n_shards}) + {cfg.n_shards}) "
-             f"% {cfg.n_shards}")
-    t = b.cte(f"{cfg.name}__t",
-              f"SELECT {cfg.id_col}, {shard} AS shard, "
-              f"len({duck_tokens(cfg.text_col)}) AS n_tok FROM {src}")
-    cum = b.cte(
-        f"{cfg.name}__cum",
+    cum = _duck_cum(b, reg.duckdb_relation(cfg.source), cfg.name,
+                    cfg.id_col, cfg.text_col, cfg.n_shards)
+    off = b.cte(
+        f"{cfg.name}__off",
         f"SELECT {cfg.id_col}, shard, n_tok, "
-        f"sum(n_tok) OVER (PARTITION BY shard ORDER BY {cfg.id_col} "
-        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
-        f"FROM {t}")
+        f"CAST(cum - n_tok AS BIGINT) AS stream_offset_tokens, "
+        f"{_bin_expr(cfg.budget)} AS bin FROM {cum}")
     return b.cte(
         cfg.name,
-        f"SELECT {cfg.id_col}, shard, n_tok, "
-        f"CAST(cum - n_tok AS BIGINT) AS bin_offset_tokens, "
-        f"CAST(floor((cum - n_tok) / CAST({cfg.budget} AS DOUBLE)) "
-        f"AS BIGINT) AS bin FROM {cum}")
+        f"SELECT {cfg.id_col}, shard, n_tok, bin, stream_offset_tokens, "
+        f"stream_offset_tokens - bin * {cfg.budget} AS bin_offset_tokens "
+        f"FROM {off}")

@@ -26,14 +26,17 @@ bucketed table fits an executor's shuffle-free sort (~100-500 MB);
 all tables that join each other must share the bucket count, so size
 for the satellite (biggest), not the hub.
 
-Spark enforces bucket-spec consistency: appending with a different
-bucket count / columns (or unbucketed) to an existing bucketed table
-raises — a misdeclared entity cannot silently corrupt the layout.
+Spark enforces bucket-spec consistency when a CONFLICTING spec is
+specified: appending with a different bucket count or columns to an
+existing bucketed table raises. An append that specifies NO bucketing
+adopts the catalog table's recorded spec (it does not corrupt the
+layout, but it also does not error) — keep one bucket_cols map per
+database so every writer declares the same intent.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 class BucketedVault:
@@ -46,6 +49,7 @@ class BucketedVault:
     pipeline can bucket just its hubs/sats and leave spines alone.
     """
 
+    # delete_where is a filter + overwrite here (no per-commit metrics)
     DELETE_RETURNS_METRICS = False
 
     def __init__(self, spark, database: str, location: str,
@@ -83,17 +87,40 @@ class BucketedVault:
         w.saveAsTable(self._qualified(name))
 
     def overwrite(self, name: str, df: DataFrame, partition_by: tuple = ()):
-        """Full replace. saveAsTable(Overwrite) drops and recreates the
-        table in one catalog operation — readers racing the swap see
-        the old or the new table, never a half-written directory. The
-        plan may read the table being replaced: materialize via a
-        local checkpoint first (catalog overwrite cannot read its own
-        target the way the path-swap store can)."""
-        df = df.localCheckpoint(eager=True)
-        w = self._writer(df, name, "overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.saveAsTable(self._qualified(name))
+        """Full replace via saveAsTable(Overwrite). NOT reader-atomic:
+        Spark drops and recreates a datasource table, so a query racing
+        the swap can see table-not-found — schedule overwrites of
+        bucketed tables in maintenance windows (or use DeltaStore,
+        whose overwrite is transactional). The plan may read the table
+        being replaced, so materialize via an eager local checkpoint
+        first (released right after the write — the double
+        materialization is the price of a catalog overwrite that
+        cannot path-swap)."""
+        ckpt = df.localCheckpoint(eager=True)
+        try:
+            w = self._writer(ckpt, name, "overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.saveAsTable(self._qualified(name))
+        finally:
+            ckpt.unpersist()
+
+    # -- maintenance protocol: rewrite-path only ----------------------
+    # No hive directory layout exists under the catalog's control, so
+    # the partition fast path never applies: clean_up_pit sees no
+    # partitions and takes its rewrite path through delete_where.
+    def partitions(self, name: str, col: str) -> dict:
+        return {}
+
+    def has_flat_files(self, name: str) -> bool:
+        return True
+
+    def delete_where(self, name: str, condition) -> int | None:
+        """DELETE by filter + overwrite (NULL conditions keep rows,
+        matching SQL DELETE — same contract as ParquetStore)."""
+        keep = ~F.coalesce(condition, F.lit(False))
+        self.overwrite(name, self.read(name).filter(keep))
+        return None
 
     def drop(self, name: str):
         self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(name)}")
