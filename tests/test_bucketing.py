@@ -138,3 +138,32 @@ def test_run_pipeline_through_bucketed_store(spark, sf_dir,
         store.drop("stage_customer")
         store.drop("hub_customer")
         store.drop("sat_customer_n0_s")
+
+
+def test_clean_up_pit_through_bucketed_store(spark, sf_dir,
+                                             tmp_path_factory):
+    """The maintenance protocol added to BucketedVault really carries
+    clean_up_pit: catalog tables have no hive partitions, so the
+    rewrite path (filter + overwrite) must run and thin the PIT."""
+    from pyspark.sql import functions as F
+    from datavault4dbt_spark.operators.maintenance import clean_up_pit
+
+    fixtures.ensure_session_conf(spark)
+    loc = tmp_path_factory.mktemp("bucketed_maint")
+    store = BucketedVault(spark, "bkt_maint", str(loc), n_buckets=4)
+    reg = fixtures.registry(spark, sf_dir)
+    store.overwrite("pit_customer", reg.load(spark, "pit_customer"))
+    before = store.read("pit_customer").count()
+    snap = reg.load(spark, "control_snap_v1").withColumn(
+        "is_active", F.col("is_active") & F.col("is_beginning_of_week"))
+    try:
+        deleted = clean_up_pit(store, "pit_customer", snap)
+        after = store.read("pit_customer").count()
+        assert deleted > 0 and after == before - deleted
+        active = {r[0] for r in
+                  snap.filter("is_active").select("sdts").collect()}
+        left = {r[0] for r in store.read("pit_customer")
+                .select("sdts").distinct().collect()}
+        assert left <= active
+    finally:
+        store.drop("pit_customer")
