@@ -3,7 +3,10 @@
 - ``repetition`` : Gopher-style within-document repetition metrics
   (Rae et al. 2021 §A1.1 — "repetition signals" used as quality
   filters): distinct-token ratio, fraction of bigram instances whose
-  bigram repeats, and the most-frequent-bigram share.
+  bigram repeats, the most-frequent-bigram share, and the unigram Gini
+  diversity ``1 - sum(cnt^2)/n^2`` — computed in exact BIGINT sums
+  before one double division, so it is bit-reproducible cross-engine
+  where an entropy (log-based) variant would not be.
 - ``pii_redact`` : C4-style pattern scrubbing (Raffel et al. 2020 §2.2
   removed lines with blocklisted content; modern pipelines redact
   in place): per-pattern match counts over the original text plus the
@@ -68,8 +71,17 @@ def build_repetition(spark, reg: Registry, cfg: RepetitionConfig,
         F.sum(F.expr("CASE WHEN cnt > 1 THEN cnt ELSE 0 END"))
          .alias("dup_instances"),
         F.max("cnt").alias("max_cnt"))
-    # left join keeps docs too short to produce a single n-gram
-    joined = base.join(per_doc, on=cfg.id_col, how="left")
+    # unigram Gini diversity: BIGINT sums are exact and order-free, so
+    # no FP-accumulation divergence is possible before the one division
+    toks = w.selectExpr(cfg.id_col, "explode(w) AS tok")
+    per_tok = (toks.groupBy(cfg.id_col, "tok")
+               .agg(F.count(F.lit(1)).alias("tc")))
+    gini = per_tok.groupBy(cfg.id_col).agg(
+        F.expr("CAST(sum(tc) AS BIGINT)").alias("__n"),
+        F.expr("CAST(sum(tc * tc) AS BIGINT)").alias("__sumsq"))
+    # left joins keep docs too short to produce a single n-gram/token
+    joined = (base.join(per_doc, on=cfg.id_col, how="left")
+              .join(gini, on=cfg.id_col, how="left"))
     return joined.selectExpr(
         cfg.id_col, "n_tokens",
         "round(n_distinct / cast(greatest(n_tokens, 1) AS DOUBLE), 6) "
@@ -82,7 +94,10 @@ def build_repetition(spark, reg: Registry, cfg: RepetitionConfig,
         "AS top_ngram_share",
         f"(coalesce(dup_instances, 0) "
         f"/ cast(greatest(coalesce(total_grams, 0), 1) AS DOUBLE)"
-        f" > {cfg.flag_threshold}) AS is_repetitive")
+        f" > {cfg.flag_threshold}) AS is_repetitive",
+        "round(1 - coalesce(__sumsq, 0) "
+        "/ cast(greatest(coalesce(__n, 0) * coalesce(__n, 0), 1) "
+        "AS DOUBLE), 6) AS gini_diversity")
 
 
 def repetition_oracle(b: SqlBuilder, reg: Registry, cfg: RepetitionConfig,
@@ -105,6 +120,15 @@ def repetition_oracle(b: SqlBuilder, reg: Registry, cfg: RepetitionConfig,
         f"SELECT {cfg.id_col}, sum(cnt) AS total_grams, "
         f"sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_instances, "
         f"max(cnt) AS max_cnt FROM {per_gram} GROUP BY {cfg.id_col}")
+    toks = b.cte(f"{cfg.name}__tok",
+                 f"SELECT {cfg.id_col}, UNNEST(w) AS tok FROM {w}")
+    per_tok = b.cte(f"{cfg.name}__pt",
+                    f"SELECT {cfg.id_col}, tok, count(*) AS tc "
+                    f"FROM {toks} GROUP BY {cfg.id_col}, tok")
+    gini = b.cte(f"{cfg.name}__gini",
+                 f"SELECT {cfg.id_col}, CAST(sum(tc) AS BIGINT) AS __n, "
+                 f"CAST(sum(tc * tc) AS BIGINT) AS __sumsq "
+                 f"FROM {per_tok} GROUP BY {cfg.id_col}")
     return b.cte(
         cfg.name,
         f"SELECT b.{cfg.id_col}, b.n_tokens, "
@@ -118,9 +142,13 @@ def repetition_oracle(b: SqlBuilder, reg: Registry, cfg: RepetitionConfig,
         f"AS top_ngram_share, "
         f"(coalesce(d.dup_instances, 0) "
         f"/ CAST(greatest(coalesce(d.total_grams, 0), 1) AS DOUBLE)"
-        f" > {cfg.flag_threshold}) AS is_repetitive "
+        f" > {cfg.flag_threshold}) AS is_repetitive, "
+        f"round(1 - coalesce(gi.__sumsq, 0) "
+        f"/ CAST(greatest(coalesce(gi.__n, 0) * coalesce(gi.__n, 0), 1) "
+        f"AS DOUBLE), 6) AS gini_diversity "
         f"FROM {base} b LEFT JOIN {per_doc} d "
-        f"ON b.{cfg.id_col} = d.{cfg.id_col}")
+        f"ON b.{cfg.id_col} = d.{cfg.id_col} "
+        f"LEFT JOIN {gini} gi ON b.{cfg.id_col} = gi.{cfg.id_col}")
 
 
 # ---------------------------------------------------------- pii_redact --

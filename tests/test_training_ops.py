@@ -39,6 +39,10 @@ def test_repetition_flags_degenerate_doc(spark):
     assert out[3]["n_tokens"] == 1 and out[3]["dup_ngram_fraction"] == 0.0
     assert out[2]["distinct_token_ratio"] == 1.0
     assert out[1]["distinct_token_ratio"] == pytest.approx(1 / 6, abs=1e-6)
+    # unigram Gini: all-same doc -> 0; all-distinct 7 tokens -> 1 - 7/49
+    assert out[1]["gini_diversity"] == 0.0
+    assert out[2]["gini_diversity"] == pytest.approx(1 - 7 / 49, abs=1e-6)
+    assert out[3]["gini_diversity"] == 0.0   # single token
 
 
 def test_pii_redact_counts_and_scrubs(spark):
