@@ -247,3 +247,26 @@ def test_quantize_stats_are_broadcast(spark, sf_dir):
                                        ScalarQuantizeConfig("sq")))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dup_joins_on_gram_hash_no_cartesian(spark, sf_dir):
+    """The match-point join must key on the gram hash (equi-join) with
+    the hot-gram anti-join broadcast — never a cartesian expansion."""
+    from datavault4dbt_spark.llm.substring import (SubstringDupConfig,
+                                                   build_substring_dup)
+    reg = fixtures.registry(spark, sf_dir)
+    plan = _plan(build_substring_dup(spark, reg,
+                                     SubstringDupConfig("ss")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan   # df-cap anti-join
+
+
+def test_tfidf_document_frequencies_broadcast(spark, sf_dir):
+    """The vocabulary-sized df table and the 1-row corpus count must
+    broadcast; corpus-sized shuffles key only on doc/term."""
+    from datavault4dbt_spark.llm.tfidf import TfidfConfig, build_tfidf
+    reg = fixtures.registry(spark, sf_dir)
+    plan = _plan(build_tfidf(spark, reg, TfidfConfig("tt")))
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan
+            and "BroadcastNestedLoopJoin" in plan), plan
