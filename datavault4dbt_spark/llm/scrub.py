@@ -14,11 +14,11 @@
 
 Both are pure Column expressions / one skew-free shuffle:
 
-- repetition explodes bigrams and aggregates on (doc_id, gram) then
-  (doc_id) — both keyed on doc_id, so at 100 TB the shuffle volume is
-  O(bigram instances) with map-side partial aggregation, and the
-  token-level features (counts, distinct ratio) never leave the scan
-  stage.
+- repetition explodes bigrams and (for the Gini branch) tokens,
+  aggregating on (doc_id, gram) / (doc_id, tok) then (doc_id) — every
+  shuffle keys on doc_id, so at 100 TB the volume is O(bigram + token
+  instances) with map-side partial aggregation; the array-level
+  features (counts, distinct ratio) never leave the scan stage.
 - pii_redact is zero-shuffle: regexp_count + a regexp_replace chain in
   the scan stage (whole-stage codegen; no UDF).
 
@@ -76,8 +76,8 @@ def build_repetition(spark, reg: Registry, cfg: RepetitionConfig,
     toks = w.selectExpr(cfg.id_col, "explode(w) AS tok")
     per_tok = (toks.groupBy(cfg.id_col, "tok")
                .agg(F.count(F.lit(1)).alias("tc")))
+    # sum(tc) would equal n_tokens from `base` — only sum(tc^2) is new
     gini = per_tok.groupBy(cfg.id_col).agg(
-        F.expr("CAST(sum(tc) AS BIGINT)").alias("__n"),
         F.expr("CAST(sum(tc * tc) AS BIGINT)").alias("__sumsq"))
     # left joins keep docs too short to produce a single n-gram/token
     joined = (base.join(per_doc, on=cfg.id_col, how="left")
@@ -95,9 +95,13 @@ def build_repetition(spark, reg: Registry, cfg: RepetitionConfig,
         f"(coalesce(dup_instances, 0) "
         f"/ cast(greatest(coalesce(total_grams, 0), 1) AS DOUBLE)"
         f" > {cfg.flag_threshold}) AS is_repetitive",
-        "round(1 - coalesce(__sumsq, 0) "
-        "/ cast(greatest(coalesce(__n, 0) * coalesce(__n, 0), 1) "
-        "AS DOUBLE), 6) AS gini_diversity")
+        # NULL text -> NULL (convention); zero tokens -> 0.0 (no
+        # diversity) — NOT 1.0, which a missed left join would yield
+        # and which would rank empty docs above every real one
+        "CASE WHEN n_tokens IS NULL THEN CAST(NULL AS DOUBLE) "
+        "WHEN __sumsq IS NULL THEN CAST(0.0 AS DOUBLE) "
+        "ELSE round(1 - __sumsq / CAST(CAST(n_tokens AS BIGINT) "
+        "* n_tokens AS DOUBLE), 6) END AS gini_diversity")
 
 
 def repetition_oracle(b: SqlBuilder, reg: Registry, cfg: RepetitionConfig,
@@ -126,7 +130,7 @@ def repetition_oracle(b: SqlBuilder, reg: Registry, cfg: RepetitionConfig,
                     f"SELECT {cfg.id_col}, tok, count(*) AS tc "
                     f"FROM {toks} GROUP BY {cfg.id_col}, tok")
     gini = b.cte(f"{cfg.name}__gini",
-                 f"SELECT {cfg.id_col}, CAST(sum(tc) AS BIGINT) AS __n, "
+                 f"SELECT {cfg.id_col}, "
                  f"CAST(sum(tc * tc) AS BIGINT) AS __sumsq "
                  f"FROM {per_tok} GROUP BY {cfg.id_col}")
     return b.cte(
@@ -143,9 +147,10 @@ def repetition_oracle(b: SqlBuilder, reg: Registry, cfg: RepetitionConfig,
         f"(coalesce(d.dup_instances, 0) "
         f"/ CAST(greatest(coalesce(d.total_grams, 0), 1) AS DOUBLE)"
         f" > {cfg.flag_threshold}) AS is_repetitive, "
-        f"round(1 - coalesce(gi.__sumsq, 0) "
-        f"/ CAST(greatest(coalesce(gi.__n, 0) * coalesce(gi.__n, 0), 1) "
-        f"AS DOUBLE), 6) AS gini_diversity "
+        f"CASE WHEN b.n_tokens IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN gi.__sumsq IS NULL THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE round(1 - gi.__sumsq / CAST(CAST(b.n_tokens AS BIGINT) "
+        f"* b.n_tokens AS DOUBLE), 6) END AS gini_diversity "
         f"FROM {base} b LEFT JOIN {per_doc} d "
         f"ON b.{cfg.id_col} = d.{cfg.id_col} "
         f"LEFT JOIN {gini} gi ON b.{cfg.id_col} = gi.{cfg.id_col}")

@@ -196,6 +196,7 @@ def test_null_text_follows_null_in_null_out(spark):
     assert set(rep) == {1, 2}
     assert rep[1]["n_tokens"] is None and rep[1]["dup_ngram_fraction"] == 0.0
     assert not rep[1]["is_repetitive"]
+    assert rep[1]["gini_diversity"] is None   # NULL text -> NULL, not 1.0
 
     pii = {r["doc_id"]: r.asDict() for r in build_pii_redact(
         spark, reg, PiiRedactConfig("p")).collect()}
