@@ -518,7 +518,9 @@ SEMDEDUP = {"semdedup_embeddings": SemDedupConfig("semdedup_embeddings")}
 QUANTIZE = {"quantize_embeddings":
             ScalarQuantizeConfig("quantize_embeddings")}
 SUBSTRING = {"dedup_substring": SubstringDupConfig("dedup_substring")}
-TFIDF = {"text_tfidf": TfidfConfig("text_tfidf")}
+# min_df=2 exercises the vocabulary cut under the driver gate; the
+# tf<->df join is AQE-decided (no forced broadcast) — see llm/tfidf.py
+TFIDF = {"text_tfidf": TfidfConfig("text_tfidf", min_df=2)}
 DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly

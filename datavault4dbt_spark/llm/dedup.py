@@ -107,8 +107,8 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     this is the canonical shingle->minhash->band->bucket-join plan, and
     bucket keys are md5 outputs so the join is skew-free by construction.
 
-    Cache lifecycle: the signature table is persist()ed (it feeds every
-    band projection and both join sides) and intentionally left cached —
+    Cache lifecycle: the (band, sig) bucket table is persist()ed (it
+    feeds both self-join sides) and intentionally left cached —
     unpersisting before the caller consumes the returned plan would
     defeat the point. Long-lived sessions running builders repeatedly
     should `spark.catalog.clearCache()` between runs (bench.py does).
@@ -128,22 +128,24 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     ex = w.selectExpr(cfg.id_col,
                       f"explode({spark_shingles('w', cfg.shingle_n)}) AS s") \
           .selectExpr(cfg.id_col, f"concat({dig}) AS h")
-    # One slim signature row per document, but the subtree above it
-    # (shingle explode + 2 md5 digests per shingle + 16-min aggregation)
-    # dominates query cost — and the `bands` projections below are
-    # non-identical (band constants), so without a persist each one
-    # recomputes the signatures. Persist: signatures compute once.
     sig = ex.groupBy(cfg.id_col).agg(
         *[F.min(F.expr(f"substr(h, {1 + 4 * i}, 4)")).alias(f"mh{i}")
-          for i in range(cfg.num_perm)]).persist()
-    band_rows = []
-    for bidx in range(cfg.bands):
-        cols = ", ".join(f"mh{bidx * r + j}" for j in range(r))
-        band_rows.append(sig.selectExpr(
-            cfg.id_col, f"{bidx} AS band", f"md5(concat_ws('|', {cols})) AS sig"))
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+          for i in range(cfg.num_perm)])
+    # The subtree above (shingle explode + md5 digests per shingle +
+    # k-min aggregation) dominates query cost and feeds BOTH self-join
+    # sides, so it must materialize exactly once. Band keys are computed
+    # in the SAME projection as the signature consumer via stack() —
+    # one generator row per (doc, band) — so the cache write is a
+    # single pass over the aggregation output instead of `bands`
+    # separate projections union'd back together (the round-5 shape:
+    # 2*bands cache readers; this one: 2).
+    stack_rows = ", ".join(
+        f"{bidx}, md5(concat_ws('|', "
+        + ", ".join(f"mh{bidx * r + j}" for j in range(r)) + "))"
+        for bidx in range(cfg.bands))
+    buckets = sig.selectExpr(
+        cfg.id_col,
+        f"stack({cfg.bands}, {stack_rows}) AS (band, sig)").persist()
     a = buckets.alias("a")
     bb = buckets.alias("b")
     pairs = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),

@@ -151,11 +151,14 @@ def test_simhash_fingerprints_computed_once(spark, sf_dir):
 
 
 def test_minhash_signatures_computed_once(spark, sf_dir):
+    """Round-6 shape: band keys are stack()ed out of the SAME projection
+    that consumes the signature aggregation, so the cached bucket table
+    is written in one pass and read exactly twice (the two self-join
+    sides) — not 2*bands times through per-band projections."""
     fixtures.ensure_session_conf(spark)
     df = fixtures.entity_query("dedup_minhash_lsh")(spark, sf_dir)
     plan = _plan(df)
-    nb = fixtures.DEDUP_MINHASH["dedup_minhash_lsh"].bands
-    assert plan.count("InMemoryTableScan") == 2 * nb, plan
+    assert plan.count("InMemoryTableScan") == 2, plan
 
 
 def test_embedding_cosine_rejects_short_vectors(spark, sf_dir):
@@ -261,12 +264,27 @@ def test_substring_dup_joins_on_gram_hash_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan   # df-cap anti-join
 
 
-def test_tfidf_document_frequencies_broadcast(spark, sf_dir):
-    """The vocabulary-sized df table and the 1-row corpus count must
-    broadcast; corpus-sized shuffles key only on doc/term."""
+def test_tfidf_df_join_is_aqe_decided_not_forced(spark, sf_dir):
+    """Round-6 contract: the tf<->df join must NOT carry a compile-time
+    broadcast hint (a web-scale vocabulary is tens of GB; a forced
+    broadcast bypasses the threshold and OOMs instead of degrading).
+    Proof by threshold: with autoBroadcastJoinThreshold disabled (the
+    stand-in for "df table larger than the threshold"), the un-hinted
+    term join must degrade to a shuffle join — while the opt-in
+    force_broadcast_df hint still compiles to a broadcast (that is the
+    bypass the default no longer takes). The min_df cut must sit in
+    the plan as a filter on the df agg."""
     from datavault4dbt_spark.llm.tfidf import TfidfConfig, build_tfidf
     reg = fixtures.registry(spark, sf_dir)
-    plan = _plan(build_tfidf(spark, reg, TfidfConfig("tt")))
-    assert "CartesianProduct" not in plan
-    assert ("BroadcastHashJoin" in plan
-            and "BroadcastNestedLoopJoin" in plan), plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(build_tfidf(spark, reg, TfidfConfig("tt", min_df=2)))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "df#" in plan and ">= 2" in plan, plan  # min_df cut present
+        forced = _plan(build_tfidf(
+            spark, reg, TfidfConfig("tt2", force_broadcast_df=True)))
+        assert "BroadcastHashJoin" in forced, forced
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
