@@ -505,10 +505,13 @@ REPETITION = {"text_repetition": RepetitionConfig("text_repetition",
 # identity — the derived column keeps counts/redaction genuinely
 # exercised while staying a deterministic expression over the input,
 # identical in both dialects)
+# text is coalesced: Spark's concat NULLs out on any NULL argument
+# while DuckDB's skips NULLs, so a NULL-text document would diverge
+# between engine and oracle without the guard (round-5 advice)
 PII = {"pii_redact": PiiRedactConfig(
     "pii_redact",
-    text_expr=("concat(text, ' contact user', CAST(doc_id AS STRING), "
-               "'@mail.example.com from 10.0.', "
+    text_expr=("concat(coalesce(text, ''), ' contact user', "
+               "CAST(doc_id AS STRING), '@mail.example.com from 10.0.', "
                "CAST(doc_id % 256 AS STRING), '.7')"))}
 SAMPLING = {"dataset_mix": DatasetMixConfig("dataset_mix")}
 PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}

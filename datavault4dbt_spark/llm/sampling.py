@@ -63,7 +63,30 @@ class DatasetMixConfig:
     salt: str = "mix"
 
 
+def _mix_checks(cfg: DatasetMixConfig) -> None:
+    """Portability contract (mirrors scrub._pii_checks): strata values
+    and the strata column are interpolated into SQL text that must
+    parse identically in Spark SQL and DuckDB, so quotes/backslashes
+    are rejected up front instead of producing divergent SQL."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", cfg.strata_col):
+        raise ValueError(
+            f"{cfg.name}: strata_col {cfg.strata_col!r} must be a plain "
+            f"identifier — it is interpolated into both dialects' SQL")
+    for s, w in cfg.weights:
+        if "'" in s or "\\" in s:
+            raise ValueError(
+                f"{cfg.name}: stratum {s!r} violates the portability "
+                f"contract (quote/backslash) — it becomes a SQL string "
+                f"literal in both dialects")
+        if not 0.0 <= float(w) <= 1.0:
+            raise ValueError(
+                f"{cfg.name}: weight for {s!r} must be in [0, 1], got {w}")
+
+
 def _weight_case(cfg: DatasetMixConfig) -> str:
+    _mix_checks(cfg)
     whens = " ".join(f"WHEN '{s}' THEN CAST({w} AS DOUBLE)"
                      for s, w in cfg.weights)
     return (f"CASE {cfg.strata_col} {whens} "

@@ -175,8 +175,13 @@ class PiiRedactConfig:
     name: str
     source: str = "documents"
     id_col: str = "doc_id"
-    # SQL expression for the text to scrub — identical in both dialects
-    # (plain column name, or a concat/CAST composition)
+    # SQL expression for the text to scrub — must evaluate identically
+    # in both dialects (plain column name, or a concat/CAST
+    # composition). NULL caveat: Spark's concat returns NULL when ANY
+    # argument is NULL while DuckDB's concat skips NULL arguments, so
+    # concat compositions over nullable columns must coalesce them
+    # (e.g. concat(coalesce(text, ''), ...)) or the engine and oracle
+    # diverge on NULL-text rows.
     text_expr: str = "text"
     patterns: tuple = PORTABLE_PII_PATTERNS
 

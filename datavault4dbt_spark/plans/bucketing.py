@@ -65,13 +65,32 @@ class BucketedVault:
     def _qualified(self, name: str) -> str:
         return f"{self.database}.{name}"
 
+    def _recover(self, name: str):
+        """Crash recovery for `overwrite`'s two-rename swap (the same
+        protocol as ParquetStore._recover, lifted to catalog tables):
+        if a crash landed between RENAME(final -> old) and
+        RENAME(tmp -> final), the committed copy survives as
+        `<name>__old` — restore it. A leftover `<name>__tmp` (crash
+        mid-write or pre-swap) is dropped: the swap never started, so
+        final/old still hold the data."""
+        q = self._qualified(name)
+        cat = self.spark.catalog
+        if not cat.tableExists(q) and cat.tableExists(q + "__old"):
+            self.spark.sql(f"ALTER TABLE {q}__old RENAME TO {q}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {q}__tmp")
+
     def exists(self, name: str) -> bool:
+        self._recover(name)
         return self.spark.catalog.tableExists(self._qualified(name))
 
     def read(self, name: str) -> DataFrame:
+        self._recover(name)
         return self.spark.table(self._qualified(name))
 
     def _writer(self, df: DataFrame, name: str, mode: str):
+        """``name`` is the LOGICAL table (bucket-spec lookup key) — the
+        writer may target a staging table under a different physical
+        name but must carry the logical table's bucketing."""
         w = df.write.mode(mode).format("parquet")
         cols = self.bucket_cols.get(name)
         if cols:
@@ -87,23 +106,40 @@ class BucketedVault:
         w.saveAsTable(self._qualified(name))
 
     def overwrite(self, name: str, df: DataFrame, partition_by: tuple = ()):
-        """Full replace via saveAsTable(Overwrite). NOT reader-atomic:
-        Spark drops and recreates a datasource table, so a query racing
-        the swap can see table-not-found — schedule overwrites of
-        bucketed tables in maintenance windows (or use DeltaStore,
-        whose overwrite is transactional). The plan may read the table
-        being replaced, so materialize via an eager local checkpoint
-        first (released right after the write — the double
-        materialization is the price of a catalog overwrite that
-        cannot path-swap)."""
-        ckpt = df.localCheckpoint(eager=True)
-        try:
-            w = self._writer(ckpt, name, "overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.saveAsTable(self._qualified(name))
-        finally:
-            ckpt.unpersist()
+        """Full replace, staged through a temp catalog table and swapped
+        in with two metadata-only RENAMEs (round-5 advice closed both
+        earlier caveats):
+
+        - no data-loss window: the new data is fully committed to
+          ``<name>__tmp`` BEFORE the live table is touched, and the old
+          data survives as ``<name>__old`` until the swap completes —
+          a crash at any point leaves a committed copy that
+          ``_recover`` restores (the earlier localCheckpoint staging
+          could lose the old table if an executor holding checkpoint
+          blocks died after the drop);
+        - near-reader-atomic: the unavailable window shrinks from the
+          whole distributed rewrite to the two catalog RENAMEs
+          (metadata-only). A racing read in that sliver sees
+          table-not-found and succeeds on retry; full atomicity needs a
+          transactional format (DeltaStore.overwrite).
+
+        Writing to the temp name also means the plan may freely READ
+        the table being replaced — no checkpoint materialization
+        needed. The temp table carries the LOGICAL table's bucket spec,
+        which the RENAME preserves, so the no-Exchange join property
+        holds across overwrites (pinned in tests/test_bucketing.py)."""
+        q = self._qualified(name)
+        self._recover(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {q}__tmp")
+        w = self._writer(df, name, "overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(q + "__tmp")
+        self.spark.sql(f"DROP TABLE IF EXISTS {q}__old")
+        if self.spark.catalog.tableExists(q):
+            self.spark.sql(f"ALTER TABLE {q} RENAME TO {q}__old")
+        self.spark.sql(f"ALTER TABLE {q}__tmp RENAME TO {q}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {q}__old")
 
     # -- maintenance protocol: rewrite-path only ----------------------
     # No hive directory layout exists under the catalog's control, so

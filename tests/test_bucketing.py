@@ -167,3 +167,73 @@ def test_clean_up_pit_through_bucketed_store(spark, sf_dir,
         assert left <= active
     finally:
         store.drop("pit_customer")
+
+
+def test_overwrite_staged_swap_keeps_bucketing_and_data(
+        spark, sf_dir, tmp_path_factory):
+    """Round-6: overwrite stages through <name>__tmp + two RENAMEs, so
+    (a) the replaced data is correct even though the plan READS the
+    table being replaced, (b) the bucket spec survives the rename (the
+    post-overwrite join is still Exchange-free), and (c) no staging
+    tables are left behind."""
+    fixtures.ensure_session_conf(spark)
+    loc = tmp_path_factory.mktemp("bucketed_swap")
+    v = BucketedVault(
+        spark, "bkt_swap", str(loc), n_buckets=4,
+        bucket_cols={"hub_customer": ("hk_customer_h",),
+                     "sat_customer_n0_s": ("hk_customer_h",)})
+    reg = fixtures.registry(spark, sf_dir)
+    v.append("hub_customer", reg.load(spark, "hub_customer"))
+    v.append("sat_customer_n0_s", reg.load(spark, "sat_customer_n0_s"))
+    try:
+        before = v.read("hub_customer").count()
+        assert before > 1
+        # self-referential rewrite: drop one row, reading the live table
+        keep = v.read("hub_customer").orderBy("hk_customer_h").limit(
+            before - 1)
+        v.overwrite("hub_customer", keep)
+        assert v.read("hub_customer").count() == before - 1
+        assert not spark.catalog.tableExists("bkt_swap.hub_customer__tmp")
+        assert not spark.catalog.tableExists("bkt_swap.hub_customer__old")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = v.read("hub_customer").join(
+                v.read("sat_customer_n0_s").select("hk_customer_h", "ldts"),
+                on="hk_customer_h")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        v.drop("hub_customer")
+        v.drop("sat_customer_n0_s")
+
+
+def test_overwrite_crash_recovery_restores_committed_copy(
+        spark, sf_dir, tmp_path_factory):
+    """Simulate the two crash windows of the staged swap: (1) after
+    RENAME(final -> old) but before RENAME(tmp -> final) — _recover
+    must restore the committed old copy; (2) a stale __tmp from a
+    crash mid-write — _recover must drop it without touching final."""
+    fixtures.ensure_session_conf(spark)
+    loc = tmp_path_factory.mktemp("bucketed_crash")
+    v = BucketedVault(spark, "bkt_crash", str(loc), n_buckets=4,
+                      bucket_cols={"hub_customer": ("hk_customer_h",)})
+    reg = fixtures.registry(spark, sf_dir)
+    v.append("hub_customer", reg.load(spark, "hub_customer"))
+    try:
+        n = v.read("hub_customer").count()
+        # window 1: final renamed away, swap never finished
+        spark.sql("ALTER TABLE bkt_crash.hub_customer "
+                  "RENAME TO bkt_crash.hub_customer__old")
+        assert v.exists("hub_customer")          # recovery kicked in
+        assert v.read("hub_customer").count() == n
+        # window 2: stale __tmp beside a healthy final
+        v.read("hub_customer").limit(1).write.format("parquet") \
+            .saveAsTable("bkt_crash.hub_customer__tmp")
+        assert v.read("hub_customer").count() == n
+        assert not spark.catalog.tableExists("bkt_crash.hub_customer__tmp")
+    finally:
+        v.drop("hub_customer")
