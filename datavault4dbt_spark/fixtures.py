@@ -323,6 +323,14 @@ REF_SATS = {
     "ref_sat_nation_v0": RefSatConfig(
         "ref_sat_nation_v0", "stage_nation", ("n_nationkey",), "hd_nation_s",
         payload=("n_name", "n_regionkey")),
+    # batched source (p_partkey % 3 daily batches) so the incremental
+    # replay can drive ref_sat_v0's HWM + latest-compare branch with
+    # real phase-2 inserts (stage_nation is single-batch: its phase-2
+    # delta is empty). Bundle-verified full load + replay-verified
+    # incremental load; no extra exposed slot.
+    "ref_sat_part_v0": RefSatConfig(
+        "ref_sat_part_v0", "stage_part", ("p_partkey",), "hd_part_s",
+        payload=("p_brand", "p_type")),
 }
 
 REF_SATS_V1 = {
@@ -369,8 +377,15 @@ BUNDLES = {
                      "CAST(r_regionkey AS STRING)"),
         BundleMember("hub_supplier", "hk_supplier_h",
                      "CAST(s_suppkey AS STRING)"),
-        BundleMember("sat_nation_s", "hk_nation_h", "hd_nation_s"),
-        BundleMember("sat_customer_p0_s", "hk_customer_h", "hd_customer_p_s"),
+        # satellites fold ONE raw payload column into their hd beside
+        # the hashdiff (round-5 advice: a post-hash payload corruption
+        # must be driver-visible, not just hashdiff-visible); payload
+        # is coalesced because Spark concat NULLs out on NULL args
+        # while DuckDB concat skips them
+        BundleMember("sat_nation_s", "hk_nation_h",
+                     "concat(hd_nation_s, '|', coalesce(n_name, ''))"),
+        BundleMember("sat_customer_p0_s", "hk_customer_h",
+                     "concat(hd_customer_p_s, '|', coalesce(c_name, ''))"),
         # hub x6 and ref_hub's whole chain (ref_table/ref_sats) remain
         # individually exposed; these two free slots for the round-5
         # LLM ops (dedup_groups, contamination) at constant surface
@@ -390,9 +405,10 @@ BUNDLES = {
         BundleMember("link_supplier_nation", "hk_supplier_nation_l",
                      "hk_supplier_h"),
         BundleMember("sat_part_s_v1", "hk_part_h",
-                     "concat(hd_part_s, '|', CAST(ledts AS STRING))"),
+                     "concat(hd_part_s, '|', CAST(ledts AS STRING), "
+                     "'|', coalesce(p_brand, ''))"),
         BundleMember("ref_sat_nation_v0", "CAST(n_nationkey AS STRING)",
-                     "hd_nation_s"),
+                     "concat(hd_nation_s, '|', coalesce(n_name, ''))"),
         BundleMember("hub_user", "hk_user_h", "CAST(user_id AS STRING)"),
         # frees the slot for quantize_embeddings (hub keeps hub_customer,
         # hub_nation_multisource, hub_order, hub_part_enriched exposed)
@@ -404,7 +420,12 @@ BUNDLES = {
         # frees the slot for text_tfidf; like sat_v1 above, the v1
         # ledts folds into the hash so end-dating stays pinned
         BundleMember("ref_sat_nation_v1", "CAST(n_nationkey AS STRING)",
-                     "concat(hd_nation_s, '|', CAST(ledts AS STRING))"),
+                     "concat(hd_nation_s, '|', CAST(ledts AS STRING), "
+                     "'|', coalesce(n_name, ''))"),
+        # full-load verification of the round-6 replay member (its
+        # incremental branches ride in incremental_replay)
+        BundleMember("ref_sat_part_v0", "CAST(p_partkey AS STRING)",
+                     "concat(hd_part_s, '|', coalesce(p_brand, ''))"),
     )),
 }
 
@@ -422,10 +443,13 @@ UNION_BUNDLES = {
 # compare/deactivation code paths (see plans/replay.py): the member set
 # covers one entity per incremental strategy — multi-source hub dedup +
 # anti-join, sat latest-vs-target compare, ma_sat group compare, nh_link
-# pure anti-join, eff_sat deactivation. The cutoff splits the
-# deterministic daily batches after day 1, so the converged state
-# equals the one-shot full load and the ordinary full-load oracle
-# certifies the incremental branches.
+# pure anti-join, eff_sat deactivation, link anti-join, rec_track
+# per-rsrc_static HWM probe, ref_sat latest-compare, and the PIT
+# snapshot-extension anti-insert (phase 1 sees the sdts-truncated
+# spine; phase 2 the full spine). The cutoff splits the deterministic
+# daily batches after day 1, so the converged state equals the one-shot
+# full load and the ordinary full-load oracle certifies the incremental
+# branches.
 REPLAYS = {
     "incremental_replay": ReplayConfig(
         "incremental_replay", "2024-01-01 23:00:00", (
@@ -445,6 +469,29 @@ REPLAYS = {
                          "hk_order_h"),
             ReplayMember("eff_sat_customer_nation", "hk_customer_nation_l",
                          "CAST(is_active AS STRING)"),
+            # round-6 additions (the four strategies previously outside
+            # the driver gate, VERDICT r5 missing #2):
+            # link: HWM + anti-join on the link hashkey; day-2/3
+            # lineitems carry both new and already-seen combos
+            ReplayMember("link_part_supplier", "hk_part_supplier_l",
+                         "hk_part_h"),
+            # rec_track: per-rsrc_static HWM probe — customer and
+            # orders sources have independent watermarks
+            ReplayMember("rec_track_customer", "hk_customer_h", "stg"),
+            # ref_sat_v0: HWM + rn=1 latest-vs-target hashdiff compare
+            ReplayMember("ref_sat_part_v0", "CAST(p_partkey AS STRING)",
+                         "concat(hd_part_s, '|', coalesce(p_brand, ''))"),
+            # pit: snapshot-extension increment; the hd folds both
+            # satellite pointers (hk + ldts) so a stale pointer in
+            # either phase fails the union hash; ldts/rsrc overridden
+            # (a PIT carries sdts and no rsrc column)
+            ReplayMember(
+                "pit_customer", "dimension_key",
+                "concat(hk_sat_customer_n0_s, '|', "
+                "CAST(ldts_sat_customer_n0_s AS STRING), '|', "
+                "hk_sat_customer_p0_s, '|', "
+                "CAST(ldts_sat_customer_p0_s AS STRING))",
+                ldts="sdts", rsrc="'pit'"),
         )),
 }
 
@@ -573,7 +620,7 @@ _FAMILIES = [
      lambda c: list(c.members)),
     (REPLAYS,
      lambda spark, reg, cfg, g: run_replay(spark, reg, cfg, g, _index(),
-                                           STAGES),
+                                           STAGES, SNAPS_V1),
      replay_oracle,
      lambda c: [m.entity for m in c.members]),
     (DEDUP_EXACT, build_exact_dedup, exact_dedup_oracle, _NO_DEPS),

@@ -33,11 +33,16 @@ from ..plans.sqlbuild import SqlBuilder
 class BundleMember:
     """One bundled entity: ``hk`` and ``hd`` are SQL expressions valid in
     BOTH Spark SQL and DuckDB over the member's output columns (plain
-    column names or portable CASTs)."""
+    column names or portable CASTs). ``ldts``/``rsrc`` default to the
+    global alias columns; entities without them (a PIT carries ``sdts``
+    and no rsrc) override with any portable expression — the output
+    column names stay the global aliases either way."""
 
     entity: str
     hk: str
     hd: str
+    ldts: str | None = None
+    rsrc: str | None = None
 
 
 @dataclass(frozen=True)
@@ -50,8 +55,8 @@ def _member_exprs(m: BundleMember, g: GlobalConfig) -> list:
     return [f"'{m.entity}' AS entity",
             f"{m.hk} AS hk",
             f"{m.hd} AS hd",
-            g.ldts_alias,
-            g.rsrc_alias]
+            f"{m.ldts or g.ldts_alias} AS {g.ldts_alias}",
+            f"{m.rsrc or g.rsrc_alias} AS {g.rsrc_alias}"]
 
 
 def build_bundle(spark, reg: Registry, cfg: BundleConfig,

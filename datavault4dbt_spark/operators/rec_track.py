@@ -6,6 +6,13 @@ macros/tables/databricks/rec_track_sat.sql:100-242 — SELECT DISTINCT per
 source with rsrc overridden by the static literal and stg = UPPER(source
 name); union; final filter excludes both ghost ldts sentinels (233-234);
 incremental insert keyed on concat(hk, ldts, rsrc).
+
+Incremental pruning (reference: rec_track_sat.sql:93-103): each source
+gets its OWN high-water mark, probed over target rows whose rsrc
+matches that source's rsrc_static — one source lagging (or brand new)
+must not be filtered by the others' watermarks. At 100 TB the per-
+source HWM literal prunes the source scan via row-group min-max
+skipping; the concat-key anti-join then only sees the post-HWM slice.
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..functions.hashing import sql_str
+from ..plans.incremental import hwm_filter_static
 from ..plans.sqlbuild import SqlBuilder
 
 
@@ -40,7 +48,10 @@ def build_rec_track_sat(spark, reg: Registry, cfg: RecTrackConfig,
         stg = F.lit(sm.name.upper()).cast("string").alias(g.stg_alias)
         sel = [F.col(hk).alias(cfg.tracked_hashkey), F.col(g.ldts_alias), rsrc, stg]
         sel += [F.col(c) for c in cfg.additional_columns]
-        parts.append(df.select(*sel).distinct())
+        proj = df.select(*sel)
+        if target is not None and sm.rsrc_static:
+            proj = hwm_filter_static(proj, target, sm.rsrc_static, g)
+        parts.append(proj.distinct())
     union = reduce(lambda a, b: a.unionByName(b), parts)
     bot = F.to_timestamp(F.lit(g.beginning_of_all_times))
     eot = F.to_timestamp(F.lit(g.end_of_all_times))

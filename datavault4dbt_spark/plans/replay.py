@@ -75,9 +75,15 @@ def _scratch_store(spark, name: str) -> ParquetStore:
 
 
 def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
-               index: dict, stage_names) -> DataFrame:
+               index: dict, stage_names, snapshot_names=()) -> DataFrame:
     """``index``: fixtures' name -> (cfg, builder, oracle, deps);
-    ``stage_names``: entities whose phase-1 output is ldts-truncated.
+    ``stage_names``: entities whose phase-1 output is ldts-truncated;
+    ``snapshot_names``: snapshot spines whose phase-1 output is
+    sdts-truncated — this is how the PIT member replays the reference's
+    snapshot-extension increment (macros/tables/databricks/pit.sql:
+    108-114): phase 1 builds the PIT over the truncated spine, phase 2
+    sees the full spine and its dimension-key anti-join must insert
+    exactly the extension rows.
 
     Rerunning invalidates DataFrames returned by a PREVIOUS run (their
     scans point at the cleared member tables) — same contract as any
@@ -89,6 +95,7 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     # phase-1 registry: same loaders, but every stage is truncated to
     # ldts <= cutoff (the end-of-times ghost row rides along so the
     # initial load creates it, as a real partial first extract would)
+    # and every snapshot spine to sdts <= cutoff
     phase1 = Registry(spark_loaders=dict(reg.spark_loaders),
                       persist_names=set(reg.persist_names))
     cut = (f"{g.ldts_alias} <= TIMESTAMP '{cfg.cutoff}' "
@@ -97,6 +104,11 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
         orig = reg.spark_loaders[s]
         phase1.spark_loaders[s] = (
             lambda sp, o=orig, c=cut: o(sp).filter(c))
+    snap_cut = f"{g.sdts_alias} <= TIMESTAMP '{cfg.cutoff}'"
+    for s in snapshot_names:
+        orig = reg.spark_loaders[s]
+        phase1.spark_loaders[s] = (
+            lambda sp, o=orig, c=snap_cut: o(sp).filter(c))
 
     # Members are independent two-phase loads (own store paths, no
     # cross-member data deps) — run them concurrently: each thread
