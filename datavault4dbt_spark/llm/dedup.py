@@ -666,12 +666,93 @@ class DupGroupsConfig:
     per connected set of documents — to pick one survivor per group
     (keeping "A~B, B~C" as two independent pairs can drop both B and C
     or neither). No reference analogue; standard corpus-dedup step.
+
+    Two strategies, same result:
+
+    - ``propagation``: min-label propagation, 1 shuffle/round, round
+      count = component DIAMETER. Right for near-dup graphs — LSH
+      components are near-cliques (diameter ~2-3) by construction.
+    - ``pointer_jumping``: alternating large-star/small-star rounds
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond"), 2 shuffles/round but round count = O(log^2 n)
+      regardless of diameter. The escape hatch for adversarial
+      chain-shaped graphs where propagation's diameter ceiling trips
+      (tests/test_dup_groups.py pins a path graph longer than
+      max_iter converging under this strategy).
     """
 
     name: str
     pairs_entity: str = "dedup_minhash_lsh"   # emits (id_a, id_b, n_bands)
     min_bands: int = 1       # edge = pair colliding in >= min_bands bands
-    max_iter: int = 15       # propagation rounds (>= group diameter)
+    max_iter: int = 15       # propagation/star rounds
+    strategy: str = "propagation"
+
+    def __post_init__(self):
+        if self.strategy not in ("propagation", "pointer_jumping"):
+            raise ValueError(
+                f"{self.name}: unknown strategy {self.strategy!r} — "
+                f"use 'propagation' or 'pointer_jumping'")
+
+
+def _star_contraction(pairs: DataFrame, cfg: DupGroupsConfig) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.
+    2014): each round rewrites the edge set so every node's larger
+    neighbors attach to its minimum neighbor (large-star), then its
+    smaller-or-equal neighborhood collapses onto that minimum
+    (small-star). Converges to star graphs — every edge (node, root)
+    with root = the component's minimum id — in O(log^2 n) rounds
+    independent of diameter.
+
+    Scale: edges stay canonically oriented (hi, lo) and distinct; each
+    round is two groupBy-min + join passes keyed on node ids (uniform),
+    `localCheckpoint` truncates lineage, and the convergence probe is a
+    driver-side set-difference scalar, same pattern as propagation's
+    changed-count."""
+    e = (pairs.select(F.greatest("id_a", "id_b").alias("u"),
+                      F.least("id_a", "id_b").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(cfg.max_iter):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", F.col("mn")).alias("m")))
+        # large-star: larger neighbors v of u attach to m(u); v > u >=
+        # m(u) so the new edge is already (hi, lo) oriented
+        large = (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # small-star over the large-star result: smaller neighbors and
+        # u itself collapse onto m(u)
+        sym2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins2 = (sym2.groupBy("u").agg(F.min("v").alias("mn"))
+                 .select("u", F.least("u", F.col("mn")).alias("m")))
+        small_nbrs = (sym2.join(mins2, "u").where(F.col("v") < F.col("u"))
+                      .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        small_self = mins2.select(F.col("u"), F.col("m").alias("v"))
+        new_e = (small_nbrs.unionByName(small_self)
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint(eager=True))
+        # fixpoint probe: both sets are distinct, so equal counts plus
+        # an empty one-sided difference imply set equality
+        converged = (new_e.count() == e.count()
+                     and not new_e.subtract(e).limit(1).count())
+        e = new_e
+        if converged:
+            break
+    else:
+        raise ValueError(
+            f"{cfg.name}: star contraction did not converge after "
+            f"{cfg.max_iter} rounds — raise max_iter (bound is "
+            f"O(log^2 n) rounds)")
+    # converged stars: every non-root appears exactly once as u with
+    # its root as v; roots appear only on the v side
+    nonroot = e.select(F.col("u").alias("doc_id"),
+                       F.col("v").alias("label"))
+    roots = (e.select(F.col("v").alias("doc_id")).distinct()
+             .withColumn("label", F.col("doc_id")))
+    return nonroot.unionByName(roots)
 
 
 def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
@@ -694,6 +775,13 @@ def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
     """
     pairs = reg.load(spark, cfg.pairs_entity) \
         .filter(F.col("n_bands") >= cfg.min_bands).select("id_a", "id_b")
+    if cfg.strategy == "pointer_jumping":
+        labels = _star_contraction(pairs, cfg)
+        from pyspark.sql import Window
+        wsz = Window.partitionBy("label")
+        return labels.select(
+            "doc_id", F.col("label").alias("group_id"),
+            F.count("*").over(wsz).alias("group_size"))
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"),
                      F.col("id_a").alias("id_b"))).persist()

@@ -168,3 +168,66 @@ def test_replay_rejects_empty_members():
     from datavault4dbt_spark.plans.replay import ReplayConfig
     with pytest.raises(ValueError, match="member"):
         ReplayConfig("r", "2024-01-01 00:00:00", ())
+
+
+def test_multimodal_decoder_selection_and_oracle_contract(spark):
+    """Round-6: 'auto' resolves to Pillow when importable, else stub —
+    and the oracle generator refuses non-stub decoders (real codecs
+    are not SQL-expressible; those entries go rows-only)."""
+    from datavault4dbt_spark.llm.multimodal import (
+        MultimodalConfig, _resolve_decoder, multimodal_oracle)
+    from datavault4dbt_spark.plans.sqlbuild import SqlBuilder
+
+    try:
+        import PIL.Image  # noqa: F401
+        expected = "pil"
+    except ImportError:
+        expected = "stub"
+    assert _resolve_decoder("auto") == expected
+    assert _resolve_decoder("stub") == "stub"
+    assert _resolve_decoder("pil") == "pil"    # explicit stays explicit
+    with pytest.raises(ValueError, match="decoder"):
+        MultimodalConfig("m", decoder="ffmpeg")
+    reg = Registry()
+    reg.duckdb_relations["documents"] = "documents"
+    with pytest.raises(ValueError, match="not SQL-expressible"):
+        multimodal_oracle(SqlBuilder(), reg,
+                          MultimodalConfig("m", decoder="pil"), G)
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    """Minimal uncompressed 24-bit BMP, built in pure Python so the
+    Pillow path can be exercised without any image fixture files."""
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    data = b"\x00" * (row * h)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def test_multimodal_pil_decode_real_dimensions(spark):
+    """When Pillow is importable the 'pil' decoder must return REAL
+    image dimensions through the same mapInPandas shape, and decode
+    corrupt payloads to NULL features instead of failing the task."""
+    pytest.importorskip("PIL")
+    from datavault4dbt_spark.llm.multimodal import (
+        MultimodalConfig, build_multimodal_features)
+
+    rows = [(1, bytearray(_bmp_bytes(7, 3))),
+            (2, bytearray(_bmp_bytes(1, 1))),
+            (3, bytearray(b"not an image")),
+            (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, img binary")
+    reg = Registry()
+    reg.spark_loaders["imgs"] = lambda _s: docs
+    out = {r.doc_id: r for r in build_multimodal_features(
+        spark, reg, MultimodalConfig("m", source="imgs",
+                                     payload_from="img",
+                                     decoder="pil"), G).collect()}
+    assert (out[1].width, out[1].height) == (7, 3)
+    assert (out[2].width, out[2].height) == (1, 1)
+    assert out[3].width is None and out[3].n_bytes == 12
+    assert out[4].width is None and out[4].n_bytes is None
