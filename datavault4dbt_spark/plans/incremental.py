@@ -49,16 +49,23 @@ def hwm_filter_static(src: DataFrame, target: DataFrame | None,
     target rows whose rsrc matches this source's static pattern, after
     a probe decides whether the source has EVER loaded (a brand-new
     source must not be filtered by other sources' watermarks). The
-    compile-time ``run_query`` probe becomes a driver-side action."""
+    compile-time ``run_query`` probe becomes a driver-side action —
+    ONE action: the exists-probe count and the ghost-excluded max ride
+    in the same aggregation (an N-source entity pays N probe jobs per
+    load, not 2N; round-6, replay wall-clock)."""
     if target is None:
         return src
-    mine = target.filter(F.col(g.rsrc_alias).like(rsrc_static))
-    if not mine.limit(1).count():     # source not yet in target
+    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+    row = (target.filter(F.col(g.rsrc_alias).like(rsrc_static))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.max(F.when(F.col(g.ldts_alias) != eot,
+                             F.col(g.ldts_alias))).alias("m"))
+           .collect()[0])
+    if not row["n"]:                  # source not yet in target
         return src
-    m = max_ldts(mine, g)
-    if m is None:
+    if row["m"] is None:              # only ghost rows so far
         return src
-    return src.filter(F.col(g.ldts_alias) > F.lit(m))
+    return src.filter(F.col(g.ldts_alias) > F.lit(row["m"]))
 
 
 def anti_join_new(candidates: DataFrame, target: DataFrame | None,

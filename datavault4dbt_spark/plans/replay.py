@@ -92,23 +92,37 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     for m in cfg.members:
         shutil.rmtree(store.path(m.entity), ignore_errors=True)
 
-    # phase-1 registry: same loaders, but every stage is truncated to
-    # ldts <= cutoff (the end-of-times ghost row rides along so the
-    # initial load creates it, as a real partial first extract would)
-    # and every snapshot spine to sdts <= cutoff
-    phase1 = Registry(spark_loaders=dict(reg.spark_loaders),
-                      persist_names=set(reg.persist_names))
+    # phase-1 registry: every stage is truncated to ldts <= cutoff (the
+    # end-of-times ghost row rides along so the initial load creates
+    # it, as a real partial first extract would) and every snapshot
+    # spine to sdts <= cutoff. All OTHER entities are identical in both
+    # phases, so their loaders delegate to reg.load — one build/cache
+    # shared across phases instead of a duplicate full build per
+    # registry (matters for the PIT member, whose phase-1 consumes the
+    # full hub + satellites).
+    phase1 = Registry(persist_names=set(reg.persist_names))
+    for name in reg.spark_loaders:
+        phase1.spark_loaders[name] = (
+            lambda sp, n=name: reg.load(sp, n))
+    # Truncations filter ON TOP of reg.load rather than rebuilding the
+    # loader's plan, and every truncatable entity is marked persisted:
+    # the two phases consume the same full subtree (phase 1 filtered,
+    # phase 2 whole), so ONE materialized stage serves both — the
+    # hash/derive compute is not paid twice. (The fixture-level
+    # multi-consumed walker cannot see this doubling: it counts config
+    # dependencies, not the replay's phase structure.)
+    reg.persist_names.update(
+        n for n in (*stage_names, *snapshot_names)
+        if n in reg.spark_loaders)
     cut = (f"{g.ldts_alias} <= TIMESTAMP '{cfg.cutoff}' "
            f"OR {g.ldts_alias} = TIMESTAMP '{g.end_of_all_times}'")
     for s in stage_names:
-        orig = reg.spark_loaders[s]
         phase1.spark_loaders[s] = (
-            lambda sp, o=orig, c=cut: o(sp).filter(c))
+            lambda sp, n=s, c=cut: reg.load(sp, n).filter(c))
     snap_cut = f"{g.sdts_alias} <= TIMESTAMP '{cfg.cutoff}'"
     for s in snapshot_names:
-        orig = reg.spark_loaders[s]
         phase1.spark_loaders[s] = (
-            lambda sp, o=orig, c=snap_cut: o(sp).filter(c))
+            lambda sp, n=s, c=snap_cut: reg.load(sp, n).filter(c))
 
     # Members are independent two-phase loads (own store paths, no
     # cross-member data deps) — run them concurrently: each thread
