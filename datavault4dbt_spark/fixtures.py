@@ -71,6 +71,10 @@ from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
 from .llm.substring import (SubstringDupConfig, build_substring_dup,
                             substring_dup_oracle)
 from .llm.tfidf import TfidfConfig, build_tfidf, tfidf_oracle
+from .llm.sources import (SourceStatsConfig, SourceGateConfig,
+                          build_source_stats, build_source_gate,
+                          source_stats_oracle, source_gate_oracle)
+from .llm.chunking import ChunkConfig, build_doc_chunks, doc_chunks_oracle
 from .llm.curation import (CurationConfig, DedupReportConfig,
                            build_curation, build_dedup_report,
                            curation_oracle, dedup_report_oracle)
@@ -426,6 +430,33 @@ BUNDLES = {
         # incremental branches ride in incremental_replay)
         BundleMember("ref_sat_part_v0", "CAST(p_partkey AS STRING)",
                      "concat(hd_part_s, '|', coalesce(p_brand, ''))"),
+        # round-6 curation ops ride here at full fidelity (ldts/rsrc
+        # overridden — these entities have no load metadata). The
+        # stats hd folds the integer counters only: DOUBLE->STRING
+        # rendering diverges between engines near 1e-5 (Spark '1.0E-5'
+        # vs DuckDB '1e-05'), and the ratios are pure functions of the
+        # folded integers anyway (in-repo parity covers them).
+        BundleMember("source_stats", "source",
+                     "concat(CAST(n_docs AS STRING), ':', "
+                     "CAST(n_tokens AS STRING), ':', "
+                     "CAST(n_short_docs AS STRING), ':', "
+                     "CAST(n_dup_docs AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_stats'"),
+        BundleMember("docs_source_gated", "CAST(doc_id AS STRING)",
+                     "source",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_gate'"),
+        # chunk content pinned through md5(chunk_text): offsets,
+        # lengths, counts and bytes all drive the driver hash
+        BundleMember("doc_chunks",
+                     "concat(CAST(doc_id AS STRING), ':', "
+                     "CAST(chunk_id AS STRING))",
+                     "concat(CAST(chunk_start AS STRING), ':', "
+                     "CAST(chunk_len AS STRING), ':', "
+                     "CAST(n_chunks AS STRING), ':', md5(chunk_text))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'doc_chunks'"),
     )),
 }
 
@@ -571,6 +602,15 @@ SUBSTRING = {"dedup_substring": SubstringDupConfig("dedup_substring")}
 # min_df=2 exercises the vocabulary cut under the driver gate; the
 # tf<->df join is AQE-decided (no forced broadcast) — see llm/tfidf.py
 TFIDF = {"text_tfidf": TfidfConfig("text_tfidf", min_df=2)}
+# source-level curation (round 6): per-source stats + the data-driven
+# source gate. max_short_ratio sits inside the synthetic corpus's
+# observed per-source spread (~0.28-0.52 at sf0.01), so the gate
+# genuinely drops some sources and keeps others under the driver gate.
+SOURCE_STATS = {"source_stats": SourceStatsConfig("source_stats")}
+SOURCE_GATE = {"docs_source_gated": SourceGateConfig("docs_source_gated")}
+# context-window chunking: ~3 overlapping 120-char chunks per synthetic
+# doc (avg 298 chars), provenance offsets ride along
+DOC_CHUNKS = {"doc_chunks": ChunkConfig("doc_chunks")}
 DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
@@ -653,6 +693,10 @@ _FAMILIES = [
      _NO_DEPS),
     (DEDUP_REPORT, build_dedup_report, dedup_report_oracle,
      lambda c: [c.langid_entity, c.quality_entity, c.groups_entity]),
+    (SOURCE_STATS, build_source_stats, source_stats_oracle, _NO_DEPS),
+    (SOURCE_GATE, build_source_gate, source_gate_oracle,
+     lambda c: [c.stats_entity]),
+    (DOC_CHUNKS, build_doc_chunks, doc_chunks_oracle, _NO_DEPS),
 ]
 
 

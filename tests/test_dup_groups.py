@@ -142,3 +142,54 @@ def test_pointer_jumping_empty_and_bad_strategy(spark):
     assert out.count() == 0
     with pytest.raises(ValueError, match="strategy"):
         DupGroupsConfig("g", strategy="nope")
+
+
+def test_both_strategies_match_union_find_on_random_graphs(spark):
+    """Property check: on random graphs, BOTH connected-component
+    strategies must equal a pure-Python union-find ground truth
+    (groups over nodes with >= 1 edge, labeled by component min,
+    sized by component). Batched: hypothesis generates the edge sets
+    up front, one Spark job per strategy per graph."""
+    from hypothesis import given, settings, strategies as st
+
+    edge_sets = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=60),
+                  st.integers(min_value=0, max_value=60)),
+        min_size=1, max_size=120)
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), set()).add(n)
+        return {(n, root, len(mem))
+                for root, mem in comp.items() for n in mem}
+
+    @settings(max_examples=6, deadline=None)
+    @given(edge_sets)
+    def check(edges):
+        pairs = [(a, b, 1) for a, b in edges if a != b]
+        if not pairs:
+            return
+        expected = union_find([(a, b) for a, b, _ in pairs])
+        reg = _pairs_reg(spark, pairs)
+        for strategy in ("propagation", "pointer_jumping"):
+            got = {(r.doc_id, r.group_id, r.group_size)
+                   for r in build_dup_groups(spark, reg, DupGroupsConfig(
+                       "g", pairs_entity="pairs", max_iter=64,
+                       strategy=strategy)).collect()}
+            assert got == expected, (strategy, sorted(pairs)[:10])
+
+    check()

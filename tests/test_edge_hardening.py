@@ -231,3 +231,55 @@ def test_multimodal_pil_decode_real_dimensions(spark):
     assert (out[2].width, out[2].height) == (1, 1)
     assert out[3].width is None and out[3].n_bytes == 12
     assert out[4].width is None and out[4].n_bytes is None
+
+
+def test_doc_chunks_grammar_edges(spark):
+    """NULL text -> no rows; empty text -> ONE empty chunk (the doc
+    must survive chunk-keyed joins); exact-boundary text -> no phantom
+    trailing chunk; overlap reconstructs the original text."""
+    from datavault4dbt_spark.llm.chunking import (ChunkConfig,
+                                                  build_doc_chunks)
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcdefgh"), (4, "abcdefghij")],
+        "doc_id long, text string")
+    reg = Registry()
+    reg.spark_loaders["cdocs"] = lambda _s: docs
+    cfg = ChunkConfig("ch", source="cdocs", chunk_chars=8, stride=4)
+    rows = build_doc_chunks(spark, reg, cfg, G).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "")]
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[3]] == [
+        (0, "abcdefgh")]          # len == chunk_chars: exactly 1 chunk
+    got4 = sorted((r.chunk_id, r.chunk_start, r.chunk_text)
+                  for r in by_doc[4])
+    assert got4 == [(0, 1, "abcdefgh"), (1, 5, "efghij")]
+    assert all(r.n_chunks == len(by_doc[r.doc_id]) for r in rows)
+    with pytest.raises(ValueError, match="stride"):
+        ChunkConfig("bad", chunk_chars=4, stride=8)
+
+
+def test_source_gate_drops_offending_sources_only(spark):
+    """Short-heavy, duplicate-heavy and low-volume sources are dropped
+    wholesale; clean sources keep every document."""
+    from datavault4dbt_spark.llm.sources import (
+        SourceStatsConfig, SourceGateConfig, build_source_stats,
+        build_source_gate)
+    long = " ".join("w" for _ in range(60))
+    rows = (
+        [(i, f"{long} unique{i}", "en", "clean") for i in range(10)]
+        + [(100 + i, "tiny doc", "en", "shorty") for i in range(10)]
+        + [(200 + i, long + " dup", "en", "mirror") for i in range(10)]
+        + [(300, long, "en", "sparse")])          # < min_docs
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    reg = Registry()
+    reg.spark_loaders["documents"] = lambda _s: docs
+    reg.spark_loaders["source_stats"] = (
+        lambda sp: build_source_stats(
+            sp, reg, SourceStatsConfig("source_stats"), G))
+    out = build_source_gate(spark, reg, SourceGateConfig("sg"), G).collect()
+    assert {r.source for r in out} == {"clean"}
+    assert len(out) == 10

@@ -288,3 +288,28 @@ def test_tfidf_df_join_is_aqe_decided_not_forced(spark, sf_dir):
         assert "BroadcastHashJoin" in forced, forced
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_source_gate_broadcasts_offenders_no_shuffle_on_corpus(spark, sf_dir):
+    """The offending-source set is origins-sized, never corpus-sized:
+    the gate must compile to a broadcast anti-join (corpus side stays
+    a single scan), with the only exchanges inside the tiny stats
+    aggregation."""
+    from datavault4dbt_spark.llm.sources import (SourceGateConfig,
+                                                 build_source_gate)
+    reg = fixtures.registry(spark, sf_dir)
+    plan = _plan(build_source_gate(spark, reg,
+                                   SourceGateConfig("sg")))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_scan_stage_only(spark, sf_dir):
+    """Chunking is generate+project in the scan stage: ZERO exchanges
+    anywhere in the plan."""
+    from datavault4dbt_spark.llm.chunking import (ChunkConfig,
+                                                  build_doc_chunks)
+    reg = fixtures.registry(spark, sf_dir)
+    plan = _plan(build_doc_chunks(spark, reg, ChunkConfig("ch")))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
