@@ -115,6 +115,8 @@ def _llm_kinds() -> dict:
     from ..llm.quantize import build_scalar_quantize
     from ..llm.substring import build_substring_dup
     from ..llm.tfidf import build_tfidf
+    from ..llm.sources import build_source_stats, build_source_gate
+    from ..llm.chunking import build_doc_chunks
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -149,6 +151,10 @@ def _llm_kinds() -> dict:
         "dedup_report": (build_dedup_report,
                          lambda c: [c.langid_entity, c.quality_entity,
                                     c.groups_entity]),
+        "source_stats": (build_source_stats, src),
+        "source_gate": (build_source_gate,
+                        lambda c: [c.stats_entity]),
+        "doc_chunks": (build_doc_chunks, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -400,6 +400,8 @@ def _llm_parsers() -> dict:
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
     from .llm.tfidf import TfidfConfig
+    from .llm.sources import SourceStatsConfig, SourceGateConfig
+    from .llm.chunking import ChunkConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -427,6 +429,9 @@ def _llm_parsers() -> dict:
         "tfidf": _dataclass_parser(TfidfConfig),
         "packing_manifest": _dataclass_parser(PackingManifestConfig),
         "dedup_report": _dataclass_parser(DedupReportConfig),
+        "source_stats": _dataclass_parser(SourceStatsConfig),
+        "source_gate": _dataclass_parser(SourceGateConfig),
+        "doc_chunks": _dataclass_parser(ChunkConfig),
     }
 
 
