@@ -75,6 +75,8 @@ from .llm.sources import (SourceStatsConfig, SourceGateConfig,
                           build_source_stats, build_source_gate,
                           source_stats_oracle, source_gate_oracle)
 from .llm.chunking import ChunkConfig, build_doc_chunks, doc_chunks_oracle
+from .llm.profile import (ProfileConfig, build_dataset_profile,
+                          dataset_profile_oracle)
 from .llm.curation import (CurationConfig, DedupReportConfig,
                            build_curation, build_dedup_report,
                            curation_oracle, dedup_report_oracle)
@@ -457,6 +459,17 @@ BUNDLES = {
                      "CAST(n_chunks AS STRING), ':', md5(chunk_text))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'doc_chunks'"),
+        # data-card profile: every stat cell folds into the hd (min/max
+        # are portable string renderings by construction — see
+        # llm/profile.py's _PORTABLE_MINMAX contract)
+        BundleMember("dataset_profile", "col_name",
+                     "concat(CAST(n_rows AS STRING), ':', "
+                     "CAST(n_nulls AS STRING), ':', "
+                     "CAST(n_distinct AS STRING), ':', "
+                     "coalesce(min_value, ''), ':', "
+                     "coalesce(max_value, ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'dataset_profile'"),
     )),
 }
 
@@ -611,6 +624,8 @@ SOURCE_GATE = {"docs_source_gated": SourceGateConfig("docs_source_gated")}
 # context-window chunking: ~3 overlapping 120-char chunks per synthetic
 # doc (avg 298 chars), provenance offsets ride along
 DOC_CHUNKS = {"doc_chunks": ChunkConfig("doc_chunks")}
+# data-card profile of the documents table (exact counts, one scan)
+PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
 DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
@@ -697,6 +712,7 @@ _FAMILIES = [
     (SOURCE_GATE, build_source_gate, source_gate_oracle,
      lambda c: [c.stats_entity]),
     (DOC_CHUNKS, build_doc_chunks, doc_chunks_oracle, _NO_DEPS),
+    (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
 ]
 
 

@@ -1,0 +1,105 @@
+"""Dataset profiling: the "data card" pass every training-data
+pipeline runs before committing compute — per-column volume, null
+share, distinct cardinality and (for portably-rendered types) value
+range, as ROWS so downstream checks can join/diff profiles across
+snapshots (Gebru et al. 2021, "Datasheets for Datasets" lineage;
+operationally the pre-flight sanity check before a 100 TB job).
+
+Exact counts only — approx_count_distinct/HLL sketches are
+engine-specific and would break the cross-engine parity contract; at
+100 TB the exact distinct per column is one Expand + partial-agg pass
+(Spark's multi-distinct rewrite), still a single scan of the table.
+An approximate mode is deliberately not offered: a profile that
+cannot be reproduced bit-for-bit on a second engine is not a
+verification artifact.
+
+Scale design: ONE aggregation over the source (all per-column
+expressions in the same agg — one scan, map-side combined), unpivoted
+to rows with stack/UNION in a zero-cost projection. min/max are
+emitted only for columns whose string rendering is
+dialect-identical (strings, integers): doubles and timestamps render
+differently across engines and stay out of the profile's value
+columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+
+
+# column -> is the min/max STRING rendering portable across engines?
+_PORTABLE_MINMAX = {"string", "bigint", "int", "integer", "smallint",
+                    "tinyint", "varchar", "long", "boolean"}
+
+
+@dataclass(frozen=True)
+class ProfileConfig:
+    """``columns``: (name, type) pairs of the columns to profile —
+    explicit, not inferred, so the profile is a declared contract (a
+    column silently vanishing from the source fails the build instead
+    of vanishing from the profile)."""
+
+    name: str
+    source: str = "documents"
+    columns: tuple = (("doc_id", "bigint"), ("text", "string"),
+                      ("lang", "string"), ("source", "string"),
+                      ("n_chars", "bigint"))
+
+    def __post_init__(self):
+        if not self.columns:
+            raise ValueError(f"{self.name}: columns must be non-empty")
+
+
+def _minmax_ok(typ: str) -> bool:
+    return typ.lower() in _PORTABLE_MINMAX
+
+
+def build_dataset_profile(spark, reg: Registry, cfg: ProfileConfig,
+                          g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, typ in cfg.columns:
+        aggs += [F.count(c).alias(f"__nn_{c}"),
+                 F.countDistinct(c).alias(f"__nd_{c}")]
+        if _minmax_ok(typ):
+            aggs += [F.min(c).cast("string").alias(f"__min_{c}"),
+                     F.max(c).cast("string").alias(f"__max_{c}")]
+    wide = df.agg(*aggs)
+    rows = []
+    for c, typ in cfg.columns:
+        mn = f"__min_{c}" if _minmax_ok(typ) else "CAST(NULL AS STRING)"
+        mx = f"__max_{c}" if _minmax_ok(typ) else "CAST(NULL AS STRING)"
+        rows.append(
+            f"'{c}', __n, __n - __nn_{c}, __nd_{c}, {mn}, {mx}")
+    return wide.selectExpr(
+        f"stack({len(rows)}, {', '.join(rows)}) AS "
+        f"(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+
+
+def dataset_profile_oracle(b: SqlBuilder, reg: Registry,
+                           cfg: ProfileConfig,
+                           g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    aggs = ["count(*) AS __n"]
+    for c, typ in cfg.columns:
+        aggs += [f"count({c}) AS __nn_{c}",
+                 f"count(DISTINCT {c}) AS __nd_{c}"]
+        if _minmax_ok(typ):
+            aggs += [f"CAST(min({c}) AS VARCHAR) AS __min_{c}",
+                     f"CAST(max({c}) AS VARCHAR) AS __max_{c}"]
+    wide = b.cte(f"{cfg.name}__w",
+                 f"SELECT {', '.join(aggs)} FROM {src}")
+    selects = []
+    for c, typ in cfg.columns:
+        mn = f"__min_{c}" if _minmax_ok(typ) else "CAST(NULL AS VARCHAR)"
+        mx = f"__max_{c}" if _minmax_ok(typ) else "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{c}' AS col_name, __n AS n_rows, "
+            f"__n - __nn_{c} AS n_nulls, __nd_{c} AS n_distinct, "
+            f"{mn} AS min_value, {mx} AS max_value FROM {wide}")
+    return b.cte(cfg.name, "\nUNION ALL\n".join(selects))

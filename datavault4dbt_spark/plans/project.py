@@ -117,6 +117,7 @@ def _llm_kinds() -> dict:
     from ..llm.tfidf import build_tfidf
     from ..llm.sources import build_source_stats, build_source_gate
     from ..llm.chunking import build_doc_chunks
+    from ..llm.profile import build_dataset_profile
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -155,6 +156,7 @@ def _llm_kinds() -> dict:
         "source_gate": (build_source_gate,
                         lambda c: [c.stats_entity]),
         "doc_chunks": (build_doc_chunks, src),
+        "dataset_profile": (build_dataset_profile, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -402,6 +402,7 @@ def _llm_parsers() -> dict:
     from .llm.tfidf import TfidfConfig
     from .llm.sources import SourceStatsConfig, SourceGateConfig
     from .llm.chunking import ChunkConfig
+    from .llm.profile import ProfileConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -432,6 +433,7 @@ def _llm_parsers() -> dict:
         "source_stats": _dataclass_parser(SourceStatsConfig),
         "source_gate": _dataclass_parser(SourceGateConfig),
         "doc_chunks": _dataclass_parser(ChunkConfig),
+        "dataset_profile": _dataclass_parser(ProfileConfig),
     }
 
 

@@ -283,3 +283,29 @@ def test_source_gate_drops_offending_sources_only(spark):
     out = build_source_gate(spark, reg, SourceGateConfig("sg"), G).collect()
     assert {r.source for r in out} == {"clean"}
     assert len(out) == 10
+
+
+def test_dataset_profile_counts_and_minmax(spark):
+    """Null accounting, distinct counts and portable min/max; doubles
+    are profiled count-only (min/max NULL — their string rendering is
+    not dialect-portable)."""
+    from datavault4dbt_spark.llm.profile import (ProfileConfig,
+                                                 build_dataset_profile)
+    docs = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (4, "a", 4.5)],
+        "id long, s string, d double")
+    reg = Registry()
+    reg.spark_loaders["t"] = lambda _s: docs
+    cfg = ProfileConfig("p", source="t",
+                        columns=(("id", "bigint"), ("s", "string"),
+                                 ("d", "double")))
+    out = {r.col_name: r for r in build_dataset_profile(
+        spark, reg, cfg, G).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+    assert out["d"].n_nulls == 1 and out["d"].min_value is None
+    with pytest.raises(ValueError, match="non-empty"):
+        ProfileConfig("p", columns=())
