@@ -64,25 +64,36 @@ def _n_chunks_expr(cfg: ChunkConfig) -> str:
             f"/ {cfg.stride}) AS INT) END")
 
 
-def build_doc_chunks(spark, reg: Registry, cfg: ChunkConfig,
-                     g: GlobalConfig = DEFAULT) -> DataFrame:
-    df = reg.load(spark, cfg.source)
+def chunk_dataframe(df: DataFrame, cfg: ChunkConfig,
+                    carry: tuple = ()) -> DataFrame:
+    """Chunk an arbitrary DataFrame — the single implementation both
+    the batch builder and the streaming path use (stateless generate+
+    project, so it runs unchanged inside a micro-batch plan; shared
+    code means stream and batch cannot drift). ``carry``: extra
+    columns to pass through unchanged (e.g. the event-time column a
+    stream's watermark rides on)."""
     # Spark's sequence(0, -1) counts DOWN — guard with the NULL filter
     # (n_chunks >= 1 for every non-NULL text by construction)
     base = (df.filter(f"{cfg.text_col} IS NOT NULL")
-            .selectExpr(cfg.id_col, cfg.text_col,
+            .selectExpr(cfg.id_col, *carry, cfg.text_col,
                         f"{_n_chunks_expr(cfg)} AS n_chunks"))
     return base.selectExpr(
-        cfg.id_col,
+        cfg.id_col, *carry,
         "explode(sequence(0, n_chunks - 1)) AS chunk_id",
         "n_chunks", cfg.text_col,
     ).selectExpr(
-        cfg.id_col, "chunk_id", "n_chunks",
+        cfg.id_col, *carry, "chunk_id", "n_chunks",
         f"1 + chunk_id * {cfg.stride} AS chunk_start",
         f"substring({cfg.text_col}, 1 + chunk_id * {cfg.stride}, "
         f"{cfg.chunk_chars}) AS chunk_text",
-    ).selectExpr(cfg.id_col, "chunk_id", "n_chunks", "chunk_start",
-                 "length(chunk_text) AS chunk_len", "chunk_text")
+    ).selectExpr(cfg.id_col, *carry, "chunk_id", "n_chunks",
+                 "chunk_start", "length(chunk_text) AS chunk_len",
+                 "chunk_text")
+
+
+def build_doc_chunks(spark, reg: Registry, cfg: ChunkConfig,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    return chunk_dataframe(reg.load(spark, cfg.source), cfg)
 
 
 def doc_chunks_oracle(b: SqlBuilder, reg: Registry, cfg: ChunkConfig,

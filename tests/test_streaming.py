@@ -451,3 +451,27 @@ def test_streaming_curation_equals_batch(spark, sf_dir, doc_batches,
            for r in bq.join(bl, "doc_id").collect()}
     for doc_id, _ts, _n, lang, score, _h in got:
         assert (doc_id, score, lang) in ref
+
+
+def test_streaming_doc_chunks_equals_batch(spark, doc_batches, tmp_path):
+    """Chunking is stateless generate+project, so the SAME
+    chunk_dataframe implementation runs inside a micro-batch plan:
+    streamed chunks over 3 file-batches must equal the batch chunks of
+    the full corpus, carry columns included."""
+    from datavault4dbt_spark.llm.chunking import ChunkConfig, chunk_dataframe
+
+    fixtures.ensure_session_conf(spark)
+    cfg = ChunkConfig("ch", chunk_chars=120, stride=90)
+    schema = spark.read.parquet(doc_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches))
+    out = chunk_dataframe(stream, cfg, carry=("ts",))
+    q = (out.writeStream.format("memory").queryName("chunk_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_ch")).start())
+    q.awaitTermination(300)
+    got = {tuple(map(str, r)) for r in spark.table("chunk_stream").collect()}
+
+    want = {tuple(map(str, r)) for r in chunk_dataframe(
+        spark.read.parquet(doc_batches), cfg, carry=("ts",)).collect()}
+    assert got == want and len(got) > 0
