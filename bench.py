@@ -71,23 +71,39 @@ def main():
     MIN_RETRY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_MIN", "0.75"))
     RETRY_BUDGET_SEC = float(
         os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "300"))
+    # One extra settle trial when the first `trials` runs DISAGREE by
+    # more than 2x on a multi-second query: that spread is the neighbor-
+    # burst signature (same plan, same data), and a single extra sample
+    # usually lands near the true cost. Still budget-bounded.
+    SETTLE_SPREAD = 1.0   # (max-min)/min above this -> one extra trial
     names = fixtures.all_entity_names()
     timings = {}
     t0 = time.time()
     retry_spent = 0.0
     for name in names:
         best = None
-        for t in range(trials):
-            if t and (best <= MIN_RETRY_SEC or retry_spent > RETRY_BUDGET_SEC):
+        worst = None
+        ran = 0
+        while True:
+            if ran >= trials:
+                if not (best > 2.0 and worst is not None
+                        and (worst - best) / best > SETTLE_SPREAD
+                        and ran < trials + 1
+                        and retry_spent <= RETRY_BUDGET_SEC):
+                    break
+            elif ran and (best <= MIN_RETRY_SEC
+                          or retry_spent > RETRY_BUDGET_SEC):
                 break
             q0 = time.time()
             df = fixtures.entity_query(name)(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             el = time.time() - q0
             spark.catalog.clearCache()  # drop per-query stage caches
-            if t:
+            if ran:
                 retry_spent += el
             best = el if best is None else min(best, el)
+            worst = el if worst is None else max(worst, el)
+            ran += 1
         timings[name] = round(best, 3)
     wall = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
