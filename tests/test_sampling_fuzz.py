@@ -64,3 +64,43 @@ def test_fuzz_mix_equals_python_md5_decision(spark, rows):
         if u < w:
             want.add(doc_id)
     assert got == want
+
+
+# chunk grammar reference: pure-Python replay of the window rule
+def _py_chunks(text, chunk, stride):
+    if text is None:
+        return []
+    n = len(text)
+    n_chunks = 1 if n <= chunk else 1 + -((n - chunk) // -stride)
+    return [(i, 1 + i * stride, text[i * stride: i * stride + chunk])
+            for i in range(n_chunks)]
+
+
+_chunk_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.one_of(st.none(),
+                        st.text(alphabet="abc xyz", max_size=60))),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@given(_chunk_docs,
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=12))
+@settings(max_examples=8, deadline=None)
+def test_chunk_grammar_matches_python_reference(spark, rows, chunk, stride):
+    """Random corpora + window geometries: the Spark chunk grammar must
+    equal the sequential Python replay (offsets, text, counts), with
+    stride clamped to the config contract."""
+    from datavault4dbt_spark.llm.chunking import ChunkConfig, chunk_dataframe
+
+    stride = min(stride, chunk)            # config contract
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = ChunkConfig("cf", chunk_chars=chunk, stride=stride)
+    got = sorted((r.doc_id, r.chunk_id, r.chunk_start, r.chunk_text,
+                  r.n_chunks)
+                 for r in chunk_dataframe(df, cfg).collect())
+    want = sorted(
+        (i, cid, start, txt, len(_py_chunks(t, chunk, stride)))
+        for i, t in rows
+        for cid, start, txt in _py_chunks(t, chunk, stride))
+    assert got == want
