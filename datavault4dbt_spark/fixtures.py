@@ -77,6 +77,8 @@ from .llm.sources import (SourceStatsConfig, SourceGateConfig,
 from .llm.chunking import ChunkConfig, build_doc_chunks, doc_chunks_oracle
 from .llm.profile import (ProfileConfig, build_dataset_profile,
                           dataset_profile_oracle)
+from .llm.lineclean import (LineCleanConfig, build_line_clean,
+                            line_clean_oracle)
 from .llm.curation import (CurationConfig, DedupReportConfig,
                            build_curation, build_dedup_report,
                            curation_oracle, dedup_report_oracle)
@@ -470,6 +472,13 @@ BUNDLES = {
                      "coalesce(max_value, ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'dataset_profile'"),
+        # cleaned text pinned via md5; line counters fold in raw
+        BundleMember("text_line_clean", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_lines AS STRING), ':', "
+                     "CAST(n_kept_lines AS STRING), ':', "
+                     "coalesce(md5(cleaned_text), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'line_clean'"),
     )),
 }
 
@@ -626,6 +635,16 @@ SOURCE_GATE = {"docs_source_gated": SourceGateConfig("docs_source_gated")}
 DOC_CHUNKS = {"doc_chunks": ChunkConfig("doc_chunks")}
 # data-card profile of the documents table (exact counts, one scan)
 PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
+# C4-style line cleaning: the synthetic corpus is single-line word
+# soup, so the fixture plants a deterministic line structure (a period
+# + newline before each 'window' occurrence — the literal newline
+# inside the SQL string parses identically in both dialects); docs
+# then carry a mix of terminated/unterminated and short/long lines,
+# so BOTH keep-rules genuinely bite under the driver gate
+LINECLEAN = {"text_line_clean": LineCleanConfig(
+    "text_line_clean",
+    text_expr=("replace(coalesce(text, ''), ' window ', "
+               "concat('.', '\n', 'window '))"))}
 DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
@@ -713,6 +732,7 @@ _FAMILIES = [
      lambda c: [c.stats_entity]),
     (DOC_CHUNKS, build_doc_chunks, doc_chunks_oracle, _NO_DEPS),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
+    (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
 ]
 
 

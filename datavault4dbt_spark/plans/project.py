@@ -118,6 +118,7 @@ def _llm_kinds() -> dict:
     from ..llm.sources import build_source_stats, build_source_gate
     from ..llm.chunking import build_doc_chunks
     from ..llm.profile import build_dataset_profile
+    from ..llm.lineclean import build_line_clean
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -157,6 +158,7 @@ def _llm_kinds() -> dict:
                         lambda c: [c.stats_entity]),
         "doc_chunks": (build_doc_chunks, src),
         "dataset_profile": (build_dataset_profile, src),
+        "line_clean": (build_line_clean, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

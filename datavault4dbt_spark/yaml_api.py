@@ -403,6 +403,7 @@ def _llm_parsers() -> dict:
     from .llm.sources import SourceStatsConfig, SourceGateConfig
     from .llm.chunking import ChunkConfig
     from .llm.profile import ProfileConfig
+    from .llm.lineclean import LineCleanConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -434,6 +435,7 @@ def _llm_parsers() -> dict:
         "source_gate": _dataclass_parser(SourceGateConfig),
         "doc_chunks": _dataclass_parser(ChunkConfig),
         "dataset_profile": _dataclass_parser(ProfileConfig),
+        "line_clean": _dataclass_parser(LineCleanConfig),
     }
 
 

@@ -309,3 +309,35 @@ def test_dataset_profile_counts_and_minmax(spark):
     assert out["d"].n_nulls == 1 and out["d"].min_value is None
     with pytest.raises(ValueError, match="non-empty"):
         ProfileConfig("p", columns=())
+
+
+def test_line_clean_rules_and_null_contract(spark):
+    """min_words and terminal punctuation bite per line; all-dropped
+    docs clean to the EMPTY string (both engines — DuckDB's
+    array_to_string(empty) is NULL without the guard), NULL text stays
+    NULL; rule toggles work."""
+    from datavault4dbt_spark.llm.lineclean import (LineCleanConfig,
+                                                   build_line_clean)
+    docs = spark.createDataFrame(
+        [(1, "good long line here.\nshort.\nno punctuation line at all\n"
+             "another proper line!"),
+         (2, "menu\nlogin\nok"),
+         (3, None)],
+        "doc_id long, text string")
+    reg = Registry()
+    reg.spark_loaders["ld"] = lambda _s: docs
+    out = {r.doc_id: r for r in build_line_clean(
+        spark, reg, LineCleanConfig("lc", source="ld"), G).collect()}
+    assert out[1].n_lines == 4 and out[1].n_kept_lines == 2
+    assert out[1].cleaned_text == ("good long line here.\n"
+                                   "another proper line!")
+    assert out[2].n_kept_lines == 0 and out[2].cleaned_text == ""
+    assert out[3].cleaned_text is None and out[3].n_lines is None
+    # punctuation rule off: word count alone decides
+    loose = {r.doc_id: r for r in build_line_clean(
+        spark, reg, LineCleanConfig("lc2", source="ld",
+                                    require_terminal_punct=False),
+        G).collect()}
+    assert loose[1].n_kept_lines == 3
+    with pytest.raises(ValueError, match="portability"):
+        LineCleanConfig("bad", terminal_chars=".'")
