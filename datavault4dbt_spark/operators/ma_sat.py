@@ -69,8 +69,13 @@ def build_ma_sat_v0(spark, reg: Registry, cfg: MaSatConfig, g: GlobalConfig = DE
     # restriction, unlike sat_v0.sql:83 / ref_sat_v0.sql:135-145 which
     # compare only the first delta row); kept bug-for-bug so a migrated
     # vault loads identically.
+    # latest-window restricted to batch hashkeys (reference
+    # performance_filter semi-join — see operators/sat.py note): keys
+    # absent from the delta cannot match the anti-join anyway
+    batch_keys = out.select(cfg.parent_hashkey).distinct()
     wt = Window.partitionBy(cfg.parent_hashkey).orderBy(F.col(g.ldts_alias).desc())
     latest = (target.select(cfg.parent_hashkey, cfg.hdiff, g.ldts_alias)
+              .join(batch_keys, on=cfg.parent_hashkey, how="left_semi")
               .withColumn("__rn", F.row_number().over(wt))
               .filter(F.col("__rn") == 1)
               .select(cfg.parent_hashkey, cfg.hdiff))

@@ -113,8 +113,15 @@ def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
         # the NOT EXISTS) — anti-joining every delta row would drop a
         # reversion group (B then back to A) whose hashdiff equals the
         # target's latest, ending history at B forever.
+        # latest-window restricted to the batch's ref keys (reference
+        # performance_filter semi-join — see operators/sat.py note);
+        # NULL ref keys never semi-match, and never match the compare
+        # join either, so the prune is result-identical
+        batch_keys = src.select(*cfg.parent_ref_keys).distinct()
         wt = Window.partitionBy(*cfg.parent_ref_keys).orderBy(F.col(g.ldts_alias).desc())
-        latest = (target.withColumn("__rn2", F.row_number().over(wt))
+        latest = (target.join(batch_keys, on=list(cfg.parent_ref_keys),
+                              how="left_semi")
+                  .withColumn("__rn2", F.row_number().over(wt))
                   .filter(F.col("__rn2") == 1)
                   .select(*cfg.parent_ref_keys,
                           F.col(cfg.src_hashdiff).alias("__t_hdiff")))

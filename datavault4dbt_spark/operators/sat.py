@@ -62,9 +62,19 @@ def build_sat_v0(spark, reg: Registry, cfg: SatConfig, g: GlobalConfig = DEFAULT
     if target is None:
         return src.drop("__rn")
 
-    # latest record per hashkey in the target (reference: sat_v0.sql:68-90)
+    # latest record per hashkey in the target (reference: sat_v0.sql:68-90),
+    # computed only over hashkeys PRESENT in the incoming batch
+    # (reference: macros/supporting/performance_filter.sql
+    # snowflake/redshift `filter_latest_entries_in_sat` — `AND
+    # parent_hashkey IN (SELECT ... FROM source_data)`). At 100 TB a
+    # delta touches a tiny key subset; without the semi-join the
+    # latest-window scans the WHOLE satellite every load. Keys absent
+    # from the batch can never affect the insert decision (the compare
+    # joins from the batch side), so the prune is result-identical.
+    batch_keys = src.select(cfg.parent_hashkey).distinct()
     wt = Window.partitionBy(cfg.parent_hashkey).orderBy(F.col(g.ldts_alias).desc())
-    latest = (target.withColumn("__rn", F.row_number().over(wt))
+    latest = (target.join(batch_keys, on=cfg.parent_hashkey, how="left_semi")
+              .withColumn("__rn", F.row_number().over(wt))
               .filter(F.col("__rn") == 1)
               .select(cfg.parent_hashkey, F.col(cfg.hdiff).alias("__t_hdiff")))
     # insert unless (first new row per hk) matches latest (hk, hashdiff).

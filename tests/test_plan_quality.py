@@ -313,3 +313,21 @@ def test_doc_chunks_is_scan_stage_only(spark, sf_dir):
     plan = _plan(build_doc_chunks(spark, reg, ChunkConfig("ch")))
     assert "Exchange" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_sat_incremental_latest_lookup_is_semi_join_pruned(spark, sf_dir):
+    """Round-6 (reference performance_filter parity): the incremental
+    sat's latest-per-key lookup must scan only target rows whose key
+    appears in the incoming batch — a LeftSemi against the batch keys
+    sits UNDER the target-side window, so a 100 TB satellite is never
+    fully windowed for a small delta."""
+    from datavault4dbt_spark.operators.sat import build_sat_v0
+    fixtures.ensure_session_conf(spark)
+    reg = make_registry(sf_dir)
+    stage = build_stage(spark, reg, fixtures.STAGES["stage_customer"])
+    reg.spark_loaders["stage_customer"] = lambda _s: stage
+    full = build_sat_v0(spark, reg, fixtures.SATS["sat_customer_n0_s"])
+    inc = build_sat_v0(spark, reg, fixtures.SATS["sat_customer_n0_s"],
+                       target=full, disable_hwm=True)
+    plan = _plan(inc)
+    assert "LeftSemi" in plan, plan
