@@ -325,6 +325,12 @@ EFF_SATS = {
 REF_HUBS = {
     "ref_hub_nation": RefHubConfig(
         "ref_hub_nation", ("n_nationkey",), (EntitySource("stage_nation"),)),
+    # batched source so the replay can drive ref_hub's concat-key
+    # anti-insert with real phase-2 inserts (stage_nation is
+    # single-batch); bundle-verified full load, replay-verified
+    # incremental
+    "ref_hub_part": RefHubConfig(
+        "ref_hub_part", ("p_partkey",), (EntitySource("stage_part"),)),
 }
 
 REF_SATS = {
@@ -472,6 +478,8 @@ BUNDLES = {
                      "coalesce(max_value, ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'dataset_profile'"),
+        BundleMember("ref_hub_part", "CAST(p_partkey AS STRING)",
+                     "CAST(NULL AS STRING)"),
         # cleaned text pinned via md5; line counters fold in raw
         BundleMember("text_line_clean", "CAST(doc_id AS STRING)",
                      "concat(CAST(n_lines AS STRING), ':', "
@@ -534,6 +542,16 @@ REPLAYS = {
             # ref_sat_v0: HWM + rn=1 latest-vs-target hashdiff compare
             ReplayMember("ref_sat_part_v0", "CAST(p_partkey AS STRING)",
                          "concat(hd_part_s, '|', coalesce(p_brand, ''))"),
+            # nh_sat: pure hk anti-join; the hourly events ldts spans
+            # Jan 1-30, so the cutoff splits it (value is excluded from
+            # the hd fold: double->string rendering is not portable)
+            ReplayMember("nh_sat_user_event", "hk_event_nl",
+                         "concat(CAST(user_id AS STRING), ':', "
+                         "event_type, ':', coalesce(props, ''))"),
+            # ref_hub: earliest-per-ref-key dedup + concat-key
+            # anti-insert (batched parts: day-2/3 keys are new)
+            ReplayMember("ref_hub_part", "CAST(p_partkey AS STRING)",
+                         "CAST(NULL AS STRING)"),
             # pit: snapshot-extension increment; the hd folds both
             # satellite pointers (hk + ldts) so a stale pointer in
             # either phase fails the union hash; ldts/rsrc overridden
