@@ -64,3 +64,23 @@ def streaming_curation(docs: DataFrame, *, id_col: str = "doc_id",
                                     tiebreak_col=id_col)
     return deduped.select(id_col, event_time_col, "n_tokens",
                           "predicted_lang", "quality_score", "content_hash")
+
+
+def streaming_source_gate(stream_docs: DataFrame, stats: DataFrame,
+                          cfg) -> DataFrame:
+    """Source-level gate on an ARRIVING stream: the offending-source
+    set comes from a batch-computed stats table (``llm.sources.
+    build_source_stats`` — the nightly job), and the stream anti-joins
+    it per micro-batch. This is Structured Streaming's stream-static
+    join: the static side is re-read each micro-batch plan, so a
+    refreshed stats table takes effect on the next trigger without
+    restarting the query. The offending set stays origins-sized, so
+    the broadcast keeps the stream side shuffle-free — same plan shape
+    as the batch gate (``build_source_gate``), whose config and
+    predicate are REUSED so the two paths cannot drift."""
+    from ..llm.sources import _offending_pred
+
+    bad = stats.filter(F.expr(_offending_pred(cfg))).select(cfg.source_col)
+    return (stream_docs.join(F.broadcast(bad), on=cfg.source_col,
+                             how="left_anti")
+            .select(cfg.id_col, cfg.source_col))

@@ -475,3 +475,49 @@ def test_streaming_doc_chunks_equals_batch(spark, doc_batches, tmp_path):
     want = {tuple(map(str, r)) for r in chunk_dataframe(
         spark.read.parquet(doc_batches), cfg, carry=("ts",)).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_source_gate_equals_batch(spark, sf_dir, doc_batches,
+                                            tmp_path):
+    """Stream-static anti-join: streamed documents gated against a
+    batch-computed source-stats table must equal the oracle-checked
+    batch gate over the same corpus (doc_batches carries doc_id+text
+    only, so stats/gate run on a source column derived from doc_id —
+    same expressions both paths)."""
+    from pyspark.sql import functions as F
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.llm.sources import (
+        SourceStatsConfig, SourceGateConfig, build_source_stats,
+        build_source_gate)
+    from datavault4dbt_spark.streaming.curation import streaming_source_gate
+
+    fixtures.ensure_session_conf(spark)
+    src_expr = "concat('s', CAST(doc_id % 7 AS STRING))"
+    batch = spark.read.parquet(doc_batches).selectExpr(
+        "doc_id", "text", f"{src_expr} AS source")
+    reg = Registry()
+    reg.spark_loaders["gdocs"] = lambda _s: batch
+    stats_cfg = SourceStatsConfig("source_stats", source="gdocs")
+    reg.spark_loaders["source_stats"] = (
+        lambda sp: build_source_stats(sp, reg, stats_cfg))
+    stats = build_source_stats(spark, reg, stats_cfg)  # static side
+    # data-derived threshold (median short_ratio): the predicate is a
+    # strict >, so sources above the median drop and the rest survive —
+    # the gate genuinely bites at any scale factor
+    ratios = sorted(r.short_ratio for r in stats.collect())
+    gate_cfg = SourceGateConfig("sg", source="gdocs",
+                                max_short_ratio=ratios[len(ratios) // 2])
+    want = {(r.doc_id, r.source) for r in build_source_gate(
+        spark, reg, gate_cfg).collect()}
+    schema = spark.read.parquet(doc_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches)
+              .selectExpr("doc_id", "text", f"{src_expr} AS source"))
+    out = streaming_source_gate(stream, stats, gate_cfg)
+    q = (out.writeStream.format("memory").queryName("gate_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_sg")).start())
+    q.awaitTermination(300)
+    got = {(r.doc_id, r.source)
+           for r in spark.table("gate_stream").collect()}
+    assert got == want and 0 < len(got) < batch.count()
