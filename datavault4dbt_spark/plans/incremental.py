@@ -15,16 +15,88 @@ from pyspark.sql import DataFrame, functions as F
 from ..context import GlobalConfig, DEFAULT
 
 
+# ---- Batched HWM probes ------------------------------------------------
+# A DAG pass loading many entities at once (plans/replay.py) pays one
+# driver collect per hwm_filter[_static] call — N tiny jobs whose
+# scheduling floor dominates at fixture scale and which contend on the
+# driver when members load concurrently. Every probe is an aggregation
+# over an already-stored target table, so they can all ride in ONE
+# union-of-aggregates job: seed_hwm_probes() runs it and caches the
+# per-target results; max_ldts / hwm_filter_static consult the cache
+# when handed the SAME DataFrame object that was seeded. The cache is
+# keyed by id() and holds a strong reference to the DataFrame so the id
+# cannot be recycled; callers clear their entries with
+# clear_hwm_probes() when the load pass ends.
+
+_HWM_PROBES: dict = {}
+_GLOBAL_PROBE = "__global__"
+
+
+def seed_hwm_probes(targets: dict, specs: dict,
+                    g: GlobalConfig = DEFAULT) -> None:
+    """Precompute HWM probes for many targets in ONE Spark job.
+
+    ``targets``: entity -> target DataFrame (the exact object later
+    passed to the builders); ``specs``: entity -> iterable of probe
+    keys, where ``None`` requests the global ``max_ldts`` probe and a
+    string requests the ``hwm_filter_static`` probe for that
+    rsrc_static pattern. Each probe row carries (count, ghost-excluded
+    max) so one shape serves both consumers.
+    """
+    from functools import reduce
+
+    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+    parts, wanted = [], []
+    for entity, keys in specs.items():
+        t = targets[entity]
+        for k in dict.fromkeys(keys):
+            scoped = t if k is None else t.filter(
+                F.col(g.rsrc_alias).like(k))
+            parts.append(scoped.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.when(F.col(g.ldts_alias) != eot,
+                             F.col(g.ldts_alias))).alias("m"))
+                .select(F.lit(len(wanted)).alias("i"), "n", "m"))
+            wanted.append((entity, k))
+    if not parts:
+        return
+    rows = {r["i"]: r for r in
+            reduce(lambda a, b: a.unionByName(b), parts).collect()}
+    for i, (entity, k) in enumerate(wanted):
+        t = targets[entity]
+        key = _GLOBAL_PROBE if k is None else k
+        _HWM_PROBES.setdefault(id(t), (t, {}))[1][key] = (
+            rows[i]["n"], rows[i]["m"])
+
+
+def clear_hwm_probes(targets) -> None:
+    """Drop cached probes for the given target DataFrames."""
+    for t in targets:
+        _HWM_PROBES.pop(id(t), None)
+
+
+def _cached_probe(target: DataFrame, key: str):
+    hit = _HWM_PROBES.get(id(target))
+    if hit is not None and hit[0] is target:
+        return hit[1].get(key)
+    return None
+
+
 def max_ldts(target: DataFrame, g: GlobalConfig = DEFAULT,
              coalesce_to_beginning: bool = False):
     """MAX(ldts) in target excluding the end-of-times ghost row.
 
     Driver-side action replacing the reference's compile-time
-    ``run_query`` probe (reference: hub.sql:173-179).
+    ``run_query`` probe (reference: hub.sql:173-179). Served from the
+    seed_hwm_probes cache (no job) when the caller pre-batched.
     """
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
-    agg = target.filter(F.col(g.ldts_alias) != eot).agg(
-        F.max(g.ldts_alias).alias("m")).collect()[0]["m"]
+    cached = _cached_probe(target, _GLOBAL_PROBE)
+    if cached is not None:
+        agg = cached[1]
+    else:
+        eot = F.to_timestamp(F.lit(g.end_of_all_times))
+        agg = target.filter(F.col(g.ldts_alias) != eot).agg(
+            F.max(g.ldts_alias).alias("m")).collect()[0]["m"]
     if agg is None and coalesce_to_beginning:
         import datetime
         return datetime.datetime.fromisoformat(g.beginning_of_all_times)
@@ -52,20 +124,26 @@ def hwm_filter_static(src: DataFrame, target: DataFrame | None,
     compile-time ``run_query`` probe becomes a driver-side action —
     ONE action: the exists-probe count and the ghost-excluded max ride
     in the same aggregation (an N-source entity pays N probe jobs per
-    load, not 2N; round-6, replay wall-clock)."""
+    load, not 2N; round-6, replay wall-clock). Served from the
+    seed_hwm_probes cache (no job) when the caller pre-batched."""
     if target is None:
         return src
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
-    row = (target.filter(F.col(g.rsrc_alias).like(rsrc_static))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.max(F.when(F.col(g.ldts_alias) != eot,
-                             F.col(g.ldts_alias))).alias("m"))
-           .collect()[0])
-    if not row["n"]:                  # source not yet in target
+    cached = _cached_probe(target, rsrc_static)
+    if cached is not None:
+        n, m = cached
+    else:
+        eot = F.to_timestamp(F.lit(g.end_of_all_times))
+        row = (target.filter(F.col(g.rsrc_alias).like(rsrc_static))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.max(F.when(F.col(g.ldts_alias) != eot,
+                                 F.col(g.ldts_alias))).alias("m"))
+               .collect()[0])
+        n, m = row["n"], row["m"]
+    if not n:                         # source not yet in target
         return src
-    if row["m"] is None:              # only ghost rows so far
+    if m is None:                     # only ghost rows so far
         return src
-    return src.filter(F.col(g.ldts_alias) > F.lit(row["m"]))
+    return src.filter(F.col(g.ldts_alias) > F.lit(m))
 
 
 def anti_join_new(candidates: DataFrame, target: DataFrame | None,

@@ -38,7 +38,8 @@ from ..context import GlobalConfig, DEFAULT, Registry
 from ..operators.bundle import (BundleMember, BundleConfig, bundle_oracle,
                                 _member_exprs)
 from ..plans.sqlbuild import SqlBuilder
-from .incremental import ParquetStore
+from .incremental import (ParquetStore, clear_hwm_probes,
+                          seed_hwm_probes)
 
 # The replay result rows use the same (entity, hk, hd, ldts, rsrc)
 # projection as the bundle operator — share its member shape and
@@ -74,8 +75,23 @@ def _scratch_store(spark, name: str) -> ParquetStore:
     return ParquetStore(spark, root)
 
 
+def _probe_keys(mcfg) -> tuple:
+    """Probe keys a member's phase-2 build will request: ``None`` per
+    source without rsrc_static (global max_ldts via hwm_filter), the
+    pattern string per source with one (hwm_filter_static), nothing for
+    entities whose incremental branch never probes (PIT's snapshot
+    anti-insert)."""
+    sms = getattr(mcfg, "source_models", None)
+    if sms is not None:
+        return tuple(dict.fromkeys(sm.rsrc_static or None for sm in sms))
+    if hasattr(mcfg, "source_model"):
+        return (None,)
+    return ()
+
+
 def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
-               index: dict, stage_names, snapshot_names=()) -> DataFrame:
+               index: dict, stage_names, snapshot_names=(),
+               max_workers: int = 4) -> DataFrame:
     """``index``: fixtures' name -> (cfg, builder, oracle, deps);
     ``stage_names``: entities whose phase-1 output is ldts-truncated;
     ``snapshot_names``: snapshot spines whose phase-1 output is
@@ -110,7 +126,12 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     # phase 2 whole), so ONE materialized stage serves both — the
     # hash/derive compute is not paid twice. (The fixture-level
     # multi-consumed walker cannot see this doubling: it counts config
-    # dependencies, not the replay's phase structure.)
+    # dependencies, not the replay's phase structure.) The original
+    # persist set is restored on exit — the marks are replay-internal
+    # and must not leak into the caller's registry (round-6 advice);
+    # entities WE marked are _invalidate()d first so any copy a load
+    # persisted meanwhile is unpersisted, not leaked.
+    saved_persist = set(reg.persist_names)
     reg.persist_names.update(
         n for n in (*stage_names, *snapshot_names)
         if n in reg.spark_loaders)
@@ -125,22 +146,51 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             lambda sp, n=s, c=snap_cut: reg.load(sp, n).filter(c))
 
     # Members are independent two-phase loads (own store paths, no
-    # cross-member data deps) — run them concurrently: each thread
-    # submits Spark jobs that the scheduler interleaves, exactly how a
-    # DAG scheduler runs parallel vault branches in production. Shared
-    # stage subtrees are persist()ed in the registries, so the first
-    # thread to touch one materializes it and the rest reuse the cache.
+    # cross-member data deps) — run each PHASE concurrently under a
+    # capped pool: each thread submits Spark jobs that the scheduler
+    # interleaves, exactly how a DAG scheduler runs parallel vault
+    # branches in production, but an uncapped pool (one thread per
+    # member) just contends on the single local scheduler (round-6
+    # bench: 12 threads more than doubled the line). Shared stage
+    # subtrees are persist()ed in the registries, so the first thread
+    # to touch one materializes it and the rest reuse the cache.
+    #
+    # Phases are explicit barriers so the per-member HWM probes batch:
+    # after every phase-1 table is stored, ONE union-of-aggregates job
+    # (seed_hwm_probes) computes all members' watermarks; the phase-2
+    # builders then consume the cache instead of issuing ~13 driver
+    # collects (hub global + static, sat/ma_sat/eff_sat/ref_sat/nh/link
+    # hwm, rec_track per-rsrc probes) — same values, one job.
     from concurrent.futures import ThreadPoolExecutor
 
-    def load_member(m: ReplayMember):
+    targets: dict = {}
+    workers = min(max_workers, len(cfg.members))
+
+    def initial(m: ReplayMember):
         mcfg, bld, _orc, _deps = index[m.entity]
         store.append(m.entity, bld(spark, phase1, mcfg, g, target=None))
-        inc = bld(spark, reg, mcfg, g, target=store.read(m.entity))
-        store.append(m.entity, inc)
+
+    def increment(m: ReplayMember):
+        mcfg, bld, _orc, _deps = index[m.entity]
+        store.append(m.entity,
+                     bld(spark, reg, mcfg, g, target=targets[m.entity]))
         return store.read(m.entity).selectExpr(*_member_exprs(m, g))
 
-    with ThreadPoolExecutor(max_workers=len(cfg.members)) as pool:
-        finals = list(pool.map(load_member, cfg.members))
+    try:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(initial, cfg.members))
+            targets = {m.entity: store.read(m.entity)
+                       for m in cfg.members}
+            seed_hwm_probes(
+                targets,
+                {m.entity: keys for m in cfg.members
+                 if (keys := _probe_keys(index[m.entity][0]))}, g)
+            finals = list(pool.map(increment, cfg.members))
+    finally:
+        clear_hwm_probes(targets.values())
+        for n in reg.persist_names - saved_persist:
+            reg._invalidate(n)
+        reg.persist_names.intersection_update(saved_persist)
     return reduce(lambda a, b: a.unionByName(b), finals)
 
 
