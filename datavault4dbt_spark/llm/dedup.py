@@ -773,8 +773,17 @@ def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
     (large-star/small-star, Kiveris et al. 2014) — near-dup dedup does
     not produce those.
     """
-    pairs = reg.load(spark, cfg.pairs_entity) \
-        .filter(F.col("n_bands") >= cfg.min_bands).select("id_a", "id_b")
+    # Self-pairs carry no duplicate information — drop them HERE so
+    # both strategies (and the oracle, which filters identically) agree
+    # on external pair lists that contain them: before this filter a
+    # node appearing only as (x, x) was a size-1 group under
+    # propagation but absent from pointer-jumping's star output
+    # (round-6 advice). The shipped LSH pair builders never emit them
+    # (id_a < id_b enforced), so this is input hardening only.
+    pairs = (reg.load(spark, cfg.pairs_entity)
+             .filter(F.col("n_bands") >= cfg.min_bands)
+             .filter(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b"))
     if cfg.strategy == "pointer_jumping":
         labels = _star_contraction(pairs, cfg)
         from pyspark.sql import Window
@@ -826,12 +835,14 @@ def dup_groups_oracle(b: SqlBuilder, reg: Registry, cfg: DupGroupsConfig,
     per node), group id = min reachable id. O(sum of component^2) — an
     oracle-side cost only; the Spark plan never materializes closures."""
     pairs = reg.duckdb_relation(cfg.pairs_entity)
+    # id_a <> id_b mirrors build_dup_groups' self-pair filter — both
+    # engines ignore self-loops on external pair lists
     e = b.cte(f"{cfg.name}__e",
               f"SELECT id_a AS a, id_b AS bb FROM {pairs} "
-              f"WHERE n_bands >= {cfg.min_bands}\n"
+              f"WHERE n_bands >= {cfg.min_bands} AND id_a <> id_b\n"
               f"UNION ALL\n"
               f"SELECT id_b AS a, id_a AS bb FROM {pairs} "
-              f"WHERE n_bands >= {cfg.min_bands}")
+              f"WHERE n_bands >= {cfg.min_bands} AND id_a <> id_b")
     r = b.cte(f"{cfg.name}__reach",
               f"SELECT a AS node, bb AS peer FROM {e}\n"
               f"UNION\n"

@@ -53,6 +53,17 @@ class ProfileConfig:
     def __post_init__(self):
         if not self.columns:
             raise ValueError(f"{self.name}: columns must be non-empty")
+        # Same portability contract as sampling._mix_checks (round-6
+        # advice): each name is interpolated into stack()/SELECT SQL as
+        # both an identifier and a quoted literal in two dialects, so
+        # anything beyond a plain identifier is rejected up front.
+        import re as _re
+        for c, _typ in self.columns:
+            if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise ValueError(
+                    f"{self.name}: column {c!r} must be a plain "
+                    f"identifier — it is interpolated into both "
+                    f"dialects' SQL")
 
 
 def _minmax_ok(typ: str) -> bool:

@@ -65,26 +65,42 @@ class BucketedVault:
     def _qualified(self, name: str) -> str:
         return f"{self.database}.{name}"
 
-    def _recover(self, name: str):
-        """Crash recovery for `overwrite`'s two-rename swap (the same
-        protocol as ParquetStore._recover, lifted to catalog tables):
-        if a crash landed between RENAME(final -> old) and
+    def repair(self, name: str):
+        """Explicit crash recovery for `overwrite`'s two-rename swap
+        (the same protocol as ParquetStore.repair, lifted to catalog
+        tables): if a crash landed between RENAME(final -> old) and
         RENAME(tmp -> final), the committed copy survives as
         `<name>__old` — restore it. A leftover `<name>__tmp` (crash
         mid-write or pre-swap) is dropped: the swap never started, so
-        final/old still hold the data."""
+        final/old still hold the data. Only writers call this
+        (overwrite() self-heals); read()/exists() never write to the
+        catalog (round-6 advice: a reader that recovered here could
+        drop a concurrent writer's in-flight __tmp staging table, or
+        restore __old over a completing swap and strand its data)."""
         q = self._qualified(name)
         cat = self.spark.catalog
         if not cat.tableExists(q) and cat.tableExists(q + "__old"):
             self.spark.sql(f"ALTER TABLE {q}__old RENAME TO {q}")
         self.spark.sql(f"DROP TABLE IF EXISTS {q}__tmp")
 
+    def _check_recovered(self, name: str):
+        from .incremental import StoreRecoveryNeeded
+        q = self._qualified(name)
+        cat = self.spark.catalog
+        if not cat.tableExists(q) and cat.tableExists(q + "__old"):
+            raise StoreRecoveryNeeded(
+                f"{q} missing with committed copy in {q}__old — "
+                f"call repair({name!r}) or rerun the overwrite")
+
     def exists(self, name: str) -> bool:
-        self._recover(name)
+        """Read-only on the catalog; raises StoreRecoveryNeeded in the
+        crash window rather than answering False (False would demote
+        the next load to an initial load and discard history)."""
+        self._check_recovered(name)
         return self.spark.catalog.tableExists(self._qualified(name))
 
     def read(self, name: str) -> DataFrame:
-        self._recover(name)
+        self._check_recovered(name)
         return self.spark.table(self._qualified(name))
 
     def _writer(self, df: DataFrame, name: str, mode: str):
@@ -113,15 +129,16 @@ class BucketedVault:
         - no data-loss window: the new data is fully committed to
           ``<name>__tmp`` BEFORE the live table is touched, and the old
           data survives as ``<name>__old`` until the swap completes —
-          a crash at any point leaves a committed copy that
-          ``_recover`` restores (the earlier localCheckpoint staging
-          could lose the old table if an executor holding checkpoint
-          blocks died after the drop);
+          a crash at any point leaves a committed copy that the next
+          overwrite (or explicit ``repair``) restores (the earlier
+          localCheckpoint staging could lose the old table if an
+          executor holding checkpoint blocks died after the drop);
         - near-reader-atomic: the unavailable window shrinks from the
           whole distributed rewrite to the two catalog RENAMEs
           (metadata-only). A racing read in that sliver sees
-          table-not-found and succeeds on retry; full atomicity needs a
-          transactional format (DeltaStore.overwrite).
+          table-not-found or a transient StoreRecoveryNeeded and
+          succeeds on retry; full atomicity needs a transactional
+          format (DeltaStore.overwrite).
 
         Writing to the temp name also means the plan may freely READ
         the table being replaced — no checkpoint materialization
@@ -129,7 +146,7 @@ class BucketedVault:
         which the RENAME preserves, so the no-Exchange join property
         holds across overwrites (pinned in tests/test_bucketing.py)."""
         q = self._qualified(name)
-        self._recover(name)
+        self.repair(name)   # writers self-heal any prior crash state
         self.spark.sql(f"DROP TABLE IF EXISTS {q}__tmp")
         w = self._writer(df, name, "overwrite")
         if partition_by:

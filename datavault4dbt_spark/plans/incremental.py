@@ -158,6 +158,17 @@ def anti_join_new(candidates: DataFrame, target: DataFrame | None,
     return candidates.join(target.select(*keys).distinct(), on=keys, how="left_anti")
 
 
+class StoreRecoveryNeeded(RuntimeError):
+    """A store table is in `overwrite`'s crash window (final missing,
+    committed copy parked under the `__old` marker). Reads refuse to
+    self-heal — recovery is a WRITE, and a reader racing a concurrent
+    healthy overwrite could otherwise restore the old copy over the
+    in-flight swap or drop the writer's staging data (round-6 advice).
+    Call ``store.repair(name)`` from the owning writer (or rerun the
+    overwrite); a reader that hits this DURING a live swap can simply
+    retry — the window is two metadata renames wide."""
+
+
 class ParquetStore:
     """Minimal insert-only table store over a directory of parquet tables.
 
@@ -179,16 +190,30 @@ class ParquetStore:
         return f"{self.root}/{name}"
 
     def exists(self, name: str) -> bool:
+        """Read-only: no filesystem mutation on the read path (see
+        StoreRecoveryNeeded). Raises rather than answering False in the
+        crash window — False here would silently demote an incremental
+        load to an initial load and discard the table's history."""
         import os
-        self._recover(name)
+        self._check_recovered(name)
         return os.path.isdir(self.path(name))
 
-    def _recover(self, name: str):
-        """Crash recovery for `overwrite`'s two-rename swap: if a crash
-        landed between rename(final -> old) and rename(tmp -> final),
-        the committed copy survives as `.__old__` — restore it. A left
-        over `.__tmp__` (crash mid-write or pre-swap) is discarded: the
-        swap never started, so `final`/`old` still hold the data."""
+    def _check_recovered(self, name: str):
+        import os
+        final = self.path(name)
+        if not os.path.isdir(final) and os.path.isdir(final + ".__old__"):
+            raise StoreRecoveryNeeded(
+                f"{final} missing with committed copy in .__old__ — "
+                f"call repair({name!r}) or rerun the overwrite")
+
+    def repair(self, name: str):
+        """Explicit crash recovery for `overwrite`'s two-rename swap: if
+        a crash landed between rename(final -> old) and rename(tmp ->
+        final), the committed copy survives as `.__old__` — restore it.
+        A leftover `.__tmp__` (crash mid-write or pre-swap) is
+        discarded: the swap never started, so `final`/`old` still hold
+        the data. Only writers call this (overwrite() self-heals);
+        read()/exists() never mutate (round-6 advice)."""
         import os
         import shutil
 
@@ -199,7 +224,7 @@ class ParquetStore:
         shutil.rmtree(final + ".__tmp__", ignore_errors=True)
 
     def read(self, name: str) -> DataFrame:
-        self._recover(name)
+        self._check_recovered(name)
         return self.spark.read.parquet(self.path(name))
 
     def append(self, name: str, df: DataFrame, partition_by: tuple = ()):
@@ -289,14 +314,17 @@ class ParquetStore:
         swap directories (never collect() to the driver — with Delta
         this whole method is a transactional overwrite). The two-rename
         swap is NOT atomic: a crash between the renames leaves `final`
-        missing with the committed copy in `.__old__`; `_recover`
-        (called by read/exists) restores it, so no window loses
-        committed data — the worst case is redoing the overwrite.
+        missing with the committed copy in `.__old__`; the next
+        overwrite (or an explicit `repair`) restores it, so no window
+        loses committed data — the worst case is redoing the overwrite.
+        Readers surface the state as StoreRecoveryNeeded instead of
+        healing it themselves (read path stays mutation-free).
         This swap is the store's single crash-recovery protocol —
         `compact` funnels through here rather than reimplementing it."""
         import os
         import shutil
 
+        self.repair(name)   # writers self-heal any prior crash state
         final = self.path(name)
         tmp = final + ".__tmp__"
         shutil.rmtree(tmp, ignore_errors=True)

@@ -214,9 +214,14 @@ def test_overwrite_staged_swap_keeps_bucketing_and_data(
 def test_overwrite_crash_recovery_restores_committed_copy(
         spark, sf_dir, tmp_path_factory):
     """Simulate the two crash windows of the staged swap: (1) after
-    RENAME(final -> old) but before RENAME(tmp -> final) — _recover
-    must restore the committed old copy; (2) a stale __tmp from a
-    crash mid-write — _recover must drop it without touching final."""
+    RENAME(final -> old) but before RENAME(tmp -> final) — readers
+    raise StoreRecoveryNeeded (read path is catalog-read-only) and an
+    explicit repair() restores the committed old copy; (2) a stale
+    __tmp from a crash mid-write — repair() (via the next overwrite)
+    drops it without touching final, while plain reads leave it for
+    the writer that owns it."""
+    import pytest
+    from datavault4dbt_spark.plans.incremental import StoreRecoveryNeeded
     fixtures.ensure_session_conf(spark)
     loc = tmp_path_factory.mktemp("bucketed_crash")
     v = BucketedVault(spark, "bkt_crash", str(loc), n_buckets=4,
@@ -228,11 +233,21 @@ def test_overwrite_crash_recovery_restores_committed_copy(
         # window 1: final renamed away, swap never finished
         spark.sql("ALTER TABLE bkt_crash.hub_customer "
                   "RENAME TO bkt_crash.hub_customer__old")
-        assert v.exists("hub_customer")          # recovery kicked in
+        with pytest.raises(StoreRecoveryNeeded, match="repair"):
+            v.exists("hub_customer")
+        with pytest.raises(StoreRecoveryNeeded, match="repair"):
+            v.read("hub_customer")
+        v.repair("hub_customer")
+        assert v.exists("hub_customer")
         assert v.read("hub_customer").count() == n
-        # window 2: stale __tmp beside a healthy final
+        # window 2: stale __tmp beside a healthy final — reads must
+        # NOT drop it (it may be a live writer's staging table); the
+        # next overwrite (owning writer) clears it
         v.read("hub_customer").limit(1).write.format("parquet") \
             .saveAsTable("bkt_crash.hub_customer__tmp")
+        assert v.read("hub_customer").count() == n
+        assert spark.catalog.tableExists("bkt_crash.hub_customer__tmp")
+        v.overwrite("hub_customer", v.read("hub_customer"))
         assert v.read("hub_customer").count() == n
         assert not spark.catalog.tableExists("bkt_crash.hub_customer__tmp")
     finally:

@@ -134,6 +134,24 @@ def test_pointer_jumping_matches_propagation_on_general_graphs(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_self_pairs_ignored_by_both_strategies(spark):
+    """External pair lists may contain self-pairs (the shipped LSH
+    builders never emit them); both strategies drop them identically,
+    so a node appearing ONLY as (x, x) is absent from the output and
+    real edges beside a self-pair are unaffected (round-6 advice: the
+    strategies used to diverge — propagation emitted x as a size-1
+    group, star contraction dropped it)."""
+    pairs = [(5, 5, 1),            # self-pair only: node must vanish
+             (1, 2, 1), (2, 2, 1)]  # real edge + redundant self-pair
+    reg = _pairs_reg(spark, pairs)
+    expected = {(1, 1, 2), (2, 1, 2)}
+    for strategy in ("propagation", "pointer_jumping"):
+        out = build_dup_groups(spark, reg, DupGroupsConfig(
+            "g", pairs_entity="pairs", strategy=strategy))
+        assert {(r.doc_id, r.group_id, r.group_size)
+                for r in out.collect()} == expected, strategy
+
+
 def test_pointer_jumping_empty_and_bad_strategy(spark):
     reg = _pairs_reg(spark, [])
     out = build_dup_groups(spark, reg, DupGroupsConfig(

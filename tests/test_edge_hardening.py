@@ -309,6 +309,11 @@ def test_dataset_profile_counts_and_minmax(spark):
     assert out["d"].n_nulls == 1 and out["d"].min_value is None
     with pytest.raises(ValueError, match="non-empty"):
         ProfileConfig("p", columns=())
+    # names are interpolated into stack()/SELECT SQL in two dialects —
+    # anything beyond a plain identifier is rejected (round-6 advice)
+    for bad in ("a'b", "a b", "a\\b", "a;--", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            ProfileConfig("p", columns=((bad, "string"),))
 
 
 def test_line_clean_rules_and_null_contract(spark):

@@ -87,14 +87,27 @@ def test_delete_where_null_condition_keeps_row(spark, tmp_path):
 
 def test_overwrite_crash_recovery(spark, tmp_path):
     """Simulated crash between the two renames: final missing, committed
-    copy in .__old__ — read()/exists() restore it."""
+    copy in .__old__ — read()/exists() REFUSE to self-heal (the read
+    path stays mutation-free so readers can't race a live overwrite)
+    and raise StoreRecoveryNeeded; explicit repair() restores."""
     import os
+    from datavault4dbt_spark.plans.incremental import StoreRecoveryNeeded
     store = ParquetStore(spark, str(tmp_path))
     df = spark.createDataFrame([(1,), (2,)], "id int")
     store.overwrite("t", df)
     os.rename(store.path("t"), store.path("t") + ".__old__")  # crash state
+    with pytest.raises(StoreRecoveryNeeded, match="repair"):
+        store.exists("t")
+    with pytest.raises(StoreRecoveryNeeded, match="repair"):
+        store.read("t")
+    store.repair("t")
     assert store.exists("t")
     assert sorted(r.id for r in store.read("t").collect()) == [1, 2]
+    # a fresh overwrite from the crash state also self-heals
+    os.rename(store.path("t"), store.path("t") + ".__old__")
+    store.overwrite("t", spark.createDataFrame([(9,)], "id int"))
+    assert sorted(r.id for r in store.read("t").collect()) == [9]
+    assert not os.path.isdir(store.path("t") + ".__old__")
 
 
 def test_empty_log_logic_rejected(spark):
