@@ -49,15 +49,18 @@ from .llm.dedup import (
     minhash_lsh_oracle, simhash_dedup_oracle, ngram_jaccard_oracle,
     embedding_cosine_oracle, dup_groups_oracle)
 from .llm.contamination import (ContaminationConfig, build_contamination,
-                                contamination_oracle)
+                                contamination_oracle, contamination_gate,
+                                contamination_gate_oracle, eval_gram_set)
 from .llm.similarity import (AnnConfig, build_ann_topk, ann_topk_oracle,
                              IvfConfig, build_ann_ivf, ann_ivf_oracle)
 from .llm.textstats import (
     LangIdConfig, QualityConfig, TokenCountConfig, FingerprintConfig,
     build_langid, build_quality, build_token_count, build_fingerprint,
     langid_oracle, quality_oracle, token_count_oracle, fingerprint_oracle)
-from .llm.multimodal import (MultimodalConfig, build_multimodal_features,
-                             multimodal_oracle)
+from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
+                             build_multimodal_features,
+                             build_multimodal_decode, multimodal_oracle,
+                             multimodal_decode_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -74,7 +77,9 @@ from .llm.tfidf import TfidfConfig, build_tfidf, tfidf_oracle
 from .llm.sources import (SourceStatsConfig, SourceGateConfig,
                           build_source_stats, build_source_gate,
                           source_stats_oracle, source_gate_oracle)
-from .llm.chunking import ChunkConfig, build_doc_chunks, doc_chunks_oracle
+from .llm.chunking import (ChunkConfig, ChunkDedupConfig, build_doc_chunks,
+                           build_chunk_dedup, doc_chunks_oracle,
+                           chunk_dedup_oracle)
 from .llm.profile import (ProfileConfig, build_dataset_profile,
                           dataset_profile_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
@@ -357,6 +362,18 @@ REF_TABLES = {
     "ref_table_nation": RefTableConfig(
         "ref_table_nation", "ref_hub_nation", ("n_nationkey",),
         (("ref_sat_nation_v1", ("n_name", "n_regionkey")),), historized="full"),
+    # round-7: the other two date-spine modes (reference ref_table.sql:
+    # 46-151) under the driver gate, bundled — 'latest' collapses the
+    # spine to MAX(ldts), snapshot mode takes active sdts rows from the
+    # logged snapshot table
+    "ref_table_nation_latest": RefTableConfig(
+        "ref_table_nation_latest", "ref_hub_nation", ("n_nationkey",),
+        (("ref_sat_nation_v1", ("n_name", "n_regionkey")),),
+        historized="latest"),
+    "ref_table_nation_snap": RefTableConfig(
+        "ref_table_nation_snap", "ref_hub_nation", ("n_nationkey",),
+        (("ref_sat_nation_v1", ("n_name", "n_regionkey")),),
+        historized="snapshot", snapshot_relation="control_snap_v1"),
 }
 
 SNAPS_V0 = {
@@ -487,6 +504,48 @@ BUNDLES = {
                      "coalesce(md5(cleaned_text), ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'line_clean'"),
+        # round-7: ref_table's latest- and snapshot-spine modes
+        # (historized='full' stays individually exposed). The snapshot
+        # instance keys on (ref key, sdts) — its spine has many rows —
+        # so sdts folds into BOTH hk (row identity) and the payload hd
+        BundleMember("ref_table_nation_latest",
+                     "CAST(n_nationkey AS STRING)",
+                     "concat(coalesce(n_name, ''), ':', "
+                     "coalesce(CAST(n_regionkey AS STRING), ''))"),
+        BundleMember("ref_table_nation_snap",
+                     "concat(CAST(n_nationkey AS STRING), ':', "
+                     "CAST(sdts AS STRING))",
+                     "concat(coalesce(n_name, ''), ':', "
+                     "coalesce(CAST(n_regionkey AS STRING), ''))",
+                     ldts="sdts"),
+        # round-7: the Arrow header-parse decode — every feature cell
+        # (byte count, parsed dims incl. the corrupt-row NULLs) drives
+        # the driver hash
+        BundleMember("multimodal_decode", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(CAST(n_bytes AS STRING), ''), ':', "
+                     "coalesce(CAST(width AS STRING), ''), ':', "
+                     "coalesce(CAST(height AS STRING), ''), ':', modality)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'multimodal_decode'"),
+        # round-7: paragraph dedup — every counter and span offset of
+        # the per-doc duplicate-span report drives the driver hash
+        # round-7: decontamination gate survivors (kept ids only — the
+        # drop SET is the semantics; both engines' NOT-EXISTS/anti-join
+        # paths must agree row for row)
+        BundleMember("docs_decontaminated", "CAST(doc_id AS STRING)",
+                     "CAST(NULL AS STRING)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'decontam'"),
+        BundleMember("chunk_dedup_spans", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_chunks AS STRING), ':', "
+                     "CAST(n_dup_chunks AS STRING), ':', "
+                     "CAST(n_dup_spans AS STRING), ':', "
+                     "CAST(dup_chars AS STRING), ':', "
+                     "coalesce(CAST(first_dup_start AS STRING), ''), ':', "
+                     "coalesce(CAST(last_dup_end AS STRING), ''), ':', "
+                     "CAST(doc_chars AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'chunk_dedup'"),
     )),
 }
 
@@ -589,6 +648,22 @@ DEDUP_GROUPS = {"dedup_groups": DupGroupsConfig("dedup_groups")}
 # train/eval n-gram overlap (decontamination); eval set = doc_id % 17
 CONTAMINATION = {"contamination_ngrams":
                  ContaminationConfig("contamination_ngrams")}
+# round-7: the DROP to the report above — surviving training doc ids
+# after removing eval docs and anything sharing an eval n-gram; the
+# same gate runs per micro-batch in streaming.start_contamination_gate
+DECONTAM = {"docs_decontaminated":
+            ContaminationConfig("docs_decontaminated")}
+
+
+def _build_decontam(spark, reg, cfg, g):
+    ev = eval_gram_set(spark, reg, cfg, g)
+    return (contamination_gate(reg.load(spark, cfg.source), ev, cfg)
+            .select(cfg.id_col))
+
+
+def _decontam_oracle(b, reg, cfg, g):
+    return contamination_gate_oracle(b, reg, cfg, g,
+                                     out_cols=f"d.{cfg.id_col}")
 ANNS = {
     "ann_cosine_topk": AnnConfig("ann_cosine_topk"),
     "ann_lsh_topk": AnnConfig("ann_lsh_topk", lsh_bits=6),
@@ -610,6 +685,11 @@ TEXT_QUALITY = {"text_quality": QualityConfig("text_quality")}
 TEXT_TOKENS = {"text_token_count": TokenCountConfig("text_token_count")}
 TEXT_FPRINT = {"text_fingerprint": FingerprintConfig("text_fingerprint")}
 MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
+# round-7: real byte-parse decode (FIMG container header) through the
+# same Arrow mapInPandas plan, incl. corrupt headerless rows -> NULL
+# features; rides vault_dims_bundle so the exposed surface stays at 50
+MULTIMODAL_DECODE = {
+    "multimodal_decode": MultimodalDecodeConfig("multimodal_decode")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition")}
 # Gopher-style within-document repetition signals (threshold low enough
@@ -651,6 +731,9 @@ SOURCE_GATE = {"docs_source_gated": SourceGateConfig("docs_source_gated")}
 # context-window chunking: ~3 overlapping 120-char chunks per synthetic
 # doc (avg 298 chars), provenance offsets ride along
 DOC_CHUNKS = {"doc_chunks": ChunkConfig("doc_chunks")}
+# round-7: paragraph-level dedup composed over the chunk grammar —
+# cross-document chunk signatures merged into per-doc duplicate spans
+CHUNK_DEDUP = {"chunk_dedup_spans": ChunkDedupConfig("chunk_dedup_spans")}
 # data-card profile of the documents table (exact counts, one scan)
 PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
 # C4-style line cleaning: the synthetic corpus is single-line word
@@ -723,6 +806,7 @@ _FAMILIES = [
     (DEDUP_GROUPS, build_dup_groups, dup_groups_oracle,
      lambda c: [c.pairs_entity]),
     (CONTAMINATION, build_contamination, contamination_oracle, _NO_DEPS),
+    (DECONTAM, _build_decontam, _decontam_oracle, _NO_DEPS),
     (ANNS, build_ann_topk, ann_topk_oracle, _NO_DEPS),
     (ANN_IVFS, build_ann_ivf, ann_ivf_oracle, _NO_DEPS),
     (TEXT_LANGID, build_langid, langid_oracle, _NO_DEPS),
@@ -730,6 +814,8 @@ _FAMILIES = [
     (TEXT_TOKENS, build_token_count, token_count_oracle, _NO_DEPS),
     (TEXT_FPRINT, build_fingerprint, fingerprint_oracle, _NO_DEPS),
     (MULTIMODAL, build_multimodal_features, multimodal_oracle, _NO_DEPS),
+    (MULTIMODAL_DECODE, build_multimodal_decode, multimodal_decode_oracle,
+     _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity, c.dedup_entity]
                + ([c.repetition_entity] if c.repetition_entity else [])),
@@ -749,6 +835,8 @@ _FAMILIES = [
     (SOURCE_GATE, build_source_gate, source_gate_oracle,
      lambda c: [c.stats_entity]),
     (DOC_CHUNKS, build_doc_chunks, doc_chunks_oracle, _NO_DEPS),
+    (CHUNK_DEDUP, build_chunk_dedup, chunk_dedup_oracle,
+     lambda c: [c.chunks_entity]),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
     (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
 ]
@@ -847,6 +935,8 @@ def _internal_reuse(name: str) -> list:
         return [cfg.ma_sat_v0]             # end-dated loads + join-back
     if name in REF_TABLES:
         return [s for s, _ in cfg.ref_satellites]  # date spine + payload
+    if name in CHUNK_DEDUP:
+        return [cfg.chunks_entity]  # signature freq + join-back + totals
     return []
 
 

@@ -115,3 +115,162 @@ def doc_chunks_oracle(b: SqlBuilder, reg: Registry, cfg: ChunkConfig,
         f"SELECT {cfg.id_col}, chunk_id, n_chunks, chunk_start, "
         f"CAST(length(chunk_text) AS INT) AS chunk_len, chunk_text "
         f"FROM {ex}")
+
+
+@dataclass(frozen=True)
+class ChunkDedupConfig:
+    """Paragraph-level dedup over the chunk grammar (round-7): find
+    chunk texts shared across >= ``min_docs`` documents, then report
+    per document how much of it is duplicated material — the natural
+    consumer of chunk provenance (doc_id, chunk_start, chunk_len).
+    Overlapping duplicate chunks are merged into maximal character
+    SPANS (interval union via gaps-and-islands, the same pattern as
+    substring dedup's diagonal runs), so ``dup_chars`` counts each
+    duplicated character once no matter how many strided chunks cover
+    it. No reference analogue; standard corpus-curation step (C4/
+    RefinedWeb-style inter-document paragraph dedup).
+
+    Output: (doc_id, n_chunks, n_dup_chunks, n_dup_spans, dup_chars,
+    first_dup_start, last_dup_end, doc_chars) — integers only (the
+    dup ratio is dup_chars/doc_chars, a pure function of the output;
+    doubles stay out of the surface for cross-dialect rendering).
+    """
+
+    name: str
+    chunks_entity: str = "doc_chunks"
+    id_col: str = "doc_id"
+    min_docs: int = 2        # chunk text must appear in >= N documents
+    min_chunk_len: int = 20  # ignore tiny (mostly tail) chunks
+    normalize: bool = True   # lower(trim(text)) before hashing
+
+    def __post_init__(self):
+        if self.min_docs < 2:
+            raise ValueError(
+                f"{self.name}: min_docs must be >= 2 (a chunk always "
+                f"appears in its own document)")
+        if self.min_chunk_len < 1:
+            raise ValueError(f"{self.name}: min_chunk_len must be >= 1")
+
+
+def build_chunk_dedup(spark, reg: Registry, cfg: ChunkDedupConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Scale design (100 TB): one md5 per eligible chunk at scan stage;
+    the cross-document frequency is ONE map-side-combined groupBy on
+    the signature (uniform key — md5), the join back re-shuffles the
+    slim (doc_id, offsets, sig) projection on the same key, and the
+    span merge + per-doc rollup share ONE doc_id partitioning (window
+    and both groupBys). No driver actions, no cartesian anywhere; the
+    signature table is corpus-sized but never collected or broadcast.
+    """
+    from pyspark.sql import Window, functions as F
+
+    ch = reg.load(spark, cfg.chunks_entity)
+    norm = (F.lower(F.trim(F.col("chunk_text"))) if cfg.normalize
+            else F.col("chunk_text"))
+    eligible = (ch.filter(F.col("chunk_len") >= cfg.min_chunk_len)
+                .select(F.col(cfg.id_col).alias("doc_id"),
+                        F.col("chunk_start"),
+                        (F.col("chunk_start") + F.col("chunk_len") - 1)
+                        .alias("chunk_end"),
+                        F.md5(norm).alias("sig")))
+    dup_sigs = (eligible.groupBy("sig")
+                .agg(F.countDistinct("doc_id").alias("n_docs"))
+                .filter(F.col("n_docs") >= cfg.min_docs).select("sig"))
+    dups = eligible.join(dup_sigs, "sig")
+
+    # interval union per doc: a chunk starts a new span iff it begins
+    # past every earlier chunk's end (strictly adjacent offsets merge
+    # because positions are inclusive on both ends)
+    w = Window.partitionBy("doc_id").orderBy("chunk_start")
+    prev_max = F.max("chunk_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dups.withColumn(
+        "new_span",
+        F.when(prev_max.isNull()
+               | (F.col("chunk_start") > prev_max + 1), 1).otherwise(0)
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = (islands.groupBy("doc_id", "span_id")
+             .agg(F.min("chunk_start").alias("span_start"),
+                  F.max("chunk_end").alias("span_end")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                    F.sum(F.col("span_end") - F.col("span_start") + 1)
+                    .alias("dup_chars"),
+                    F.min("span_start").alias("first_dup_start"),
+                    F.max("span_end").alias("last_dup_end")))
+    n_dup_chunks = (dups.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_dup_chunks")))
+
+    totals = (ch.groupBy(F.col(cfg.id_col).alias("doc_id"))
+              .agg(F.max("n_chunks").alias("n_chunks"),
+                   (F.max(F.col("chunk_start") + F.col("chunk_len")) - 1)
+                   .alias("doc_chars")))
+    return (totals
+            .join(n_dup_chunks, "doc_id", "left")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_dup_chunks", F.lit(0))
+                    .alias("n_dup_chunks"),
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    .alias("n_dup_spans"),
+                    F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+                    "first_dup_start", "last_dup_end", "doc_chars"))
+
+
+def chunk_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: ChunkDedupConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    """Independent replay of the span algebra with DuckDB windows —
+    same inclusive-interval semantics, same strict-adjacency merge."""
+    chunks = reg.duckdb_relation(cfg.chunks_entity)
+    norm = ("lower(trim(chunk_text))" if cfg.normalize else "chunk_text")
+    el = b.cte(f"{cfg.name}__el",
+               f"SELECT {cfg.id_col} AS doc_id, chunk_start, "
+               f"chunk_start + chunk_len - 1 AS chunk_end, "
+               f"md5({norm}) AS sig FROM {chunks} "
+               f"WHERE chunk_len >= {cfg.min_chunk_len}")
+    fr = b.cte(f"{cfg.name}__fr",
+               f"SELECT sig FROM {el} GROUP BY sig "
+               f"HAVING count(DISTINCT doc_id) >= {cfg.min_docs}")
+    du = b.cte(f"{cfg.name}__du",
+               f"SELECT e.doc_id, e.chunk_start, e.chunk_end "
+               f"FROM {el} e JOIN {fr} USING (sig)")
+    fl = b.cte(
+        f"{cfg.name}__fl",
+        f"SELECT doc_id, chunk_start, chunk_end, CASE WHEN "
+        f"max(chunk_end) OVER (PARTITION BY doc_id ORDER BY chunk_start "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+        f"OR chunk_start > max(chunk_end) OVER (PARTITION BY doc_id "
+        f"ORDER BY chunk_start ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING) + 1 THEN 1 ELSE 0 END AS new_span FROM {du}")
+    isl = b.cte(
+        f"{cfg.name}__is",
+        f"SELECT doc_id, chunk_start, chunk_end, sum(new_span) OVER "
+        f"(PARTITION BY doc_id ORDER BY chunk_start ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM {fl}")
+    sp = b.cte(f"{cfg.name}__sp",
+               f"SELECT doc_id, span_id, min(chunk_start) AS span_start, "
+               f"max(chunk_end) AS span_end FROM {isl} "
+               f"GROUP BY doc_id, span_id")
+    pd_ = b.cte(f"{cfg.name}__pd",
+                f"SELECT doc_id, count(*) AS n_dup_spans, "
+                f"CAST(sum(span_end - span_start + 1) AS BIGINT) "
+                f"AS dup_chars, min(span_start) AS first_dup_start, "
+                f"max(span_end) AS last_dup_end FROM {sp} GROUP BY doc_id")
+    nd = b.cte(f"{cfg.name}__nd",
+               f"SELECT doc_id, count(*) AS n_dup_chunks FROM {du} "
+               f"GROUP BY doc_id")
+    tot = b.cte(f"{cfg.name}__tot",
+                f"SELECT {cfg.id_col} AS doc_id, max(n_chunks) AS n_chunks, "
+                f"max(chunk_start + chunk_len) - 1 AS doc_chars "
+                f"FROM {chunks} GROUP BY {cfg.id_col}")
+    return b.cte(
+        cfg.name,
+        f"SELECT t.doc_id, t.n_chunks, "
+        f"coalesce(nd.n_dup_chunks, 0) AS n_dup_chunks, "
+        f"coalesce(p.n_dup_spans, 0) AS n_dup_spans, "
+        f"coalesce(p.dup_chars, 0) AS dup_chars, "
+        f"p.first_dup_start, p.last_dup_end, t.doc_chars "
+        f"FROM {tot} t LEFT JOIN {nd} nd ON t.doc_id = nd.doc_id "
+        f"LEFT JOIN {pd_} p ON t.doc_id = p.doc_id")

@@ -112,3 +112,72 @@ def contamination_oracle(b: SqlBuilder, reg: Registry,
         f"WHERE t.{cfg.id_col} % {cfg.eval_mod} != 0 "
         f"{hot_gate}"
         f"GROUP BY t.{cfg.id_col}")
+
+
+def eval_gram_set(spark, reg: Registry, cfg: ContaminationConfig,
+                  g: GlobalConfig = DEFAULT) -> DataFrame:
+    """The static eval-side artifact of the gate: the distinct n-gram
+    set of the benchmark documents. Benchmarks are MBs, so this stays
+    broadcastable by construction; production recomputes it only when
+    the benchmark suite changes (a nightly job at most)."""
+    grams = _grams(cfg, reg, spark)
+    return (grams.filter((F.col(cfg.id_col) % cfg.eval_mod) == 0)
+            .select("gram").distinct())
+
+
+def contamination_gate(docs: DataFrame, eval_grams: DataFrame,
+                       cfg: ContaminationConfig) -> DataFrame:
+    """Keep only documents that share NO n-gram with the eval set —
+    the decontamination DROP to `build_contamination`'s REPORT, with
+    the gram expressions shared so the two cannot drift. Documents
+    matching the eval-id rule are dropped too (a benchmark document in
+    a training corpus is contamination by definition).
+
+    Works identically on a batch frame and inside ``foreachBatch``
+    (streaming.curation.start_contamination_gate): the gate is per-doc
+    vs a STATIC gram set, so micro-batch-local gating equals corpus-
+    wide gating — no cross-document dependency, no state. Plan shape:
+    scan-stage explode, broadcast semi-join on gram, broadcast-able
+    hit-id anti-join; the only wide op is the final anti-join keyed on
+    {id}, and its right side (contaminated ids) is overlap-sized.
+
+    ``max_doc_freq`` is refused here: the document-frequency cap is a
+    corpus-wide statistic, undefined over one micro-batch."""
+    if cfg.max_doc_freq:
+        raise ValueError(
+            f"{cfg.name}: max_doc_freq is corpus-wide — the gate "
+            f"(batch or micro-batch) cannot honor it; pre-filter hot "
+            f"grams out of eval_grams instead")
+    is_eval = (F.col(cfg.id_col) % cfg.eval_mod) == 0
+    train = docs.filter(~is_eval)
+    w = train.selectExpr(cfg.id_col,
+                         f"{spark_tokens(cfg.text_col)} AS __w")
+    pairs = w.selectExpr(
+        cfg.id_col, f"explode({spark_shingles('__w', cfg.ngram_n)}) AS gram")
+    hits = (pairs.join(F.broadcast(eval_grams), "gram", "left_semi")
+            .select(cfg.id_col))
+    return train.join(hits, cfg.id_col, "left_anti")
+
+
+def contamination_gate_oracle(b: SqlBuilder, reg: Registry,
+                              cfg: ContaminationConfig,
+                              g: GlobalConfig = DEFAULT,
+                              out_cols: str = "*") -> str:
+    """Full-corpus SQL for the gate: training docs with zero shared
+    grams (NOT EXISTS over the eval gram set)."""
+    src = reg.duckdb_relation(cfg.source)
+    w = b.cte(f"{cfg.name}__gw",
+              f"SELECT {cfg.id_col}, {duck_tokens(cfg.text_col)} AS w "
+              f"FROM {src}")
+    gr = b.cte(f"{cfg.name}__gg",
+               f"SELECT DISTINCT {cfg.id_col}, "
+               f"unnest({duck_shingles('w', cfg.ngram_n)}) AS gram FROM {w}")
+    ev = b.cte(f"{cfg.name}__gev",
+               f"SELECT DISTINCT gram FROM {gr} "
+               f"WHERE {cfg.id_col} % {cfg.eval_mod} = 0")
+    return b.cte(
+        cfg.name,
+        f"SELECT {out_cols} FROM {src} d "
+        f"WHERE d.{cfg.id_col} % {cfg.eval_mod} != 0 AND NOT EXISTS ("
+        f"SELECT 1 FROM {gr} t JOIN {ev} e USING (gram) "
+        f"WHERE t.{cfg.id_col} = d.{cfg.id_col})")

@@ -64,6 +64,36 @@ def test_multimodal_null_payload_yields_null_features(spark):
         and out[2].n_bytes is None
 
 
+def test_multimodal_header_decode_parses_and_rejects(spark):
+    """The FIMG container parse: valid header -> dims from the id
+    grammar with n_bytes = body + 12; corrupt row (id % corrupt_every
+    == 0) -> NULL dims but real byte count; NULL body -> all NULL;
+    byte-level rejects (short buffer, bad magic, non-digit dims)."""
+    from datavault4dbt_spark.llm.multimodal import (
+        MultimodalDecodeConfig, build_multimodal_decode, _header_decode)
+    docs = spark.createDataFrame(
+        [(1, "hello"), (7, "corrupt row"), (2, None)],
+        "doc_id long, text string")
+    reg = Registry()
+    reg.spark_loaders["hdocs"] = lambda _s: docs
+    out = {r.doc_id: r for r in build_multimodal_decode(
+        spark, reg, MultimodalDecodeConfig("m", source="hdocs"), G)
+        .collect()}
+    assert (out[1].width, out[1].height) == (1 + 37 % 1920, 1 + 101 % 1080)
+    assert out[1].n_bytes == len("hello") + 12
+    assert out[7].width is None and out[7].n_bytes == len("corrupt row")
+    assert out[2].n_bytes is None and out[2].width is None
+    # byte-level reject paths, straight on the parser
+    assert _header_decode(b"FIMG00100020body") == (10, 20)
+    assert _header_decode(b"FIMG0010002") == (None, None)      # short
+    assert _header_decode(b"GIMF00100020body") == (None, None)  # magic
+    assert _header_decode(b"FIMG00x00020body") == (None, None)  # digits
+    assert _header_decode(b"FIMG+0100020body") == (None, None)  # sign
+    assert _header_decode(None) == (None, None)
+    with pytest.raises(ValueError, match="corrupt_every"):
+        MultimodalDecodeConfig("m", corrupt_every=1)
+
+
 def test_simhash_rejects_unsupported_widths():
     from datavault4dbt_spark.llm.dedup import SimHashConfig
     with pytest.raises(ValueError, match="multiple of 4"):
@@ -283,6 +313,48 @@ def test_source_gate_drops_offending_sources_only(spark):
     out = build_source_gate(spark, reg, SourceGateConfig("sg"), G).collect()
     assert {r.source for r in out} == {"clean"}
     assert len(out) == 10
+
+
+def test_chunk_dedup_span_merge_and_counts(spark):
+    """Hand-computable duplicate spans: two docs share a paragraph that
+    strided chunking covers with OVERLAPPING chunks — the span merge
+    must count each duplicated character once; a doc with no shared
+    chunks reports zeros with NULL offsets; normalization folds case/
+    padding; min_chunk_len drops short tails from dup detection."""
+    from datavault4dbt_spark.llm.chunking import (ChunkConfig,
+                                                  ChunkDedupConfig,
+                                                  build_doc_chunks,
+                                                  build_chunk_dedup)
+    shared = "0123456789abcdefghij"           # 20 chars, 2 chunks @12/8
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared.upper()), (3, "zzzzzzzzzzzzzzzzzzzz")],
+        "doc_id long, text string")
+    reg = Registry()
+    reg.spark_loaders["ddocs"] = lambda _s: docs
+    reg.spark_loaders["chz"] = lambda sp: build_doc_chunks(
+        sp, reg, ChunkConfig("chz", source="ddocs",
+                             chunk_chars=12, stride=8), G)
+    out = {r.doc_id: r for r in build_chunk_dedup(
+        spark, reg, ChunkDedupConfig("cd", chunks_entity="chz",
+                                     min_chunk_len=5), G).collect()}
+    # docs 1+2 share both chunks (case-folded): chunks [1,12] and
+    # [9,20] merge into ONE span covering all 20 chars
+    for d in (1, 2):
+        r = out[d]
+        assert (r.n_chunks, r.n_dup_chunks, r.n_dup_spans) == (2, 2, 1)
+        assert (r.dup_chars, r.first_dup_start, r.last_dup_end,
+                r.doc_chars) == (20, 1, 20, 20)
+    assert (out[3].n_dup_chunks, out[3].n_dup_spans,
+            out[3].dup_chars) == (0, 0, 0)
+    assert out[3].first_dup_start is None and out[3].last_dup_end is None
+    # normalize=False: case difference breaks the match
+    out_raw = {r.doc_id: r for r in build_chunk_dedup(
+        spark, reg, ChunkDedupConfig("cd2", chunks_entity="chz",
+                                     min_chunk_len=5, normalize=False),
+        G).collect()}
+    assert all(r.n_dup_chunks == 0 for r in out_raw.values())
+    with pytest.raises(ValueError, match="min_docs"):
+        ChunkDedupConfig("cd3", min_docs=1)
 
 
 def test_dataset_profile_counts_and_minmax(spark):

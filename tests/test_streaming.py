@@ -521,3 +521,43 @@ def test_streaming_source_gate_equals_batch(spark, sf_dir, doc_batches,
     got = {(r.doc_id, r.source)
            for r in spark.table("gate_stream").collect()}
     assert got == want and 0 < len(got) < batch.count()
+
+
+def test_streaming_contamination_gate_equals_batch(spark, sf_dir,
+                                                   doc_batches, tmp_path):
+    """Decontamination on an arriving stream: gated micro-batches
+    appended by foreachBatch must union to exactly the batch gate's
+    output over the full corpus (shared contamination_gate, static
+    broadcast eval gram set), and the gate must genuinely bite (some
+    docs dropped, some kept)."""
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.llm.contamination import (
+        ContaminationConfig, contamination_gate, eval_gram_set)
+    from datavault4dbt_spark.streaming.curation import (
+        start_contamination_gate)
+
+    fixtures.ensure_session_conf(spark)
+    batch = spark.read.parquet(doc_batches)
+    reg = Registry()
+    reg.spark_loaders["cdocs"] = lambda _s: batch
+    cfg = ContaminationConfig("cg", source="cdocs", ngram_n=3)
+    ev = eval_gram_set(spark, reg, cfg).localCheckpoint(eager=True)
+    want = {r.doc_id for r in
+            contamination_gate(batch, ev, cfg).collect()}
+    n_train = batch.filter(f"doc_id % {cfg.eval_mod} != 0").count()
+    assert 0 < len(want) < n_train     # dropped some, kept some
+
+    got_rows = []
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches))
+    q = start_contamination_gate(
+        stream, ev, cfg,
+        sink=lambda df: got_rows.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_cg"))
+    q.awaitTermination(300)
+    assert {r.doc_id for r in got_rows} == want
+    # max_doc_freq is corpus-wide: the gate must refuse it
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        contamination_gate(batch, ev, ContaminationConfig(
+            "cg2", source="cdocs", max_doc_freq=3))
