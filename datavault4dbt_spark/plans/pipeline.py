@@ -55,9 +55,70 @@ def topo_sort(decls: dict) -> list:
     return order
 
 
+def select_nodes(decls: dict, select=(), exclude=()) -> set:
+    """dbt-style node selection (reference:
+    macros/supporting/source_models.sql:40-62,
+    source_model_should_be_selected.sql:1-16 lean on dbt ``--select``;
+    this is the engine-side equivalent for run_pipeline). Selector
+    grammar per item (string or iterable of strings):
+
+    - ``name``    — the node itself (fnmatch globs allowed: ``stage_*``)
+    - ``+name``   — the node plus ALL ancestors
+    - ``name+``   — the node plus ALL descendants
+    - ``+name+``  — both closures
+
+    Multiple selectors union; ``exclude`` (same grammar) subtracts
+    after the union. Empty ``select`` means every node. A selector
+    that matches nothing raises — a silently-empty selection runs
+    nothing, which in a scheduled load reads as success."""
+    import fnmatch
+
+    if isinstance(select, str):
+        select = (select,)
+    if isinstance(exclude, str):
+        exclude = (exclude,)
+    children: dict = {n: [] for n in decls}
+    for n, d in decls.items():
+        for dep in d.deps:
+            if dep in children:
+                children[dep].append(n)
+
+    def closure(roots, edges):
+        out, stack = set(roots), list(roots)
+        while stack:
+            for nxt in edges(stack.pop()):
+                if nxt not in out:
+                    out.add(nxt)
+                    stack.append(nxt)
+        return out
+
+    def resolve(selector: str) -> set:
+        up = selector.startswith("+")
+        down = selector.endswith("+")
+        pat = selector.strip("+")
+        base = set(fnmatch.filter(decls.keys(), pat))
+        if not base:
+            raise ValueError(
+                f"selector {selector!r} matches no declared entity "
+                f"(have: {sorted(decls)[:8]}...)")
+        got = set(base)
+        if up:
+            got |= closure(base, lambda n: [d for d in decls[n].deps
+                                            if d in decls])
+        if down:
+            got |= closure(base, lambda n: children[n])
+        return got
+
+    chosen = (set(decls) if not select
+              else set().union(*(resolve(s) for s in select)))
+    for s in exclude:
+        chosen -= resolve(s)
+    return chosen
+
+
 def run_pipeline(spark, decls: dict, store: ParquetStore,
                  base_registry: Registry, g: GlobalConfig = DEFAULT,
-                 count_rows: bool = True) -> dict:
+                 count_rows: bool = True, select=(), exclude=()) -> dict:
     """One load run over every declared entity; returns rows appended
     per entity. Safe to re-run: incremental entities insert nothing new
     on replay (idempotent anti-join append).
@@ -66,11 +127,54 @@ def run_pipeline(spark, decls: dict, store: ParquetStore,
     per entity): the count is a second action, and even with the
     persist below it costs a cache pass — a 100 TB scheduled load that
     doesn't surface counts shouldn't pay it.
-    """
+
+    ``select``/``exclude`` (see select_nodes) rebuild only the chosen
+    subtree — the dbt ``--select`` workflow: a user reloading one
+    branch of a large vault must not pay the whole DAG. Skipped
+    MATERIALIZED dependencies resolve to their STORED tables (what a
+    selective dbt run does: upstream models are referenced, not
+    rebuilt); skipped views re-register their plans (views are never
+    materialized, so consuming one always recomputes it). A chosen
+    node whose skipped dependency has never been materialized raises
+    up front — dbt would fail the same way at reference time, but a
+    plain error beats a missing-table stack trace mid-run."""
     reg = base_registry
+    chosen = select_nodes(decls, select, exclude)
+    # Entities a chosen plan will actually READ, walked transitively
+    # THROUGH skipped views (a view re-registers its plan, which pulls
+    # the view's own deps at load time) and stopping at skipped
+    # materialized entities (those resolve to stored tables). Anything
+    # needed that is neither stored, a view, nor chosen fails up front.
+    needed: set = set()
+    stack = [dep for c in chosen for dep in decls[c].deps]
+    while stack:
+        n = stack.pop()
+        if n in needed or n in chosen or n not in decls:
+            continue
+        needed.add(n)
+        if decls[n].materialize == "view" or not store.exists(n):
+            stack.extend(decls[n].deps)
+    missing = sorted(n for n in needed
+                     if decls[n].materialize != "view"
+                     and not store.exists(n))
+    if missing:
+        raise ValueError(
+            f"selection needs {missing}, excluded from this run and "
+            f"never materialized — widen the selection (e.g. "
+            f"'+<node>') or load them first")
     counts = {}
     for name in topo_sort(decls):
         d = decls[name]
+        if name not in chosen:
+            if d.materialize == "view":
+                reg._invalidate(name)
+                reg.spark_loaders[name] = (
+                    lambda spark, d=d: d.build(spark, reg, d.cfg, g))
+            elif store.exists(name):
+                reg._invalidate(name)
+                reg.spark_loaders[name] = (
+                    lambda spark, s=store, n=name: s.read(n))
+            continue
         if d.materialize == "view":
             # register the plan; consumers recompute it (dbt view).
             # _invalidate, not just re-register: a re-run would otherwise

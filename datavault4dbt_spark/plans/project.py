@@ -212,9 +212,12 @@ def load_project(project_dir: str) -> dict:
 
 def run_project(spark, project_dir: str, store: ParquetStore,
                 base_registry: Registry, g: GlobalConfig = DEFAULT,
-                count_rows: bool = True) -> dict:
+                count_rows: bool = True, select=(), exclude=()) -> dict:
     """Load the whole project once (idempotent — rerunning appends
-    nothing new). Returns rows appended per entity (None for views)."""
+    nothing new). Returns rows appended per entity (None for views).
+    ``select``/``exclude`` forward to run_pipeline's dbt-style node
+    selection (``+name`` ancestors, ``name+`` descendants, globs)."""
     decls = load_project(project_dir)
     return run_pipeline(spark, decls, store, base_registry, g,
-                        count_rows=count_rows)
+                        count_rows=count_rows, select=select,
+                        exclude=exclude)

@@ -98,3 +98,52 @@ def test_run_pipeline_full_then_idempotent_rerun(spark, sf_dir, tmp_path):
     assert counts2["link_customer_nation"] == 0
     assert counts2["sat_customer_n0_s"] == 0
     assert store.read("hub_customer").count() == want_hub.count()
+
+
+def test_select_nodes_grammar():
+    from datavault4dbt_spark.plans.pipeline import select_nodes
+    decls = _decls()
+    assert select_nodes(decls) == set(decls)
+    assert select_nodes(decls, "hub_customer") == {"hub_customer"}
+    assert select_nodes(decls, "+hub_customer") == {
+        "stage_customer", "hub_customer"}
+    assert select_nodes(decls, "stage_customer+") == set(decls)
+    assert select_nodes(decls, "sat_*") == {"sat_customer_n0_s"}
+    assert select_nodes(decls, "stage_customer+",
+                        exclude="link_*") == set(decls) - {
+        "link_customer_nation"}
+    with pytest.raises(ValueError, match="matches no"):
+        select_nodes(decls, "nope_*")
+
+
+def test_run_pipeline_selective_subtree(spark, sf_dir, tmp_path):
+    """dbt --select semantics: (1) a selected subtree whose skipped
+    dependency was never materialized fails up front; (2) +node builds
+    the ancestors too; (3) a later selective run rebuilds ONLY the
+    chosen node against the STORED dependency — the other entities'
+    tables stay untouched."""
+    fixtures.ensure_session_conf(spark)
+    store = ParquetStore(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="never materialized"):
+        run_pipeline(spark, _decls(), store, make_registry(sf_dir),
+                     select="hub_customer")
+    counts = run_pipeline(spark, _decls(), store, make_registry(sf_dir),
+                          select="+hub_customer")
+    assert set(counts) == {"stage_customer", "hub_customer"}
+    assert not store.exists("sat_customer_n0_s")
+    want_hub = store.read("hub_customer").count()
+    assert counts["hub_customer"] == want_hub > 0
+
+    # now the satellite alone: reads the STORED stage, builds only itself
+    counts2 = run_pipeline(spark, _decls(), store, make_registry(sf_dir),
+                           select="sat_customer_n0_s")
+    assert set(counts2) == {"sat_customer_n0_s"}
+    want_sat = fixtures.entity_query("sat_customer_n0_s")(spark, sf_dir)
+    got = store.read("sat_customer_n0_s")
+    assert sorted(map(str, got.collect())) == sorted(
+        map(str, want_sat.collect()))
+    # untouched branch stayed untouched; selective rerun is idempotent
+    assert not store.exists("link_customer_nation")
+    counts3 = run_pipeline(spark, _decls(), store, make_registry(sf_dir),
+                           select="sat_customer_n0_s")
+    assert counts3 == {"sat_customer_n0_s": 0}
