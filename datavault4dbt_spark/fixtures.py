@@ -49,8 +49,9 @@ from .llm.dedup import (
     minhash_lsh_oracle, simhash_dedup_oracle, ngram_jaccard_oracle,
     embedding_cosine_oracle, dup_groups_oracle)
 from .llm.contamination import (ContaminationConfig, build_contamination,
-                                contamination_oracle, contamination_gate,
-                                contamination_gate_oracle, eval_gram_set)
+                                contamination_oracle,
+                                contamination_gate_oracle,
+                                build_decontaminated)
 from .llm.similarity import (AnnConfig, build_ann_topk, ann_topk_oracle,
                              IvfConfig, build_ann_ivf, ann_ivf_oracle)
 from .llm.textstats import (
@@ -656,9 +657,9 @@ DECONTAM = {"docs_decontaminated":
 
 
 def _build_decontam(spark, reg, cfg, g):
-    ev = eval_gram_set(spark, reg, cfg, g)
-    return (contamination_gate(reg.load(spark, cfg.source), ev, cfg)
-            .select(cfg.id_col))
+    # id-only projection: the drop SET is the verified semantics (the
+    # payload columns pass through the gate untouched)
+    return build_decontaminated(spark, reg, cfg, g).select(cfg.id_col)
 
 
 def _decontam_oracle(b, reg, cfg, g):

@@ -181,3 +181,12 @@ def contamination_gate_oracle(b: SqlBuilder, reg: Registry,
         f"WHERE d.{cfg.id_col} % {cfg.eval_mod} != 0 AND NOT EXISTS ("
         f"SELECT 1 FROM {gr} t JOIN {ev} e USING (gram) "
         f"WHERE t.{cfg.id_col} = d.{cfg.id_col})")
+
+
+def build_decontaminated(spark, reg: Registry, cfg: ContaminationConfig,
+                         g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Project-facing decontamination: the source rows (all columns)
+    that survive the gate — eval-set computation and gate composed from
+    the two building blocks above."""
+    docs = reg.load(spark, cfg.source)
+    return contamination_gate(docs, eval_gram_set(spark, reg, cfg, g), cfg)

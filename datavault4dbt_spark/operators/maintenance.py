@@ -93,6 +93,10 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     it is the same anti-filter + atomic rewrite.
     """
     trigger = snapshot_trigger_column or g.snapshot_trigger_column
+    # Driver-side collect is bounded by the SNAPSHOT SPINE (thousands
+    # of rows at most — one per logged snapshot instant), never by the
+    # PIT. Pass the control_snap relation here, not a data table: a
+    # high-cardinality sdts source would materialize on the driver.
     active = {r[0] for r in
               snapshot_df.filter(F.col(trigger))
               .select(g.sdts_alias).distinct().collect()}

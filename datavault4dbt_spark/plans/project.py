@@ -105,9 +105,11 @@ def _llm_kinds() -> dict:
     from ..llm.similarity import build_ann_topk, build_ann_ivf
     from ..llm.textstats import (build_langid, build_quality,
                                  build_token_count, build_fingerprint)
-    from ..llm.multimodal import build_multimodal_features
+    from ..llm.multimodal import (build_multimodal_features,
+                                  build_multimodal_decode)
     from ..llm.curation import build_curation, build_dedup_report
-    from ..llm.contamination import build_contamination
+    from ..llm.contamination import (build_contamination,
+                                     build_decontaminated)
     from ..llm.scrub import build_repetition, build_pii_redact
     from ..llm.sampling import (build_dataset_mix, build_sequence_packing,
                                 build_packing_manifest)
@@ -116,7 +118,7 @@ def _llm_kinds() -> dict:
     from ..llm.substring import build_substring_dup
     from ..llm.tfidf import build_tfidf
     from ..llm.sources import build_source_stats, build_source_gate
-    from ..llm.chunking import build_doc_chunks
+    from ..llm.chunking import build_doc_chunks, build_chunk_dedup
     from ..llm.profile import build_dataset_profile
     from ..llm.lineclean import build_line_clean
 
@@ -157,6 +159,9 @@ def _llm_kinds() -> dict:
         "source_gate": (build_source_gate,
                         lambda c: [c.stats_entity]),
         "doc_chunks": (build_doc_chunks, src),
+        "chunk_dedup": (build_chunk_dedup, lambda c: [c.chunks_entity]),
+        "multimodal_decode": (build_multimodal_decode, src),
+        "decontaminate": (build_decontaminated, src),
         "dataset_profile": (build_dataset_profile, src),
         "line_clean": (build_line_clean, src),
     }

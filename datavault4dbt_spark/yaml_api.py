@@ -401,7 +401,8 @@ def _llm_parsers() -> dict:
     from .llm.substring import SubstringDupConfig
     from .llm.tfidf import TfidfConfig
     from .llm.sources import SourceStatsConfig, SourceGateConfig
-    from .llm.chunking import ChunkConfig
+    from .llm.chunking import ChunkConfig, ChunkDedupConfig
+    from .llm.multimodal import MultimodalDecodeConfig
     from .llm.profile import ProfileConfig
     from .llm.lineclean import LineCleanConfig
 
@@ -434,6 +435,9 @@ def _llm_parsers() -> dict:
         "source_stats": _dataclass_parser(SourceStatsConfig),
         "source_gate": _dataclass_parser(SourceGateConfig),
         "doc_chunks": _dataclass_parser(ChunkConfig),
+        "chunk_dedup": _dataclass_parser(ChunkDedupConfig),
+        "multimodal_decode": _dataclass_parser(MultimodalDecodeConfig),
+        "decontaminate": _dataclass_parser(ContaminationConfig),
         "dataset_profile": _dataclass_parser(ProfileConfig),
         "line_clean": _dataclass_parser(LineCleanConfig),
     }

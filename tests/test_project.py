@@ -146,13 +146,16 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "quantize_embeddings", "dedup_substring", "text_tfidf",
                            "packing_manifest", "dedup_report",
                            "source_stats", "docs_source_gated",
-                           "doc_chunks", "dataset_profile", "text_line_clean"}
+                           "doc_chunks", "dataset_profile", "text_line_clean",
+                           "chunk_dedup_spans", "docs_decontaminated",
+                           "multimodal_decode"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
                  "dedup_substring", "text_tfidf", "packing_manifest",
                  "dedup_report", "source_stats", "docs_source_gated",
-                 "doc_chunks", "dataset_profile", "text_line_clean"):
+                 "doc_chunks", "dataset_profile", "text_line_clean",
+                 "chunk_dedup_spans", "multimodal_decode"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 
