@@ -32,7 +32,7 @@ import tempfile
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..operators.bundle import (BundleMember, BundleConfig, bundle_oracle,
@@ -101,12 +101,33 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     sees the full spine and its dimension-key anti-join must insert
     exactly the extension rows.
 
+    Phase 1 materializes as ONE Spark job: the member plans are
+    entity-tagged, unioned by name (missing columns null-filled), and
+    written ``partitionBy(__entity__)`` into a single staging table —
+    the scheduler runs all branches' tasks in parallel instead of
+    paying N separate write-job floors (round-6 bench: pooled
+    per-member writes floored the phase at ~N x job latency however the
+    pool was sized; this is the DAG-scheduler pattern a production
+    multi-table batch load uses). Per-entity target reads prune to one
+    hive partition directory and select only the member's native
+    columns, so the incremental branches still face a REAL parquet
+    target (file listing, min-max row-group skipping under the injected
+    HWM literal) exactly as a one-table-per-member layout would.
+
+    Phase 2 is NOT appended back to the store: the verified object is
+    the insert set the incremental branch computes against that target,
+    and store-content-after-append == phase1 UNION inserts by
+    construction (insert-only append). Returning that union directly
+    lets the caller's single action execute every phase-2 plan once,
+    fused with the final projection, instead of paying a second
+    write-then-rescan round trip per member.
+
     Rerunning invalidates DataFrames returned by a PREVIOUS run (their
-    scans point at the cleared member tables) — same contract as any
+    scans point at the cleared staging table) — same contract as any
     store overwrite."""
     store = _scratch_store(spark, cfg.name)
-    for m in cfg.members:
-        shutil.rmtree(store.path(m.entity), ignore_errors=True)
+    merged = store.path("__merged__")
+    shutil.rmtree(merged, ignore_errors=True)
 
     # phase-1 registry: every stage is truncated to ldts <= cutoff (the
     # end-of-times ghost row rides along so the initial load creates
@@ -135,6 +156,29 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     reg.persist_names.update(
         n for n in (*stage_names, *snapshot_names)
         if n in reg.spark_loaders)
+    # Also persist every entity in the members' dependency closure
+    # (e.g. the PIT member consumes full hub + satellite builds in BOTH
+    # phases): without the mark each consuming plan recomputes the
+    # whole subtree. A member appearing as another member's dependency
+    # is persisted too — its FULL build (reg.load) is a different plan
+    # from its own two-phase staging-table build, so there is no
+    # conflict.
+    def _deps(name):
+        if name not in index:
+            return ()
+        mcfg, _b, _o, depfn = index[name]
+        return depfn(mcfg)
+
+    stack = [d for m in cfg.members for d in _deps(m.entity)]
+    walked = set()
+    while stack:
+        d = stack.pop()
+        if d in walked:
+            continue
+        walked.add(d)
+        stack.extend(_deps(d))
+        if d in reg.spark_loaders:
+            reg.persist_names.add(d)
     cut = (f"{g.ldts_alias} <= TIMESTAMP '{cfg.cutoff}' "
            f"OR {g.ldts_alias} = TIMESTAMP '{g.end_of_all_times}'")
     for s in stage_names:
@@ -145,18 +189,14 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
         phase1.spark_loaders[s] = (
             lambda sp, n=s, c=snap_cut: reg.load(sp, n).filter(c))
 
-    # Members are independent two-phase loads (own store paths, no
-    # cross-member data deps) — run each PHASE concurrently under a
-    # capped pool: each thread submits Spark jobs that the scheduler
-    # interleaves, exactly how a DAG scheduler runs parallel vault
-    # branches in production, but an uncapped pool (one thread per
-    # member) just contends on the single local scheduler (round-6
-    # bench: 12 threads more than doubled the line). Shared stage
-    # subtrees are persist()ed in the registries, so the first thread
-    # to touch one materializes it and the rest reuse the cache.
+    # Phase structure: plan CONSTRUCTION still runs under a small pool
+    # (builders issue their own driver probes while constructing —
+    # eff_sat's load-dates spine, rec_track's per-rsrc probe — and the
+    # pool overlaps those scalar jobs), but plan EXECUTION is one
+    # entity-tagged union write per phase (docstring above).
     #
     # Phases are explicit barriers so the per-member HWM probes batch:
-    # after every phase-1 table is stored, ONE union-of-aggregates job
+    # after the phase-1 write, ONE union-of-aggregates job
     # (seed_hwm_probes) computes all members' watermarks; the phase-2
     # builders then consume the cache instead of issuing ~13 driver
     # collects (hub global + static, sat/ma_sat/eff_sat/ref_sat/nh/link
@@ -166,31 +206,66 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     targets: dict = {}
     workers = min(max_workers, len(cfg.members))
 
+    def write_phase(plans: dict):
+        """plans: entity -> initial-load DataFrame. One tagged-union
+        append; each task carries rows of exactly one union branch, so
+        the hive-style partitionBy write is a per-task file append, not
+        a shuffle."""
+        tagged = [df.withColumn("__entity__", F.lit(e))
+                  for e, df in plans.items()]
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            tagged)
+        out.write.mode("append").partitionBy("__entity__").parquet(merged)
+
+    native_cols: dict = {}
+
+    def read_slice(entity: str) -> DataFrame:
+        # Partition-pruned read (the literal filter prunes to one
+        # directory at planning time) + native-column select: the scan
+        # lists and reads exactly what a one-table-per-member layout
+        # would. Reading the root rather than the subdirectory keeps an
+        # all-rows-dropped member (a possible phase-2 state) a valid
+        # empty scan instead of a missing path. Fresh read per call —
+        # the scan snapshots the file listing, so phase-2 targets see
+        # only phase-1 files.
+        return (spark.read.parquet(merged)
+                .filter(F.col("__entity__") == entity)
+                .select(*native_cols[entity]))
+
     def initial(m: ReplayMember):
         mcfg, bld, _orc, _deps = index[m.entity]
-        store.append(m.entity, bld(spark, phase1, mcfg, g, target=None))
+        df = bld(spark, phase1, mcfg, g, target=None)
+        native_cols[m.entity] = df.columns
+        return m.entity, df
 
     def increment(m: ReplayMember):
         mcfg, bld, _orc, _deps = index[m.entity]
-        store.append(m.entity,
-                     bld(spark, reg, mcfg, g, target=targets[m.entity]))
-        return store.read(m.entity).selectExpr(*_member_exprs(m, g))
+        return m.entity, bld(spark, reg, mcfg, g,
+                             target=targets[m.entity])
 
     try:
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(initial, cfg.members))
-            targets = {m.entity: store.read(m.entity)
+            write_phase(dict(pool.map(initial, cfg.members)))
+            targets = {m.entity: read_slice(m.entity)
                        for m in cfg.members}
             seed_hwm_probes(
                 targets,
                 {m.entity: keys for m in cfg.members
                  if (keys := _probe_keys(index[m.entity][0]))}, g)
-            finals = list(pool.map(increment, cfg.members))
+            # HWM/probe literals are baked into the phase-2 plans at
+            # CONSTRUCTION time (hwm_filter/max_ldts collect-or-cache,
+            # then inject), so the plans stay valid after the probe
+            # cache is cleared below.
+            inserts = dict(pool.map(increment, cfg.members))
     finally:
         clear_hwm_probes(targets.values())
         for n in reg.persist_names - saved_persist:
             reg._invalidate(n)
         reg.persist_names.intersection_update(saved_persist)
+    finals = [targets[m.entity].unionByName(inserts[m.entity])
+              .selectExpr(*_member_exprs(m, g))
+              for m in cfg.members]
     return reduce(lambda a, b: a.unionByName(b), finals)
 
 
