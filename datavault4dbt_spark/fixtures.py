@@ -88,6 +88,11 @@ from .llm.lineclean import (LineCleanConfig, build_line_clean,
 from .llm.curation import (CurationConfig, DedupReportConfig,
                            build_curation, build_dedup_report,
                            curation_oracle, dedup_report_oracle)
+from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
+                            SourceCapConfig, build_canonical_selection,
+                            build_stratified_split, build_source_cap,
+                            canonical_selection_oracle,
+                            stratified_split_oracle, source_cap_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -547,6 +552,26 @@ BUNDLES = {
                      "CAST(doc_chars AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'chunk_dedup'"),
+        # round-7 selection ops. Integer/string cells fold into the hd
+        # (the DOUBLE quality/u columns stay out of the fold — their
+        # string rendering is not portable near 1e-5 — but their VALUES
+        # are pinned by text_quality/dataset_mix's own exposed entries
+        # and the in-repo parity suite). is_canonical folds as the
+        # boolean's CAST: both engines render 'true'/'false'.
+        BundleMember("canonical_docs", "CAST(doc_id AS STRING)",
+                     "concat(CAST(group_id AS STRING), ':', "
+                     "CAST(group_size AS STRING), ':', "
+                     "CAST(is_canonical AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'canonical'"),
+        BundleMember("docs_split", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(lang, ''), ':', split)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'split'"),
+        BundleMember("docs_source_capped", "CAST(doc_id AS STRING)",
+                     "concat(source, ':', CAST(cap_rank AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_cap'"),
     )),
 }
 
@@ -748,6 +773,20 @@ LINECLEAN = {"text_line_clean": LineCleanConfig(
     text_expr=("replace(coalesce(text, ''), ' window ', "
                "concat('.', '\n', 'window '))"))}
 DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
+# round-7 selection ops (llm/selection.py):
+# keep-best-quality survivor per duplicate group (vs the curation
+# chain's keep-lowest-id heuristic)
+CANONICAL = {"canonical_docs": CanonicalConfig("canonical_docs")}
+# deterministic per-stratum train/validation/test assignment; en and de
+# carry explicit fractions, the rest take the defaults — all three
+# splits occur in every stratum at sf0.01 (218 en .. 64 fr docs)
+SPLIT = {"docs_split": StratifiedSplitConfig(
+    "docs_split", fractions=(("en", 0.7, 0.15), ("de", 0.5, 0.25)))}
+# per-source quality cap: 20 sources x 25 docs at sf0.01, so cap=5
+# drops 80% of every source, and n_salts=4 (~6 docs per salt slice)
+# makes BOTH passes of the skew-safe two-stage top-k genuinely filter
+SOURCE_CAP = {"docs_source_capped": SourceCapConfig(
+    "docs_source_capped", cap=5, n_salts=4)}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -840,6 +879,11 @@ _FAMILIES = [
      lambda c: [c.chunks_entity]),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
     (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
+    (CANONICAL, build_canonical_selection, canonical_selection_oracle,
+     lambda c: [c.groups_entity, c.quality_entity]),
+    (SPLIT, build_stratified_split, stratified_split_oracle, _NO_DEPS),
+    (SOURCE_CAP, build_source_cap, source_cap_oracle,
+     lambda c: [c.quality_entity]),
 ]
 
 

@@ -1,0 +1,230 @@
+"""Corpus selection operators: choosing WHICH rows survive curation.
+
+- ``canonical_selection`` : one canonical survivor per duplicate group
+  — the step after connected-components dedup (``dedup.dup_groups``)
+  in every production pipeline: instead of blindly keeping the lowest
+  doc_id, keep the HIGHEST-QUALITY member of each group (Penedo et al.
+  2023, RefinedWeb §3.4 keep-best heuristic), ties broken by doc_id so
+  reruns and both engines agree.
+- ``stratified_split`` : deterministic train/validation/test assignment
+  with per-stratum fractions. Same salted-md5 uniform as
+  ``sampling.dataset_mix`` (NOT rand()): a document's split is a pure
+  function of (salt, id), so adding data never reassigns existing
+  documents — the property that keeps eval sets stable across corpus
+  versions.
+- ``source_cap`` : keep at most N documents per source, best-quality
+  first — the per-domain cap crawl pipelines apply so no single domain
+  dominates the corpus (C4 keeps heuristics per-page, Gopher/Dolma cap
+  per-domain).
+
+Scale design (100 TB): canonical_selection joins on the uniform id
+column and windows over duplicate GROUPS (small by construction).
+stratified_split is zero-shuffle — hash + CASE live in the scan stage.
+source_cap's naive form (one window partition per source) puts a whole
+domain on one reducer — a real skew hazard when one domain is 10% of
+the corpus — so it runs the standard salted two-stage top-k: rank
+within (source, id % n_salts) sub-partitions first (bounded size),
+keep each sub-partition's top N, then rank the <= N * n_salts
+survivors per source exactly. Any global top-N row ranks <= N inside
+its own salt slice (subset ranks never exceed superset ranks), so the
+two-stage result equals the single-window result row-for-row — the
+DuckDB oracle runs the single window and the driver hash-compare
+certifies the equivalence.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+from .sampling import _u01
+
+
+def _ident(name: str, what: str, owner: str) -> None:
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"{owner}: {what} {name!r} must be a plain identifier — "
+            f"it is interpolated into both dialects' SQL")
+
+
+# -------------------------------------------------- canonical_selection --
+
+@dataclass(frozen=True)
+class CanonicalConfig:
+    name: str
+    groups_entity: str = "dedup_groups"      # (doc_id, group_id, group_size)
+    quality_entity: str = "text_quality"     # (doc_id, ..., quality_score)
+    id_col: str = "doc_id"
+
+    def __post_init__(self):
+        _ident(self.id_col, "id_col", self.name)
+
+
+def build_canonical_selection(spark, reg: Registry, cfg: CanonicalConfig,
+                              g: GlobalConfig = DEFAULT) -> DataFrame:
+    grp = reg.load(spark, cfg.groups_entity) \
+        .select(cfg.id_col, "group_id", "group_size")
+    q = reg.load(spark, cfg.quality_entity) \
+        .select(cfg.id_col, "quality_score")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality_score").desc(), F.col(cfg.id_col).asc())
+    return (grp.join(q, cfg.id_col)
+            .withColumn("cap_rank", F.row_number().over(w))
+            .select(cfg.id_col, "group_id", "group_size", "quality_score",
+                    (F.col("cap_rank") == 1).alias("is_canonical"))
+            )
+
+
+def canonical_selection_oracle(b: SqlBuilder, reg: Registry,
+                               cfg: CanonicalConfig,
+                               g: GlobalConfig = DEFAULT) -> str:
+    grp = reg.duckdb_relation(cfg.groups_entity)
+    q = reg.duckdb_relation(cfg.quality_entity)
+    ranked = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT g.{cfg.id_col}, g.group_id, g.group_size, "
+        f"q.quality_score, "
+        f"row_number() OVER (PARTITION BY g.group_id "
+        f"ORDER BY q.quality_score DESC, g.{cfg.id_col} ASC) AS rn "
+        f"FROM {grp} g JOIN {q} q ON g.{cfg.id_col} = q.{cfg.id_col}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, group_id, group_size, quality_score, "
+        f"rn = 1 AS is_canonical FROM {ranked}")
+
+
+# ---------------------------------------------------- stratified_split --
+
+@dataclass(frozen=True)
+class StratifiedSplitConfig:
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    strata_col: str = "lang"
+    # (stratum, train_frac, val_frac); test gets the remainder.
+    fractions: tuple = (("en", 0.8, 0.1),)
+    default_train: float = 0.9
+    default_val: float = 0.05
+    salt: str = "split"
+
+    def __post_init__(self):
+        _ident(self.id_col, "id_col", self.name)
+        _ident(self.strata_col, "strata_col", self.name)
+        for s, tr, va in self.fractions:
+            if "'" in s or "\\" in s:
+                raise ValueError(
+                    f"{self.name}: stratum {s!r} violates the "
+                    f"portability contract (quote/backslash)")
+            if not (0.0 <= tr and 0.0 <= va and tr + va <= 1.0):
+                raise ValueError(
+                    f"{self.name}: fractions for {s!r} must satisfy "
+                    f"0 <= train, 0 <= val, train + val <= 1")
+        if not (0.0 <= self.default_train and 0.0 <= self.default_val
+                and self.default_train + self.default_val <= 1.0):
+            raise ValueError(f"{self.name}: default fractions invalid")
+
+
+def _frac_case(cfg: StratifiedSplitConfig, pick: int, default: float) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN CAST({(tr, va)[pick]} AS DOUBLE)"
+        for s, tr, va in cfg.fractions)
+    return f"CASE {cfg.strata_col} {whens} ELSE CAST({default} AS DOUBLE) END"
+
+
+def _split_exprs(cfg: StratifiedSplitConfig) -> tuple:
+    u = _u01(cfg.id_col, cfg.salt)
+    train = _frac_case(cfg, 0, cfg.default_train)
+    val = _frac_case(cfg, 1, cfg.default_val)
+    split = (f"CASE WHEN {u} < {train} THEN 'train' "
+             f"WHEN {u} < {train} + {val} THEN 'validation' "
+             f"ELSE 'test' END")
+    return u, split
+
+
+def build_stratified_split(spark, reg: Registry,
+                           cfg: StratifiedSplitConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    u, split = _split_exprs(cfg)
+    return df.selectExpr(cfg.id_col, cfg.strata_col,
+                         f"round({u}, 6) AS u_split",
+                         f"{split} AS split")
+
+
+def stratified_split_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: StratifiedSplitConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, split = _split_exprs(cfg)
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, {cfg.strata_col}, "
+        f"round({u}, 6) AS u_split, {split} AS split FROM {src}")
+
+
+# --------------------------------------------------------- source_cap --
+
+@dataclass(frozen=True)
+class SourceCapConfig:
+    name: str
+    source: str = "documents"
+    quality_entity: str = "text_quality"
+    id_col: str = "doc_id"
+    source_col: str = "source"
+    cap: int = 50
+    # Sub-partitions per source in the skew-safe first pass. The value
+    # only changes intermediate sizes, never the result; size it so
+    # (docs-in-largest-source / n_salts) fits one reducer comfortably.
+    n_salts: int = 16
+
+    def __post_init__(self):
+        _ident(self.id_col, "id_col", self.name)
+        _ident(self.source_col, "source_col", self.name)
+        if self.cap < 1 or self.n_salts < 1:
+            raise ValueError(f"{self.name}: cap and n_salts must be >= 1")
+
+
+def build_source_cap(spark, reg: Registry, cfg: SourceCapConfig,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    docs = reg.load(spark, cfg.source).select(cfg.id_col, cfg.source_col)
+    q = reg.load(spark, cfg.quality_entity) \
+        .select(cfg.id_col, "quality_score")
+    joined = docs.join(q, cfg.id_col)
+    order = (F.col("quality_score").desc(), F.col(cfg.id_col).asc())
+    # Pass 1 (skew-safe): rank inside (source, id % n_salts) slices and
+    # keep each slice's top `cap` — bounds every window partition at
+    # (source size / n_salts) regardless of domain skew.
+    w1 = Window.partitionBy(
+        cfg.source_col,
+        F.pmod(F.col(cfg.id_col), F.lit(cfg.n_salts))).orderBy(*order)
+    survivors = (joined.withColumn("rn1", F.row_number().over(w1))
+                 .filter(F.col("rn1") <= cfg.cap).drop("rn1"))
+    # Pass 2 (exact): <= cap * n_salts rows per source remain; the
+    # final window is small by construction.
+    w2 = Window.partitionBy(cfg.source_col).orderBy(*order)
+    return (survivors.withColumn("cap_rank", F.row_number().over(w2))
+            .filter(F.col("cap_rank") <= cfg.cap)
+            .select(cfg.id_col, cfg.source_col, "quality_score",
+                    "cap_rank"))
+
+
+def source_cap_oracle(b: SqlBuilder, reg: Registry, cfg: SourceCapConfig,
+                      g: GlobalConfig = DEFAULT) -> str:
+    """Single-window top-N — the semantic spec the salted two-stage
+    Spark plan must reproduce row-for-row."""
+    docs = reg.duckdb_relation(cfg.source)
+    q = reg.duckdb_relation(cfg.quality_entity)
+    ranked = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT d.{cfg.id_col}, d.{cfg.source_col}, q.quality_score, "
+        f"row_number() OVER (PARTITION BY d.{cfg.source_col} "
+        f"ORDER BY q.quality_score DESC, d.{cfg.id_col} ASC) AS cap_rank "
+        f"FROM {docs} d JOIN {q} q ON d.{cfg.id_col} = q.{cfg.id_col}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, {cfg.source_col}, quality_score, cap_rank "
+        f"FROM {ranked} WHERE cap_rank <= {cfg.cap}")

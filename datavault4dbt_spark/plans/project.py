@@ -121,6 +121,8 @@ def _llm_kinds() -> dict:
     from ..llm.chunking import build_doc_chunks, build_chunk_dedup
     from ..llm.profile import build_dataset_profile
     from ..llm.lineclean import build_line_clean
+    from ..llm.selection import (build_canonical_selection,
+                                 build_stratified_split, build_source_cap)
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -164,6 +166,12 @@ def _llm_kinds() -> dict:
         "decontaminate": (build_decontaminated, src),
         "dataset_profile": (build_dataset_profile, src),
         "line_clean": (build_line_clean, src),
+        "canonical_selection": (build_canonical_selection,
+                                lambda c: [c.groups_entity,
+                                           c.quality_entity]),
+        "stratified_split": (build_stratified_split, src),
+        "source_cap": (build_source_cap,
+                       lambda c: [c.source, c.quality_entity]),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

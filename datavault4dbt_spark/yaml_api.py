@@ -405,6 +405,8 @@ def _llm_parsers() -> dict:
     from .llm.multimodal import MultimodalDecodeConfig
     from .llm.profile import ProfileConfig
     from .llm.lineclean import LineCleanConfig
+    from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
+                                SourceCapConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -440,6 +442,9 @@ def _llm_parsers() -> dict:
         "decontaminate": _dataclass_parser(ContaminationConfig),
         "dataset_profile": _dataclass_parser(ProfileConfig),
         "line_clean": _dataclass_parser(LineCleanConfig),
+        "canonical_selection": _dataclass_parser(CanonicalConfig),
+        "stratified_split": _dataclass_parser(StratifiedSplitConfig),
+        "source_cap": _dataclass_parser(SourceCapConfig),
     }
 
 
