@@ -36,6 +36,8 @@ from .operators.snapshots import (SnapV0Config, SnapV1Config, LogLogic,
                                   build_snap_v0, build_snap_v1,
                                   snap_v0_oracle, snap_v1_oracle)
 from .operators.pit import PitConfig, build_pit, pit_oracle
+from .operators.bridge import (BridgeConfig, BridgeLeg, build_bridge,
+                               bridge_oracle)
 from .operators.bundle import (BundleConfig, BundleMember, build_bundle,
                                bundle_oracle, UnionBundleConfig,
                                build_union_bundle, union_bundle_oracle)
@@ -572,6 +574,11 @@ BUNDLES = {
                      "concat(source, ':', CAST(cap_rank AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'source_cap'"),
+        # round-7: bundled to free the exposed slot for the new bridge
+        # operator (sat_v0 keeps sat_customer_n0_s individually
+        # exposed); payload pinned beside the hashdiff like its peers
+        BundleMember("sat_part_s", "hk_part_h",
+                     "concat(hd_part_s, '|', coalesce(p_type, ''))"),
     )),
 }
 
@@ -657,6 +664,21 @@ PITS = {
         ("sat_customer_n0_s", "sat_customer_p0_s"), "control_snap_v1",
         "dimension_key", snapshot_trigger_column="is_active",
         refer_to_ghost_records=True),
+}
+
+# Bridge: the link-traversal snapshot structure the reference lacks
+# (operators/bridge.py docstring). The single-leg customer->nation
+# fixture runs the eff-sat gate for real: day-1 customer->nation links
+# get deactivated-and-moved over days 2-3 in the eff_sat fixture, so
+# early sdts rows resolve the OLD nation and later sdts rows the NEW
+# one — a wrong interval join or gate shows up as extra/missing paths.
+BRIDGES = {
+    "bridge_customer_nation": BridgeConfig(
+        "bridge_customer_nation", "hub_customer", "hk_customer_h",
+        "control_snap_v0",
+        (BridgeLeg("link_customer_nation", "hk_customer_nation_l",
+                   "hk_customer_h", "hk_nation_h",
+                   eff_sat="eff_sat_customer_nation"),)),
 }
 
 
@@ -829,6 +851,10 @@ _FAMILIES = [
      lambda c: [c.snap_v0]),
     (PITS, build_pit, pit_oracle,
      lambda c: [c.tracked_entity, c.snapshot_relation] + list(c.sat_names)),
+    (BRIDGES, build_bridge, bridge_oracle,
+     lambda c: [c.base_entity, c.snapshot_relation]
+               + [leg.link_entity for leg in c.legs]
+               + [leg.eff_sat for leg in c.legs if leg.eff_sat]),
     (BUNDLES, build_bundle, bundle_oracle,
      lambda c: [m.entity for m in c.members]),
     (UNION_BUNDLES, build_union_bundle, union_bundle_oracle,

@@ -46,6 +46,7 @@ from ..operators.ref_entities import (build_ref_hub, build_ref_sat_v0,
                                       build_ref_sat_v1, build_ref_table)
 from ..operators.snapshots import build_snap_v0, build_snap_v1
 from ..operators.pit import build_pit
+from ..operators.bridge import build_bridge
 from .incremental import ParquetStore
 from .pipeline import EntityDecl, run_pipeline
 
@@ -91,6 +92,10 @@ KINDS = {
     "pit": (build_pit, "incremental",
             lambda c: [c.tracked_entity, c.snapshot_relation]
             + list(c.sat_names)),
+    "bridge": (build_bridge, "incremental",
+               lambda c: [c.base_entity, c.snapshot_relation]
+               + [leg.link_entity for leg in c.legs]
+               + [leg.eff_sat for leg in c.legs if leg.eff_sat]),
 }
 
 

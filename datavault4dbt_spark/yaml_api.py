@@ -243,6 +243,24 @@ def parse_pit(yaml_metadata, name: str) -> PitConfig:
                      pit_type=m.get("pit_type"))
 
 
+def parse_bridge(yaml_metadata, name: str) -> "BridgeConfig":
+    """Beyond-reference (operators/bridge.py): legs are mappings with
+    link_entity/link_hk/from_hk/to_hk and optional eff_sat /
+    eff_active_col, in traversal order."""
+    from .operators.bridge import BridgeConfig, BridgeLeg
+    m = _load(yaml_metadata)
+    legs = tuple(
+        BridgeLeg(leg["link_entity"], leg["link_hk"], leg["from_hk"],
+                  leg["to_hk"], eff_sat=leg.get("eff_sat", ""),
+                  eff_active_col=leg.get("eff_active_col", "is_active"))
+        for leg in m["legs"])
+    return BridgeConfig(name, m["base_entity"], m["base_hk"],
+                        m["snapshot_relation"], legs,
+                        bridge_key=m.get("bridge_key", "bridge_key"),
+                        snapshot_trigger_column=m.get(
+                            "snapshot_trigger_column"))
+
+
 def parse_ma_sat_v1(yaml_metadata, name: str) -> MaSatV1Config:
     """reference: macros/tables/ma_sat_v1.sql:13 (sat_v0, hashkey,
     hashdiff, ma_attribute, add_is_current_flag)."""
@@ -455,6 +473,7 @@ PARSERS = {
     "ma_sat_v0": parse_ma_sat_v0, "ma_sat_v1": parse_ma_sat_v1,
     "rec_track_sat": parse_rec_track_sat,
     "eff_sat_v0": parse_eff_sat_v0, "pit": parse_pit,
+    "bridge": parse_bridge,
     "ref_hub": parse_ref_hub, "ref_sat_v0": parse_ref_sat_v0,
     "ref_sat_v1": parse_ref_sat_v1, "ref_table": parse_ref_table,
     "control_snap_v0": parse_control_snap_v0,
