@@ -655,6 +655,13 @@ REPLAYS = {
                 "hk_sat_customer_p0_s, '|', "
                 "CAST(ldts_sat_customer_p0_s AS STRING))",
                 ldts="sdts", rsrc="'pit'"),
+            # round-7: bridge snapshot-extension increment — phase 1
+            # builds paths over the sdts-truncated spine, phase 2's
+            # bridge_key anti-join must insert exactly the extension
+            # rows (and the eff-sat gate re-resolves per new sdts)
+            ReplayMember("bridge_customer_nation", "bridge_key",
+                         "concat(hk_customer_h, '|', hk_nation_h)",
+                         ldts="sdts", rsrc="'bridge'"),
         )),
 }
 
@@ -673,12 +680,16 @@ PITS = {
 # early sdts rows resolve the OLD nation and later sdts rows the NEW
 # one — a wrong interval join or gate shows up as extra/missing paths.
 BRIDGES = {
+    # control_snap_v1 + trigger (the PIT's spine) rather than the raw
+    # v0 spine, so the replay's sdts truncation drives the bridge's
+    # snapshot-extension increment under the driver gate too
     "bridge_customer_nation": BridgeConfig(
         "bridge_customer_nation", "hub_customer", "hk_customer_h",
-        "control_snap_v0",
-        (BridgeLeg("link_customer_nation", "hk_customer_nation_l",
-                   "hk_customer_h", "hk_nation_h",
-                   eff_sat="eff_sat_customer_nation"),)),
+        "control_snap_v1", (
+            BridgeLeg("link_customer_nation", "hk_customer_nation_l",
+                      "hk_customer_h", "hk_nation_h",
+                      eff_sat="eff_sat_customer_nation"),),
+        snapshot_trigger_column="is_active"),
 }
 
 

@@ -90,6 +90,21 @@ def test_pit_snapshot_spine_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bridge_spine_broadcast_and_leg_joins_are_hashed(spark, sf_dir):
+    """The snapshot spine rides a broadcast (tiny side of the base
+    cross join, like PIT) while every leg/eff join keys on a hashkey —
+    a cartesian in a leg would blow up quadratically at scale."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("bridge_customer_nation")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan
+    # the leg + eff joins carry an equi key (SMJ/BHJ/SHJ), so the only
+    # nested-loop joins allowed are broadcast spine expansions
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") >= 2, plan
+
+
 def test_ann_query_side_is_broadcast(spark, sf_dir):
     fixtures.ensure_session_conf(spark)
     df = fixtures.entity_query("ann_cosine_topk")(spark, sf_dir)

@@ -120,8 +120,13 @@ def test_run_project_snapshot_pit_chain(spark, sf_dir, tmp_path):
     assert 0 < active_n <= store.read("control_snap_v0").count()
     assert counts["pit_customer"] == hub_n * active_n
 
+    # bridge rides the same spine: customer->nation paths per active
+    # snapshot, incremental via bridge_key anti-join
+    assert counts["bridge_customer_nation"] > 0
+
     counts2 = run_project(spark, proj, store, make_registry(sf_dir))
     assert counts2["pit_customer"] == 0
+    assert counts2["bridge_customer_nation"] == 0
     assert store.read("pit_customer").count() == hub_n * active_n
 
 
@@ -148,14 +153,16 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "source_stats", "docs_source_gated",
                            "doc_chunks", "dataset_profile", "text_line_clean",
                            "chunk_dedup_spans", "docs_decontaminated",
-                           "multimodal_decode"}
+                           "multimodal_decode", "canonical_docs",
+                           "docs_split", "docs_source_capped"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
                  "dedup_substring", "text_tfidf", "packing_manifest",
                  "dedup_report", "source_stats", "docs_source_gated",
                  "doc_chunks", "dataset_profile", "text_line_clean",
-                 "chunk_dedup_spans", "multimodal_decode"):
+                 "chunk_dedup_spans", "multimodal_decode",
+                 "canonical_docs", "docs_split", "docs_source_capped"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 
