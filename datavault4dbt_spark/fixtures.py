@@ -95,6 +95,8 @@ from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             build_stratified_split, build_source_cap,
                             canonical_selection_oracle,
                             stratified_split_oracle, source_cap_oracle)
+from .operators.asof import (AsofJoinConfig, build_asof_join,
+                             asof_join_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -586,9 +588,13 @@ BUNDLES = {
 # (query_id, neighbor_id, rank, cosine)): one exposed slot, full
 # external verification of each variant's complete result.
 UNION_BUNDLES = {
+    # round-7: ann_ivf_topk rides here too (same output schema), which
+    # frees its exposed slot for the as-of join; the k-means-refined
+    # IVF variant stays individually exposed for the family
     "ann_bundle": UnionBundleConfig(
         "ann_bundle",
-        ("ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk"),
+        ("ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
+         "ann_ivf_topk"),
         ("query_id", "neighbor_id", "rank", "cosine")),
 }
 
@@ -806,6 +812,14 @@ LINECLEAN = {"text_line_clean": LineCleanConfig(
     text_expr=("replace(coalesce(text, ''), ' window ', "
                "concat('.', '\n', 'window '))"))}
 DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
+# round-7: as-of join (operators/asof.py) — each event attaches the
+# user's latest STRICTLY-earlier click (strict=True keeps a click
+# event from matching itself, so the mode knob is genuinely exercised;
+# ~1/3 of events have no prior click -> the NULL branch runs too).
+# DuckDB's native ASOF LEFT JOIN oracles the union-window plan.
+ASOF = {"events_asof_click": AsofJoinConfig(
+    "events_asof_click", strict=True,
+    left_cols=("event_id", "user_id", "ts", "event_type", "value"))}
 # round-7 selection ops (llm/selection.py):
 # keep-best-quality survivor per duplicate group (vs the curation
 # chain's keep-lowest-id heuristic)
@@ -921,6 +935,7 @@ _FAMILIES = [
     (SPLIT, build_stratified_split, stratified_split_oracle, _NO_DEPS),
     (SOURCE_CAP, build_source_cap, source_cap_oracle,
      lambda c: [c.quality_entity]),
+    (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
 ]
 
 

@@ -1,0 +1,144 @@
+"""As-of join: attach the latest right-side row at-or-before (or
+strictly before) each left row's timestamp, per key.
+
+The classic time-series operator Spark's join surface lacks (DuckDB,
+Postgres range joins, and kdb each ship one natively; the build brief
+names it explicitly). A naive formulation — equi-join on key plus a
+``r.ts <= l.ts`` residual, then max-per-left — explodes to one row per
+(left, earlier-right) pair before reducing: quadratic per key on long
+histories. This implementation is the scalable union-window form:
+
+1. tag right rows and left rows, union them by name (right columns
+   prefixed, null on left rows);
+2. ONE shuffle: window over (key) ordered by (ts, side) where the side
+   bit encodes the mode — inclusive mode sorts a right row BEFORE a
+   left row at the same timestamp (it matches), strict mode after (it
+   does not);
+3. each left row reads ``last_value(ignoreNulls)`` of the prefixed
+   right columns over the unbounded-preceding frame — the latest
+   eligible right row — then non-left rows are dropped.
+
+Cost is one hash shuffle on the key and a single sorted pass per
+partition, independent of history length per left row. Skewed keys
+behave like any window (one key's history on one reducer); histories
+are bounded by retention in practice.
+
+Contract: right rows must be unique per (key, ts) — with duplicates
+"the latest right row" is ill-defined and engines may disagree on
+which duplicate wins (DuckDB's native ASOF JOIN, the oracle here,
+makes the same assumption).
+
+Oracle: DuckDB's native ``ASOF LEFT JOIN`` (inclusive: ``l.ts >=
+r.ts``; strict: ``l.ts > r.ts``) — an independent engine-native
+implementation of the same semantics, so the driver's hash compare
+certifies the union-window plan against it row for row.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+
+
+@dataclass(frozen=True)
+class AsofJoinConfig:
+    name: str
+    left_entity: str = "events"
+    right_entity: str = "events"
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    # SQL predicate applied to the right side in BOTH dialects (same
+    # portability contract as the stage/text_expr knobs); "" = none.
+    right_filter: str = "event_type = 'click'"
+    # right columns attached to each left row as asof_<col>; the right
+    # timestamp itself always rides along as asof_<ts_col>.
+    value_cols: tuple = ("value",)
+    # left columns carried through (() = all left columns).
+    left_cols: tuple = ()
+    strict: bool = False   # False: match at-or-before; True: strictly before
+
+    def __post_init__(self):
+        for c in (self.key_col, self.ts_col, *self.value_cols,
+                  *self.left_cols):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise ValueError(
+                    f"{self.name}: column {c!r} must be a plain "
+                    f"identifier — it is interpolated into both "
+                    f"dialects' SQL")
+        if self.ts_col in self.value_cols:
+            raise ValueError(
+                f"{self.name}: the right timestamp already rides along "
+                f"as asof_{self.ts_col}; drop it from value_cols")
+
+
+def build_asof_join(spark, reg: Registry, cfg: AsofJoinConfig,
+                    g: GlobalConfig = DEFAULT) -> DataFrame:
+    left = reg.load(spark, cfg.left_entity)
+    right = reg.load(spark, cfg.right_entity)
+    if cfg.right_filter:
+        right = right.filter(cfg.right_filter)
+
+    left_cols = list(cfg.left_cols) or [
+        c for c in left.columns]
+    # side bit: rows sort (ts, __side) ascending, so inclusive mode
+    # gives right rows the SMALLER side value (visible to a same-ts
+    # left row's preceding frame) and strict mode the larger.
+    r_side, l_side = (0, 1) if not cfg.strict else (1, 0)
+    tagged_r = right.select(
+        F.col(cfg.key_col), F.col(cfg.ts_col),
+        F.lit(r_side).alias("__side"),
+        F.col(cfg.ts_col).alias(f"__r_{cfg.ts_col}"),
+        *[F.col(c).alias(f"__r_{c}") for c in cfg.value_cols])
+    tagged_l = left.select(
+        F.col(cfg.key_col), F.col(cfg.ts_col),
+        F.lit(l_side).alias("__side"),
+        *[F.col(c) for c in left_cols
+          if c not in (cfg.key_col, cfg.ts_col)],
+        F.lit(True).alias("__is_left"))
+    u = tagged_r.unionByName(tagged_l, allowMissingColumns=True)
+
+    w = (Window.partitionBy(cfg.key_col)
+         .orderBy(cfg.ts_col, "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    attached = [F.last(f"__r_{c}", ignorenulls=True).over(w)
+                .alias(f"asof_{c}")
+                for c in (cfg.ts_col, *cfg.value_cols)]
+    out_cols = ([cfg.key_col, cfg.ts_col]
+                + [c for c in left_cols
+                   if c not in (cfg.key_col, cfg.ts_col)])
+    return (u.select(*out_cols, "__is_left", *attached)
+            .filter(F.col("__is_left")).drop("__is_left"))
+
+
+def asof_join_oracle(b: SqlBuilder, reg: Registry, cfg: AsofJoinConfig,
+                     g: GlobalConfig = DEFAULT) -> str:
+    left = reg.duckdb_relation(cfg.left_entity)
+    right = reg.duckdb_relation(cfg.right_entity)
+    rf = f"WHERE {cfg.right_filter}" if cfg.right_filter else ""
+    r = b.cte(f"{cfg.name}__r",
+              f"SELECT {cfg.key_col}, {cfg.ts_col}, "
+              f"{', '.join(cfg.value_cols) or '1 AS __one'} "
+              f"FROM {right} {rf}")
+    cmp_op = ">" if cfg.strict else ">="
+    left_cols = list(cfg.left_cols) or None
+    if left_cols is None:
+        # mirror the Spark side: all left columns pass through
+        lsel = "l.*"
+    else:
+        lsel = ", ".join(
+            f"l.{c}" for c in
+            ([cfg.key_col, cfg.ts_col]
+             + [c for c in left_cols
+                if c not in (cfg.key_col, cfg.ts_col)]))
+    rsel = ", ".join(f"r.{c} AS asof_{c}"
+                     for c in (cfg.ts_col, *cfg.value_cols))
+    return b.cte(
+        cfg.name,
+        f"SELECT {lsel}, {rsel} FROM {left} l "
+        f"ASOF LEFT JOIN {r} r ON l.{cfg.key_col} = r.{cfg.key_col} "
+        f"AND l.{cfg.ts_col} {cmp_op} r.{cfg.ts_col}")

@@ -128,6 +128,7 @@ def _llm_kinds() -> dict:
     from ..llm.lineclean import build_line_clean
     from ..llm.selection import (build_canonical_selection,
                                  build_stratified_split, build_source_cap)
+    from ..operators.asof import build_asof_join
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -177,6 +178,8 @@ def _llm_kinds() -> dict:
         "stratified_split": (build_stratified_split, src),
         "source_cap": (build_source_cap,
                        lambda c: [c.source, c.quality_entity]),
+        "asof_join": (build_asof_join,
+                      lambda c: [c.left_entity, c.right_entity]),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -398,6 +398,11 @@ def _dataclass_parser(cls):
     return parse_fn
 
 
+def _asof_config():
+    from .operators.asof import AsofJoinConfig
+    return AsofJoinConfig
+
+
 def _llm_parsers() -> dict:
     """kind -> parser for the beyond-reference training-data operators,
     so a project YAML can declare the full curation pipeline alongside
@@ -463,6 +468,7 @@ def _llm_parsers() -> dict:
         "canonical_selection": _dataclass_parser(CanonicalConfig),
         "stratified_split": _dataclass_parser(StratifiedSplitConfig),
         "source_cap": _dataclass_parser(SourceCapConfig),
+        "asof_join": _dataclass_parser(_asof_config()),
     }
 
 

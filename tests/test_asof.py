@@ -1,0 +1,110 @@
+"""As-of join behavior (operators/asof.py): inclusive vs strict tie
+handling, NULL on no-match, pass-through columns, and the one-shuffle
+plan shape. The driver-gate fixture (events_asof_click) is verified
+row-level against DuckDB's native ASOF JOIN by test_oracle_parity."""
+
+import datetime
+
+import pytest
+
+from datavault4dbt_spark.context import DEFAULT, Registry
+from datavault4dbt_spark.operators.asof import (
+    AsofJoinConfig, build_asof_join)
+
+G = DEFAULT
+TS = datetime.datetime.fromisoformat
+
+
+def _reg(**frames):
+    reg = Registry()
+    for name, df in frames.items():
+        reg.register(name, lambda s, d=df: d, name)
+    return reg
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 7, TS("2024-01-01 10:00:00"), "view", 1.0),
+         (2, 7, TS("2024-01-01 12:00:00"), "click", 2.0),
+         (3, 7, TS("2024-01-01 15:00:00"), "view", 3.0),
+         (4, 9, TS("2024-01-01 09:00:00"), "view", 4.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    return left
+
+
+def test_inclusive_matches_same_timestamp_strict_does_not(spark):
+    left = _frames(spark)
+    base = dict(left_entity="e", right_entity="e",
+                right_filter="event_type = 'click'",
+                left_cols=("event_id", "user_id", "ts"))
+    reg = _reg(e=left)
+    incl = {r.event_id: r.asof_ts
+            for r in build_asof_join(
+                spark, reg, AsofJoinConfig("a", **base), G).collect()}
+    strict = {r.event_id: r.asof_ts
+              for r in build_asof_join(
+                  spark, reg,
+                  AsofJoinConfig("a", strict=True, **base), G).collect()}
+    click = TS("2024-01-01 12:00:00")
+    # event 2 IS the click: inclusive matches itself, strict does not
+    assert incl[2] == click and strict[2] is None
+    # before any click -> NULL in both modes; after -> the click
+    assert incl[1] is None and strict[1] is None
+    assert incl[3] == click and strict[3] == click
+    # user 9 never clicks
+    assert incl[4] is None and strict[4] is None
+
+
+def test_latest_of_several_right_rows_wins(spark):
+    left = spark.createDataFrame(
+        [(1, 5, TS("2024-01-03 00:00:00"), "view", 0.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    right = spark.createDataFrame(
+        [(10, 5, TS("2024-01-01 00:00:00"), "click", 1.0),
+         (11, 5, TS("2024-01-02 00:00:00"), "click", 2.0),
+         (12, 5, TS("2024-01-04 00:00:00"), "click", 3.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    reg = _reg(l=left, r=right)
+    out = build_asof_join(
+        spark, reg,
+        AsofJoinConfig("a", left_entity="l", right_entity="r",
+                       right_filter="event_type = 'click'",
+                       left_cols=("event_id", "user_id", "ts")),
+        G).collect()
+    assert len(out) == 1 and out[0].asof_value == 2.0  # not 1.0, not 3.0
+
+
+def test_all_left_columns_pass_through_by_default(spark):
+    left = _frames(spark)
+    reg = _reg(e=left)
+    out = build_asof_join(
+        spark, reg, AsofJoinConfig("a", left_entity="e",
+                                   right_entity="e"), G)
+    assert set(out.columns) == {"event_id", "user_id", "ts",
+                                "event_type", "value",
+                                "asof_ts", "asof_value"}
+    assert out.count() == left.count()
+
+
+def test_plan_is_single_shuffle_window_not_join(spark):
+    left = _frames(spark)
+    reg = _reg(e=left)
+    df = build_asof_join(
+        spark, reg, AsofJoinConfig("a", left_entity="e",
+                                   right_entity="e"), G)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        AsofJoinConfig("a", key_col="bad-name")
+    with pytest.raises(ValueError):
+        AsofJoinConfig("a", value_cols=("ts",))
