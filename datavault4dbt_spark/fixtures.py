@@ -97,6 +97,9 @@ from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             stratified_split_oracle, source_cap_oracle)
 from .operators.asof import (AsofJoinConfig, build_asof_join,
                              asof_join_oracle)
+from .operators.events import (SessionizeConfig, HoppingAggConfig,
+                               build_sessionize, build_hopping_agg,
+                               sessionize_oracle, hopping_agg_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -581,6 +584,24 @@ BUNDLES = {
         # exposed); payload pinned beside the hashdiff like its peers
         BundleMember("sat_part_s", "hk_part_h",
                      "concat(hd_part_s, '|', coalesce(p_type, ''))"),
+        # round-7 event analytics: session bounds (with microsecond
+        # timestamps rendered through CAST in both engines) and exact
+        # cents sums drive the driver hash
+        BundleMember("event_sessions",
+                     "concat(CAST(user_id AS STRING), ':', "
+                     "CAST(session_seq AS STRING))",
+                     "concat(CAST(session_start AS STRING), ':', "
+                     "CAST(session_end AS STRING), ':', "
+                     "CAST(n_events AS STRING), ':', "
+                     "CAST(sum_value_cents AS STRING))",
+                     ldts="session_start", rsrc="'sessions'"),
+        BundleMember("event_hopping_agg",
+                     "concat(CAST(window_start AS STRING), ':', "
+                     "event_type)",
+                     "concat(CAST(window_end AS STRING), ':', "
+                     "CAST(n_events AS STRING), ':', "
+                     "CAST(sum_value_cents AS STRING))",
+                     ldts="window_start", rsrc="'hopping'"),
     )),
 }
 
@@ -820,6 +841,16 @@ DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 ASOF = {"events_asof_click": AsofJoinConfig(
     "events_asof_click", strict=True,
     left_cols=("event_id", "user_id", "ts", "event_type", "value"))}
+# round-7 event analytics (operators/events.py), bundle-riders. At a
+# 30-min gap the sparse synthetic stream (150 users, ~2 events per
+# user-day at sf0.01) yields mostly singleton sessions plus ~450
+# multi-event ones — both the gap-break and the continue branch run
+# under the driver gate. Hopping windows use 1h width / 15min hop =
+# 4 containing windows per event.
+SESSIONS = {"event_sessions": SessionizeConfig(
+    "event_sessions", gap_seconds=1800)}
+HOPPING = {"event_hopping_agg": HoppingAggConfig(
+    "event_hopping_agg", width_seconds=3600, hop_seconds=900)}
 # round-7 selection ops (llm/selection.py):
 # keep-best-quality survivor per duplicate group (vs the curation
 # chain's keep-lowest-id heuristic)
@@ -936,6 +967,8 @@ _FAMILIES = [
     (SOURCE_CAP, build_source_cap, source_cap_oracle,
      lambda c: [c.quality_entity]),
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
+    (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
+    (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
 ]
 
 

@@ -1,0 +1,195 @@
+"""Event-stream analytics in batch: gap sessionization and hopping
+(sliding) window aggregation.
+
+Beyond-reference event-table operators (the reference models events
+only as non-historized satellite payloads). Both are the batch twins
+of the streaming surface — ``streaming.stateful`` runs the SAME
+session semantics per micro-batch with state-store timeouts, and a
+hopping aggregation is what ``groupBy(window(...))`` computes on a
+stream — so pipeline logic can move between batch backfill and live
+streams without reimplementation.
+
+- ``sessionize``: a session ends after ``gap_seconds`` of user
+  inactivity. Boundary detection is the classic gaps-and-islands
+  window pair: LAG flags gap-starts, a running sum numbers sessions
+  (``session_seq`` = 1..n per user, deterministic), then one groupBy
+  folds per-session stats. Two shuffles total, both keyed on the
+  uniform user id.
+- ``hopping_agg``: overlapping windows of ``width_seconds`` sliding
+  every ``hop_seconds`` (width % hop == 0), epoch-aligned — built on
+  Spark's native ``F.window``, which generates each row's
+  width/hop containing windows in the scan stage; the only shuffle is
+  the final (window, group) aggregation with map-side combine.
+
+Value sums fold as exact integer cents (``round(value * 100)``):
+double summation is shuffle-order dependent and not bit-reproducible
+across engines, so the engine's oracle-gate convention (profile.py,
+curation.py) is integer-exact aggregates only.
+
+Oracle: the same LAG/SUM windows in DuckDB; for hopping windows,
+``generate_series(0, width/hop - 1)`` reconstructs each event's
+containing epoch-aligned window starts — an independent formulation of
+F.window's generation rule.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry
+from ..plans.sqlbuild import SqlBuilder
+
+
+def _ident(name: str, what: str, owner: str) -> None:
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"{owner}: {what} {name!r} must be a plain identifier — "
+            f"it is interpolated into both dialects' SQL")
+
+
+# ---------------------------------------------------------- sessionize --
+
+@dataclass(frozen=True)
+class SessionizeConfig:
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    value_col: str = "value"
+    gap_seconds: int = 3600
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col, self.value_col):
+            _ident(c, "column", self.name)
+        if self.gap_seconds < 1:
+            raise ValueError(f"{self.name}: gap_seconds must be >= 1")
+
+
+def mark_sessions(events: DataFrame, gap_seconds: int,
+                  user_col: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+    """Gap-start detection + running session number (``session_seq``,
+    1-based per user). Shared by the batch operator and the streaming
+    twin's batch-parity tests so the two cannot drift."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    marked = events.withColumn(
+        "__new", (prev.isNull()
+                  | (F.col(ts_col).cast("double") - prev.cast("double")
+                     > gap_seconds)).cast("int"))
+    return marked.withColumn(
+        "session_seq", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))).drop("__new")
+
+
+def build_sessionize(spark, reg: Registry, cfg: SessionizeConfig,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    # cast first: a session without the nanosAsLong static conf reads
+    # the events timestamp as TIMESTAMP_NTZ, which the gap arithmetic's
+    # double cast rejects (UTC session tz makes the cast value-exact)
+    ev = (reg.load(spark, cfg.source)
+          .select(cfg.user_col, cfg.ts_col, cfg.value_col)
+          .withColumn(cfg.ts_col, F.col(cfg.ts_col).cast("timestamp")))
+    sess = mark_sessions(ev, cfg.gap_seconds, cfg.user_col, cfg.ts_col)
+    return (sess.groupBy(cfg.user_col, "session_seq")
+            .agg(F.min(cfg.ts_col).alias("session_start"),
+                 F.max(cfg.ts_col).alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.expr(
+                     f"CAST(round({cfg.value_col} * 100) AS BIGINT)"))
+                 .alias("sum_value_cents")))
+
+
+def sessionize_oracle(b: SqlBuilder, reg: Registry, cfg: SessionizeConfig,
+                      g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t, v = cfg.user_col, cfg.ts_col, cfg.value_col
+    marked = b.cte(
+        f"{cfg.name}__m",
+        f"SELECT {u}, {t}, {v}, CASE WHEN LAG({t}) OVER w IS NULL OR "
+        f"epoch({t}) - epoch(LAG({t}) OVER w) > {cfg.gap_seconds} "
+        f"THEN 1 ELSE 0 END AS nw FROM {src} "
+        f"WINDOW w AS (PARTITION BY {u} ORDER BY {t})")
+    sid = b.cte(
+        f"{cfg.name}__s",
+        f"SELECT {u}, {t}, {v}, SUM(nw) OVER (PARTITION BY {u} "
+        f"ORDER BY {t} ROWS UNBOUNDED PRECEDING) AS session_seq "
+        f"FROM {marked}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {u}, session_seq, min({t}) AS session_start, "
+        f"max({t}) AS session_end, count(*) AS n_events, "
+        f"SUM(CAST(round({v} * 100) AS BIGINT)) AS sum_value_cents "
+        f"FROM {sid} GROUP BY {u}, session_seq")
+
+
+# --------------------------------------------------------- hopping_agg --
+
+@dataclass(frozen=True)
+class HoppingAggConfig:
+    name: str
+    source: str = "events"
+    ts_col: str = "ts"
+    group_col: str = "event_type"
+    value_col: str = "value"
+    width_seconds: int = 3600
+    hop_seconds: int = 900
+
+    def __post_init__(self):
+        for c in (self.ts_col, self.group_col, self.value_col):
+            _ident(c, "column", self.name)
+        if self.width_seconds < 1 or self.hop_seconds < 1:
+            raise ValueError(f"{self.name}: window sizes must be >= 1")
+        if self.width_seconds % self.hop_seconds:
+            raise ValueError(
+                f"{self.name}: width_seconds must be a multiple of "
+                f"hop_seconds (every event then sits in exactly "
+                f"width/hop windows — the epoch-aligned F.window rule "
+                f"the oracle reconstructs)")
+
+
+def build_hopping_agg(spark, reg: Registry, cfg: HoppingAggConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    ev = (reg.load(spark, cfg.source)
+          .select(cfg.ts_col, cfg.group_col, cfg.value_col)
+          .withColumn(cfg.ts_col, F.col(cfg.ts_col).cast("timestamp")))
+    win = F.window(F.col(cfg.ts_col), f"{cfg.width_seconds} seconds",
+                   f"{cfg.hop_seconds} seconds")
+    return (ev.groupBy(win.alias("w"), cfg.group_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.expr(
+                     f"CAST(round({cfg.value_col} * 100) AS BIGINT)"))
+                 .alias("sum_value_cents"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    cfg.group_col, "n_events", "sum_value_cents"))
+
+
+def hopping_agg_oracle(b: SqlBuilder, reg: Registry, cfg: HoppingAggConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    t, gcol, v = cfg.ts_col, cfg.group_col, cfg.value_col
+    n = cfg.width_seconds // cfg.hop_seconds
+    hop = cfg.hop_seconds
+    # the i-th containing window (i = 0..n-1) starts at
+    # floor(epoch/hop)*hop - i*hop; all n are valid when width % hop
+    # == 0 and the timestamp is non-negative epoch. Pure interval
+    # arithmetic off the epoch origin keeps the result a plain
+    # (zoneless) TIMESTAMP — to_timestamp() would mint a TIMESTAMPTZ
+    # whose rendering depends on the session zone.
+    exploded = b.cte(
+        f"{cfg.name}__x",
+        f"SELECT TIMESTAMP '1970-01-01 00:00:00' + "
+        f"((CAST(floor(epoch({t}) / {hop}) AS BIGINT) - i.i) * {hop}) "
+        f"* INTERVAL 1 SECOND AS window_start, {gcol}, {v} "
+        f"FROM {src} CROSS JOIN range(0, {n}) AS i(i)")
+    return b.cte(
+        cfg.name,
+        f"SELECT window_start, "
+        f"window_start + INTERVAL {cfg.width_seconds} SECOND "
+        f"AS window_end, {gcol}, count(*) AS n_events, "
+        f"SUM(CAST(round({v} * 100) AS BIGINT)) AS sum_value_cents "
+        f"FROM {exploded} GROUP BY 1, 2, 3")

@@ -129,6 +129,7 @@ def _llm_kinds() -> dict:
     from ..llm.selection import (build_canonical_selection,
                                  build_stratified_split, build_source_cap)
     from ..operators.asof import build_asof_join
+    from ..operators.events import build_sessionize, build_hopping_agg
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -180,6 +181,8 @@ def _llm_kinds() -> dict:
                        lambda c: [c.source, c.quality_entity]),
         "asof_join": (build_asof_join,
                       lambda c: [c.left_entity, c.right_entity]),
+        "sessionize": (build_sessionize, src),
+        "hopping_agg": (build_hopping_agg, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

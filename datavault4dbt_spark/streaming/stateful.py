@@ -121,20 +121,18 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
 
 
 def sessionize_batch(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
-    """Batch twin: identical session boundaries via LAG + running sum."""
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.lag("ts").over(w)
-    marked = (events
-              .withColumn("ts", F.col("ts").cast("timestamp"))
-              .withColumn("__new", (gap.isNull() | (
-                  F.col("ts").cast("double") - gap.cast("double")
-                  > gap_seconds)).cast("int")))
-    sess = marked.withColumn(
-        "__sid", F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-    return (sess.groupBy("user_id", "__sid")
+    """Batch twin: identical session boundaries via LAG + running sum.
+    Boundary detection delegates to ``operators.events.mark_sessions``
+    — the same core the driver-gated batch operator runs — so the
+    streaming twin and the oracle-checked surface cannot drift."""
+    from ..operators.events import mark_sessions
+
+    sess = mark_sessions(
+        events.withColumn("ts", F.col("ts").cast("timestamp")),
+        gap_seconds)
+    return (sess.groupBy("user_id", "session_seq")
             .agg(F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  F.count("*").alias("n_events"),
                  F.sum("value").alias("sum_value"))
-            .drop("__sid"))
+            .drop("session_seq"))

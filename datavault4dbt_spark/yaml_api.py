@@ -403,6 +403,11 @@ def _asof_config():
     return AsofJoinConfig
 
 
+def _events_configs():
+    from .operators.events import SessionizeConfig, HoppingAggConfig
+    return SessionizeConfig, HoppingAggConfig
+
+
 def _llm_parsers() -> dict:
     """kind -> parser for the beyond-reference training-data operators,
     so a project YAML can declare the full curation pipeline alongside
@@ -469,6 +474,8 @@ def _llm_parsers() -> dict:
         "stratified_split": _dataclass_parser(StratifiedSplitConfig),
         "source_cap": _dataclass_parser(SourceCapConfig),
         "asof_join": _dataclass_parser(_asof_config()),
+        "sessionize": _dataclass_parser(_events_configs()[0]),
+        "hopping_agg": _dataclass_parser(_events_configs()[1]),
     }
 
 

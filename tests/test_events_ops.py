@@ -1,0 +1,94 @@
+"""Event-analytics operator behavior (operators/events.py): session
+boundary placement, alignment between the driver-gated batch operator
+and the streaming twin's batch form, and hopping-window containment.
+The driver-gate fixtures are row-level verified by test_oracle_parity."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datavault4dbt_spark.context import DEFAULT, Registry
+from datavault4dbt_spark.operators.events import (
+    HoppingAggConfig, SessionizeConfig, build_hopping_agg,
+    build_sessionize)
+
+G = DEFAULT
+TS = datetime.datetime.fromisoformat
+
+
+def _reg(**frames):
+    reg = Registry()
+    for name, df in frames.items():
+        reg.register(name, lambda s, d=df: d, name)
+    return reg
+
+
+def _events(spark):
+    rows = [
+        # user 1: two events 10 min apart, then a 2-hour gap
+        (1, TS("2024-01-01 10:00:00"), 1.00),
+        (1, TS("2024-01-01 10:10:00"), 2.00),
+        (1, TS("2024-01-01 12:30:00"), 4.00),
+        # user 2: single event
+        (2, TS("2024-01-01 09:00:00"), 8.00),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+
+
+def test_sessionize_boundaries_and_exact_cents(spark):
+    reg = _reg(events=_events(spark))
+    out = {(r.user_id, r.session_seq): r for r in build_sessionize(
+        spark, reg, SessionizeConfig("s", gap_seconds=1800), G).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert (s11.n_events, s11.sum_value_cents) == (2, 300)
+    assert s11.session_start == TS("2024-01-01 10:00:00")
+    assert s11.session_end == TS("2024-01-01 10:10:00")
+    assert out[(1, 2)].n_events == 1
+    assert out[(2, 1)].sum_value_cents == 800
+
+
+def test_sessionize_matches_streaming_batch_twin(spark):
+    """The driver-gated operator and streaming's sessionize_batch must
+    place identical boundaries (they share mark_sessions)."""
+    from datavault4dbt_spark.streaming.stateful import sessionize_batch
+
+    ev = _events(spark).withColumn("event_type", F.lit("click"))
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in build_sessionize(
+               spark, _reg(events=ev),
+               SessionizeConfig("s", gap_seconds=1800), G).collect()}
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sessionize_batch(ev, gap_seconds=1800).collect()}
+    assert got == want
+
+
+def test_hopping_windows_epoch_aligned_containment(spark):
+    ev = spark.createDataFrame(
+        [(TS("2024-01-01 10:07:00"), "click", 1.50)],
+        "ts timestamp, event_type string, value double")
+    reg = _reg(events=ev)
+    out = build_hopping_agg(
+        spark, reg,
+        HoppingAggConfig("h", width_seconds=3600, hop_seconds=900),
+        G).collect()
+    # exactly width/hop = 4 windows contain the event, each epoch-
+    # aligned to 15 min and covering 10:07
+    starts = sorted(r.window_start for r in out)
+    assert starts == [TS("2024-01-01 09:15:00"), TS("2024-01-01 09:30:00"),
+                      TS("2024-01-01 09:45:00"), TS("2024-01-01 10:00:00")]
+    assert all(r.window_end == r.window_start
+               + datetime.timedelta(seconds=3600) for r in out)
+    assert all((r.n_events, r.sum_value_cents) == (1, 150) for r in out)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        SessionizeConfig("s", gap_seconds=0)
+    with pytest.raises(ValueError):
+        HoppingAggConfig("h", width_seconds=3600, hop_seconds=700)
+    with pytest.raises(ValueError):
+        SessionizeConfig("s", user_col="bad-name")
