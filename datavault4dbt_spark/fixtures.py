@@ -100,6 +100,8 @@ from .operators.asof import (AsofJoinConfig, build_asof_join,
 from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                build_sessionize, build_hopping_agg,
                                sessionize_oracle, hopping_agg_oracle)
+from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
+                                  interval_join_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -602,6 +604,11 @@ BUNDLES = {
                      "CAST(n_events AS STRING), ':', "
                      "CAST(sum_value_cents AS STRING))",
                      ldts="window_start", rsrc="'hopping'"),
+        BundleMember("events_in_snapshot_day",
+                     "CAST(event_id AS STRING)",
+                     "concat(CAST(user_id AS STRING), ':', "
+                     "CAST(ts AS STRING), ':', CAST(sdts AS STRING))",
+                     ldts="sdts", rsrc="'interval_join'"),
     )),
 }
 
@@ -851,6 +858,12 @@ SESSIONS = {"event_sessions": SessionizeConfig(
     "event_sessions", gap_seconds=1800)}
 HOPPING = {"event_hopping_agg": HoppingAggConfig(
     "event_hopping_agg", width_seconds=3600, hop_seconds=900)}
+# round-7 interval join (operators/rangejoin.py): events against the
+# snapshot spine's derived daily windows [sdts, sdts + 1d) — unkeyed,
+# derived end, 1-day bins; DuckDB's raw inequality join (IEJoin
+# algorithm) oracles the binned decomposition
+INTERVAL_JOINS = {"events_in_snapshot_day":
+                  IntervalJoinConfig("events_in_snapshot_day")}
 # round-7 selection ops (llm/selection.py):
 # keep-best-quality survivor per duplicate group (vs the curation
 # chain's keep-lowest-id heuristic)
@@ -969,6 +982,8 @@ _FAMILIES = [
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
+    (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
+     lambda c: [c.points_entity, c.intervals_entity]),
 ]
 
 

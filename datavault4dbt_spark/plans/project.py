@@ -130,6 +130,7 @@ def _llm_kinds() -> dict:
                                  build_stratified_split, build_source_cap)
     from ..operators.asof import build_asof_join
     from ..operators.events import build_sessionize, build_hopping_agg
+    from ..operators.rangejoin import build_interval_join
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -183,6 +184,8 @@ def _llm_kinds() -> dict:
                       lambda c: [c.left_entity, c.right_entity]),
         "sessionize": (build_sessionize, src),
         "hopping_agg": (build_hopping_agg, src),
+        "interval_join": (build_interval_join,
+                          lambda c: [c.points_entity, c.intervals_entity]),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

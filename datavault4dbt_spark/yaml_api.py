@@ -408,6 +408,11 @@ def _events_configs():
     return SessionizeConfig, HoppingAggConfig
 
 
+def _interval_config():
+    from .operators.rangejoin import IntervalJoinConfig
+    return IntervalJoinConfig
+
+
 def _llm_parsers() -> dict:
     """kind -> parser for the beyond-reference training-data operators,
     so a project YAML can declare the full curation pipeline alongside
@@ -476,6 +481,7 @@ def _llm_parsers() -> dict:
         "asof_join": _dataclass_parser(_asof_config()),
         "sessionize": _dataclass_parser(_events_configs()[0]),
         "hopping_agg": _dataclass_parser(_events_configs()[1]),
+        "interval_join": _dataclass_parser(_interval_config()),
     }
 
 
