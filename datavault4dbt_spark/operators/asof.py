@@ -78,8 +78,14 @@ class AsofJoinConfig:
 
 def build_asof_join(spark, reg: Registry, cfg: AsofJoinConfig,
                     g: GlobalConfig = DEFAULT) -> DataFrame:
-    left = reg.load(spark, cfg.left_entity)
-    right = reg.load(spark, cfg.right_entity)
+    return asof_join_frames(reg.load(spark, cfg.left_entity),
+                            reg.load(spark, cfg.right_entity), cfg)
+
+
+def asof_join_frames(left: DataFrame, right: DataFrame,
+                     cfg: AsofJoinConfig) -> DataFrame:
+    """Frame-level core (no registry): shared by the batch operator and
+    the streaming stream-static twin so the two cannot drift."""
     if cfg.right_filter:
         right = right.filter(cfg.right_filter)
 
