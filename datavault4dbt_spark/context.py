@@ -9,8 +9,21 @@ model registry (name -> DataFrame / DuckDB relation name).
 
 from __future__ import annotations
 
+import re
 import threading
 from dataclasses import dataclass, field
+
+
+def ensure_identifier(name: str, what: str, owner: str) -> None:
+    """Portability-contract guard shared by every config that
+    interpolates a column name into BOTH dialects' SQL text: only
+    plain identifiers pass, so a quote/space/backslash cannot produce
+    broken or dialect-divergent SQL (one implementation — operators
+    must not drift on the injection contract)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"{owner}: {what} {name!r} must be a plain identifier — "
+            f"it is interpolated into both dialects' SQL")
 
 
 # Zero-key values per hash algorithm (reference:

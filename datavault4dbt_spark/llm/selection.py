@@ -34,21 +34,15 @@ certifies the equivalence.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F, Window
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
 from ..plans.sqlbuild import SqlBuilder
 from .sampling import _u01
 
-
-def _ident(name: str, what: str, owner: str) -> None:
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(
-            f"{owner}: {what} {name!r} must be a plain identifier — "
-            f"it is interpolated into both dialects' SQL")
+_ident = ensure_identifier
 
 
 # -------------------------------------------------- canonical_selection --

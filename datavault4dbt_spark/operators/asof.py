@@ -36,12 +36,11 @@ certifies the union-window plan against it row for row.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
 from ..plans.sqlbuild import SqlBuilder
 
 
@@ -65,15 +64,16 @@ class AsofJoinConfig:
     def __post_init__(self):
         for c in (self.key_col, self.ts_col, *self.value_cols,
                   *self.left_cols):
-            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
-                raise ValueError(
-                    f"{self.name}: column {c!r} must be a plain "
-                    f"identifier — it is interpolated into both "
-                    f"dialects' SQL")
+            ensure_identifier(c, "column", self.name)
         if self.ts_col in self.value_cols:
             raise ValueError(
                 f"{self.name}: the right timestamp already rides along "
                 f"as asof_{self.ts_col}; drop it from value_cols")
+        if self.key_col in self.value_cols:
+            raise ValueError(
+                f"{self.name}: key_col in value_cols would emit a "
+                f"duplicate column in the oracle CTE (and asof_"
+                f"{self.key_col} always equals the left key anyway)")
 
 
 def build_asof_join(spark, reg: Registry, cfg: AsofJoinConfig,
@@ -88,6 +88,14 @@ def asof_join_frames(left: DataFrame, right: DataFrame,
     the streaming stream-static twin so the two cannot drift."""
     if cfg.right_filter:
         right = right.filter(cfg.right_filter)
+    # NULL-key/NULL-ts right rows can never match under the SQL
+    # comparison semantics the oracle runs (NULL = / >= never true),
+    # but in the union-window they WOULD sort into a partition (NULL
+    # keys group; NULL ts sorts first = "earliest state") and leak
+    # into every left row without an earlier real match — drop them so
+    # both formulations agree.
+    right = right.filter(F.col(cfg.key_col).isNotNull()
+                         & F.col(cfg.ts_col).isNotNull())
 
     left_cols = list(cfg.left_cols) or [
         c for c in left.columns]

@@ -34,20 +34,14 @@ F.window's generation rule.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
 from ..plans.sqlbuild import SqlBuilder
 
-
-def _ident(name: str, what: str, owner: str) -> None:
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(
-            f"{owner}: {what} {name!r} must be a plain identifier — "
-            f"it is interpolated into both dialects' SQL")
+_ident = ensure_identifier
 
 
 # ---------------------------------------------------------- sessionize --

@@ -32,12 +32,12 @@ certifies the binned decomposition row for row.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
 from ..plans.sqlbuild import SqlBuilder
 
 
@@ -81,10 +81,7 @@ class IntervalJoinConfig:
 
 
 def _ident(name: str, owner: str) -> None:
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(
-            f"{owner}: column {name!r} must be a plain identifier — "
-            f"it is interpolated into both dialects' SQL")
+    ensure_identifier(name, "column", owner)
 
 
 def _end_expr(cfg: IntervalJoinConfig, prefix: str = "") -> str:
@@ -128,18 +125,10 @@ def build_interval_join(spark, reg: Registry, cfg: IntervalJoinConfig,
     on = [pts["__bin"] == ivs["__bin"]]
     if cfg.key_col:
         on.append(pts[cfg.key_col] == ivs[cfg.key_col])
-    cond = (reduce_and(on)
-            & (pts[cfg.ts_col] >= ivs["__start"])
-            & (pts[cfg.ts_col] < ivs["__end"]))
-    joined = pts.join(ivs, cond, cfg.how)
+    on += [pts[cfg.ts_col] >= ivs["__start"],
+           pts[cfg.ts_col] < ivs["__end"]]
+    joined = pts.join(ivs, reduce(lambda a, c: a & c, on), cfg.how)
     return joined.select(*pt_cols, *cfg.interval_cols)
-
-
-def reduce_and(conds):
-    out = conds[0]
-    for c in conds[1:]:
-        out = out & c
-    return out
 
 
 def interval_join_oracle(b: SqlBuilder, reg: Registry,

@@ -115,7 +115,11 @@ class BucketedVault:
 
     def append(self, name: str, df: DataFrame, partition_by: tuple = ()):
         """Insert-only append; ``partition_by`` composes with bucketing
-        (hive partitions outer, buckets inner) like any Spark table."""
+        (hive partitions outer, buckets inner) like any Spark table.
+        Checks the overwrite crash window first — an unchecked append
+        there recreates the table with only the new rows and strands
+        the committed copy in `__old` (see ParquetStore.append)."""
+        self._check_recovered(name)
         w = self._writer(df, name, "append")
         if partition_by:
             w = w.partitionBy(*partition_by)

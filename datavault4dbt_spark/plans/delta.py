@@ -8,7 +8,7 @@ is the production storage story: the same store interface over Delta
 Lake, where
 
 - ``append`` / ``overwrite`` are transactional log commits (no swap
-  dance, no ``_recover`` crash-recovery protocol needed),
+  dance, no repair()/crash-window protocol needed),
 - ``delete_where`` is a native ``DeltaTable.delete`` — with a
   predicate on partition columns Delta rewrites nothing and commits a
   metadata-only remove-file action, which is exactly what the
@@ -74,9 +74,13 @@ class DeltaStore(ParquetStore):
         super().__init__(spark, root)
 
     # -- protocol points that are no-ops under a transaction log ------
-    def _recover(self, name: str):
+    def _check_recovered(self, name: str):
         """Delta commits are atomic: a crashed write never becomes
-        visible, so there is no swap-protocol recovery to perform."""
+        visible, so there is no swap crash window to detect."""
+
+    def repair(self, name: str):
+        """No-op: nothing to restore — the inherited rename/rmtree
+        protocol must never run against a Delta table path."""
 
     def exists(self, name: str) -> bool:
         return self._DeltaTable.isDeltaTable(self.spark, self.path(name))

@@ -233,7 +233,14 @@ class ParquetStore:
         partition-predicate deletes into metadata-only directory drops
         (`drop_partitions`) — the parquet analogue of Delta's
         partition-pruned DELETE. PITs partitioned by sdts make
-        `clean_up_pit` a pure metadata operation at any scale."""
+        `clean_up_pit` a pure metadata operation at any scale.
+
+        Raises StoreRecoveryNeeded in the overwrite crash window: an
+        unchecked append there would create a fresh table holding only
+        the new rows, which MASKS the recovery state (the final path
+        exists again) and permanently strands the committed history in
+        `.__old__` — repair() restores only while final is missing."""
+        self._check_recovered(name)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -258,11 +258,24 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             # then inject), so the plans stay valid after the probe
             # cache is cleared below.
             inserts = dict(pool.map(increment, cfg.members))
-    finally:
-        clear_hwm_probes(targets.values())
+    except BaseException:
+        # a failed build must not leak marks or cached copies into the
+        # caller's registry (round-6 advice)
         for n in reg.persist_names - saved_persist:
             reg._invalidate(n)
         reg.persist_names.intersection_update(saved_persist)
+        raise
+    finally:
+        clear_hwm_probes(targets.values())
+    # On SUCCESS the replay-added persist marks and their cached
+    # subtrees stay alive deliberately: the returned union embeds the
+    # phase-2 insert plans, which the CALLER executes — unpersisting
+    # here would make that single action recompute every shared
+    # stage/dependency subtree once per member branch (the round-6
+    # advice about restoring marks concerned failed builds and
+    # registries that outlive the result; the caches belong to this
+    # registry's entries and are released by _invalidate on
+    # redefinition or by the session's cache clearing).
     finals = [targets[m.entity].unionByName(inserts[m.entity])
               .selectExpr(*_member_exprs(m, g))
               for m in cfg.members]

@@ -103,8 +103,34 @@ def test_plan_is_single_shuffle_window_not_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_null_key_or_ts_right_rows_never_match(spark):
+    """SQL comparison semantics: NULL = / >= is never true, so a right
+    row with NULL key or NULL ts must not act as anyone's state (the
+    union-window would otherwise sort it first and leak it)."""
+    left = spark.createDataFrame(
+        [(1, 5, TS("2024-01-02 00:00:00"), "view", 0.0),
+         (2, None, TS("2024-01-02 00:00:00"), "view", 0.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    right = spark.createDataFrame(
+        [(10, None, TS("2024-01-01 00:00:00"), "click", 1.0),
+         (11, 5, None, "click", 2.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    reg = _reg(l=left, r=right)
+    out = {r.event_id: r.asof_value for r in build_asof_join(
+        spark, reg,
+        AsofJoinConfig("a", left_entity="l", right_entity="r",
+                       right_filter="event_type = 'click'",
+                       left_cols=("event_id", "user_id", "ts")),
+        G).collect()}
+    assert out == {1: None, 2: None}
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         AsofJoinConfig("a", key_col="bad-name")
     with pytest.raises(ValueError):
         AsofJoinConfig("a", value_cols=("ts",))
+    with pytest.raises(ValueError):
+        AsofJoinConfig("a", key_col="user_id", value_cols=("user_id",))

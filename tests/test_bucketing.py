@@ -237,6 +237,8 @@ def test_overwrite_crash_recovery_restores_committed_copy(
             v.exists("hub_customer")
         with pytest.raises(StoreRecoveryNeeded, match="repair"):
             v.read("hub_customer")
+        with pytest.raises(StoreRecoveryNeeded, match="repair"):
+            v.append("hub_customer", reg.load(spark, "hub_customer"))
         v.repair("hub_customer")
         assert v.exists("hub_customer")
         assert v.read("hub_customer").count() == n

@@ -100,6 +100,12 @@ def test_overwrite_crash_recovery(spark, tmp_path):
         store.exists("t")
     with pytest.raises(StoreRecoveryNeeded, match="repair"):
         store.read("t")
+    # append in the crash window must refuse too: writing a fresh
+    # final dir would MASK the recovery state and strand the committed
+    # history in .__old__ forever (repair only restores while the
+    # final path is missing)
+    with pytest.raises(StoreRecoveryNeeded, match="repair"):
+        store.append("t", spark.createDataFrame([(7,)], "id int"))
     store.repair("t")
     assert store.exists("t")
     assert sorted(r.id for r in store.read("t").collect()) == [1, 2]
