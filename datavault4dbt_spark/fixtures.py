@@ -102,6 +102,8 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                sessionize_oracle, hopping_agg_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
                                   interval_join_oracle)
+from .operators.checks import (Check, VaultChecksConfig,
+                               build_vault_checks, vault_checks_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -609,6 +611,13 @@ BUNDLES = {
                      "concat(CAST(user_id AS STRING), ':', "
                      "CAST(ts AS STRING), ':', CAST(sdts AS STRING))",
                      ldts="sdts", rsrc="'interval_join'"),
+        # round-7: every soft-constraint verdict (incl. the two
+        # deliberately non-zero counts) drives the driver hash
+        BundleMember("vault_checks",
+                     "concat(entity, ':', check_kind, ':', check_cols)",
+                     "CAST(n_violations AS STRING)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'vault_checks'"),
     )),
 }
 
@@ -864,6 +873,40 @@ HOPPING = {"event_hopping_agg": HoppingAggConfig(
 # algorithm) oracles the binned decomposition
 INTERVAL_JOINS = {"events_in_snapshot_day":
                   IntervalJoinConfig("events_in_snapshot_day")}
+# round-7 soft-constraint suite (operators/checks.py): the reference
+# doc's per-entity-type dbt tests instantiated over the fixture vault
+# (all green = 0 violations, proving the loads), PLUS raw-table
+# checks that genuinely flag — lineitem's repeated order keys
+# exercise the duplicate arithmetic and user ids 100-149 have no
+# supplier key, exercising the anti-join count — so non-zero paths
+# are driver-verified too (a green relationship rides above via the
+# link/sat checks).
+VAULT_CHECKS = {"vault_checks": VaultChecksConfig("vault_checks", (
+    Check("hub_customer", "not_null", ("hk_customer_h",)),
+    Check("hub_customer", "unique", ("hk_customer_h",)),
+    Check("link_part_supplier", "unique", ("hk_part_supplier_l",)),
+    Check("link_part_supplier", "relationship", ("hk_part_h",),
+          to_entity="hub_part"),
+    Check("link_part_supplier", "relationship", ("hk_supplier_h",),
+          to_entity="hub_supplier"),
+    Check("sat_customer_n0_s", "unique_combination",
+          ("hk_customer_h", "ldts")),
+    Check("sat_customer_n0_s", "relationship", ("hk_customer_h",),
+          to_entity="hub_customer"),
+    Check("ma_sat_customer_orders", "unique_combination",
+          ("hk_customer_h", "ldts", "o_orderkey")),
+    Check("nh_link_order_customer", "unique",
+          ("hk_order_customer_nl",)),
+    Check("nh_link_order_customer", "relationship", ("hk_customer_h",),
+          to_entity="hub_customer"),
+    Check("rec_track_customer", "unique_combination",
+          ("hk_customer_h", "ldts", "rsrc")),
+    Check("ref_hub_part", "unique", ("p_partkey",)),
+    # deliberately-flagging raw checks (see comment above)
+    Check("lineitem", "unique", ("l_orderkey",)),
+    Check("events", "relationship", ("user_id",),
+          to_entity="supplier", to_columns=("s_suppkey",)),
+))}
 # round-7 selection ops (llm/selection.py):
 # keep-best-quality survivor per duplicate group (vs the curation
 # chain's keep-lowest-id heuristic)
@@ -984,6 +1027,10 @@ _FAMILIES = [
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
+    (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
+     lambda c: sorted({ch.entity for ch in c.checks}
+                      | {ch.to_entity for ch in c.checks
+                         if ch.to_entity})),
 ]
 
 

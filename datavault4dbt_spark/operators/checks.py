@@ -1,0 +1,165 @@
+"""Soft-constraint vault checks: the reference's documented `dbt test`
+suite as one declarative operator.
+
+Reference: docs/26_general-usage-notes/40_testing-a-data-vault/
+40_testing-a-data-vault.md — Data Vault 2.0 rejects hard database
+constraints (raw data must always land) and instead runs SOFT
+constraints after loading: not_null / unique on hub & link hashkeys,
+unique_combination_of_columns on satellite (hashkey, load-date[, MA
+keys]) grains, and relationship (foreign-hashkey containment) from
+links/satellites to their parents. That doc's per-entity-type test
+table is exactly what this operator declares and evaluates; the result
+is a violations report (one row per check), the soft-constraint
+analogue of `dbt test`'s summary.
+
+Check semantics (dbt generic-test parity):
+
+- ``not_null``: rows where ANY listed column is NULL;
+- ``unique`` / ``unique_combination``: surplus rows beyond one per
+  distinct tuple — ``count(*) - count(DISTINCT tuple)`` over a
+  NULL-folded sentinel encoding so NULL tuples count identically in
+  both engines;
+- ``relationship``: child rows whose (non-NULL, like dbt's
+  relationships test) foreign key has no parent — a left-anti count
+  against the distinct parent keys.
+
+Scale: every check is one aggregation; the report unions them into a
+single plan whose branches the scheduler runs in parallel (the bundle
+pattern). unique/unique_combination shuffle on the checked tuple
+(uniform hashkeys); relationship anti-joins broadcast the parent key
+set when small, else hash-join on the key. Nothing collects beyond the
+per-check counts themselves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
+from ..plans.sqlbuild import SqlBuilder
+
+_KINDS = ("not_null", "unique", "unique_combination", "relationship")
+
+
+@dataclass(frozen=True)
+class Check:
+    entity: str
+    kind: str
+    columns: tuple
+    to_entity: str = ""      # relationship parent
+    to_columns: tuple = ()   # parent key columns (default: columns)
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"check on {self.entity}: unknown kind "
+                             f"{self.kind!r} (expected one of {_KINDS})")
+        if not self.columns:
+            raise ValueError(f"check on {self.entity}: needs >= 1 column")
+        for c in (*self.columns, *self.to_columns):
+            ensure_identifier(c, "column", f"check on {self.entity}")
+        if self.kind == "relationship":
+            if not self.to_entity:
+                raise ValueError(
+                    f"check on {self.entity}: relationship needs "
+                    f"to_entity")
+            if self.to_columns and \
+                    len(self.to_columns) != len(self.columns):
+                raise ValueError(
+                    f"check on {self.entity}: to_columns arity must "
+                    f"match columns")
+
+    @property
+    def parent_cols(self) -> tuple:
+        return self.to_columns or self.columns
+
+
+@dataclass(frozen=True)
+class VaultChecksConfig:
+    name: str
+    checks: tuple = field(default=())
+
+    def __post_init__(self):
+        if not self.checks:
+            raise ValueError(f"{self.name}: needs >= 1 check")
+
+
+def _label(c: Check):
+    cols = ",".join(c.columns)
+    return (F.lit(c.entity).alias("entity"),
+            F.lit(c.kind).alias("check_kind"),
+            F.lit(cols).alias("check_cols"))
+
+
+def build_vault_checks(spark, reg: Registry, cfg: VaultChecksConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    parts = []
+    for c in cfg.checks:
+        df = reg.load(spark, c.entity)
+        if c.kind == "not_null":
+            pred = reduce(lambda a, col: a | F.col(col).isNull(),
+                          c.columns[1:], F.col(c.columns[0]).isNull())
+            agg = df.agg(F.sum(pred.cast("long")).alias("n"))
+        elif c.kind in ("unique", "unique_combination"):
+            # NULLs fold to a chr(0) sentinel and the tuple joins on
+            # a chr(1) separator -- the same expression the oracle
+            # runs, so both engines count identical distinct tuples
+            # (including all-NULL ones, which countDistinct alone
+            # would skip)
+            sent = [F.coalesce(F.col(col).cast("string"),
+                               F.lit("\x00null")) for col in c.columns]
+            agg = df.agg(
+                (F.count(F.lit(1))
+                 - F.countDistinct(F.concat_ws("\x01", *sent)))
+                .alias("n"))
+        else:  # relationship
+            child = df.select(*c.columns).na.drop("any")
+            parent = (reg.load(spark, c.to_entity)
+                      .select(*[F.col(p).alias(k) for k, p in
+                                zip(c.columns, c.parent_cols)])
+                      .distinct())
+            agg = (child.join(parent, on=list(c.columns), how="left_anti")
+                   .agg(F.count(F.lit(1)).alias("n")))
+        parts.append(agg.select(
+            *_label(c), F.coalesce(F.col("n"), F.lit(0))
+            .cast("long").alias("n_violations")))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def vault_checks_oracle(b: SqlBuilder, reg: Registry,
+                        cfg: VaultChecksConfig,
+                        g: GlobalConfig = DEFAULT) -> str:
+    parts = []
+    for c in cfg.checks:
+        rel = reg.duckdb_relation(c.entity)
+        cols = ",".join(c.columns)
+        label = (f"'{c.entity}' AS entity, '{c.kind}' AS check_kind, "
+                 f"'{cols}' AS check_cols")
+        if c.kind == "not_null":
+            pred = " OR ".join(f"{col} IS NULL" for col in c.columns)
+            q = (f"SELECT {label}, CAST(coalesce(SUM(CASE WHEN {pred} "
+                 f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations "
+                 f"FROM {rel}")
+        elif c.kind in ("unique", "unique_combination"):
+            # identical sentinel + separator construction as the Spark
+            # side (chr(0)-prefixed NULL fold, chr(1)-joined tuple)
+            tup = " || chr(1) || ".join(
+                f"coalesce(CAST({col} AS VARCHAR), chr(0) || 'null')"
+                for col in c.columns)
+            q = (f"SELECT {label}, CAST(count(*) - "
+                 f"count(DISTINCT ({tup})) AS BIGINT) AS n_violations "
+                 f"FROM {rel}")
+        else:
+            parent = reg.duckdb_relation(c.to_entity)
+            on = " AND ".join(
+                f"ch.{k} = pa.{p}"
+                for k, p in zip(c.columns, c.parent_cols))
+            nn = " AND ".join(f"ch.{k} IS NOT NULL" for k in c.columns)
+            q = (f"SELECT {label}, CAST(count(*) AS BIGINT) "
+                 f"AS n_violations FROM {rel} ch "
+                 f"WHERE {nn} AND NOT EXISTS (SELECT 1 FROM {parent} "
+                 f"pa WHERE {on})")
+        parts.append(q)
+    return b.cte(cfg.name, "\nUNION ALL\n".join(parts))

@@ -47,6 +47,7 @@ from ..operators.ref_entities import (build_ref_hub, build_ref_sat_v0,
 from ..operators.snapshots import build_snap_v0, build_snap_v1
 from ..operators.pit import build_pit
 from ..operators.bridge import build_bridge
+from ..operators.checks import build_vault_checks
 from .incremental import ParquetStore
 from .pipeline import EntityDecl, run_pipeline
 
@@ -96,6 +97,12 @@ KINDS = {
                lambda c: [c.base_entity, c.snapshot_relation]
                + [leg.link_entity for leg in c.legs]
                + [leg.eff_sat for leg in c.legs if leg.eff_sat]),
+    # the dbt-test analogue runs AFTER its checked entities; a rerun
+    # rebuilds the report (table, never incremental)
+    "vault_checks": (build_vault_checks, "table",
+                     lambda c: sorted({ch.entity for ch in c.checks}
+                                      | {ch.to_entity for ch in c.checks
+                                         if ch.to_entity})),
 }
 
 

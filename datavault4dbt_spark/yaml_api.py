@@ -261,6 +261,21 @@ def parse_bridge(yaml_metadata, name: str) -> "BridgeConfig":
                             "snapshot_trigger_column"))
 
 
+def parse_vault_checks(yaml_metadata, name: str) -> "VaultChecksConfig":
+    """Beyond-reference (operators/checks.py): the reference doc's
+    soft-constraint test table as declarative YAML — each check is a
+    mapping with entity/kind/columns and, for relationship,
+    to_entity [+ to_columns]."""
+    from .operators.checks import Check, VaultChecksConfig
+    m = _load(yaml_metadata)
+    checks = tuple(
+        Check(c["entity"], c["kind"], _tuple(c["columns"]),
+              to_entity=c.get("to_entity", ""),
+              to_columns=_tuple(c.get("to_columns") or ()))
+        for c in m["checks"])
+    return VaultChecksConfig(name, checks)
+
+
 def parse_ma_sat_v1(yaml_metadata, name: str) -> MaSatV1Config:
     """reference: macros/tables/ma_sat_v1.sql:13 (sat_v0, hashkey,
     hashdiff, ma_attribute, add_is_current_flag)."""
@@ -492,7 +507,7 @@ PARSERS = {
     "ma_sat_v0": parse_ma_sat_v0, "ma_sat_v1": parse_ma_sat_v1,
     "rec_track_sat": parse_rec_track_sat,
     "eff_sat_v0": parse_eff_sat_v0, "pit": parse_pit,
-    "bridge": parse_bridge,
+    "bridge": parse_bridge, "vault_checks": parse_vault_checks,
     "ref_hub": parse_ref_hub, "ref_sat_v0": parse_ref_sat_v0,
     "ref_sat_v1": parse_ref_sat_v1, "ref_table": parse_ref_table,
     "control_snap_v0": parse_control_snap_v0,
