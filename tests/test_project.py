@@ -123,6 +123,11 @@ def test_run_project_snapshot_pit_chain(spark, sf_dir, tmp_path):
     # bridge rides the same spine: customer->nation paths per active
     # snapshot, incremental via bridge_key anti-join
     assert counts["bridge_customer_nation"] > 0
+    # the soft-constraint suite ran after the loads and found a green
+    # vault: one verdict row per declared check, all zero violations
+    checks = store.read("vault_checks").collect()
+    assert len(checks) == 6
+    assert all(r.n_violations == 0 for r in checks)
 
     counts2 = run_project(spark, proj, store, make_registry(sf_dir))
     assert counts2["pit_customer"] == 0
