@@ -611,6 +611,13 @@ BUNDLES = {
                      "concat(CAST(user_id AS STRING), ':', "
                      "CAST(ts AS STRING), ':', CAST(sdts AS STRING))",
                      ldts="sdts", rsrc="'interval_join'"),
+        # round-7: keep-best-quality curation variant — surviving ids
+        # with their language/quality pinned through the hd
+        BundleMember("docs_curated_best", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(predicted_lang, ''), ':', "
+                     "CAST(n_tokens AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'curated_best'"),
         # round-7: every soft-constraint verdict (incl. the two
         # deliberately non-zero counts) drives the driver hash
         BundleMember("vault_checks",
@@ -793,7 +800,16 @@ MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
 MULTIMODAL_DECODE = {
     "multimodal_decode": MultimodalDecodeConfig("multimodal_decode")}
 CURATION = {"docs_curated": CurationConfig(
-    "docs_curated", repetition_entity="text_repetition")}
+    "docs_curated", repetition_entity="text_repetition"),
+            # round-7: the keep-best-quality variant — duplicate-group
+            # losers come from canonical_selection instead of the
+            # keep-lowest-id pair heuristic (bundle rider; the
+            # canonical chain is shared with the canonical_docs
+            # member via _multi_consumed)
+            "docs_curated_best": CurationConfig(
+                "docs_curated_best",
+                repetition_entity="text_repetition",
+                canonical_entity="canonical_docs")}
 # Gopher-style within-document repetition signals (threshold low enough
 # that the synthetic corpus — short docs drawn from a small vocabulary —
 # produces both flag values)
@@ -992,7 +1008,9 @@ _FAMILIES = [
     (MULTIMODAL_DECODE, build_multimodal_decode, multimodal_decode_oracle,
      _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
-     lambda c: [c.quality_entity, c.langid_entity, c.dedup_entity]
+     lambda c: [c.quality_entity, c.langid_entity]
+               + ([c.canonical_entity] if c.canonical_entity
+                  else [c.dedup_entity])
                + ([c.repetition_entity] if c.repetition_entity else [])),
     (REPETITION, build_repetition, repetition_oracle, _NO_DEPS),
     (PII, build_pii_redact, pii_redact_oracle, _NO_DEPS),

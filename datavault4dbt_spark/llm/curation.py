@@ -31,6 +31,12 @@ class CurationConfig:
     id_col: str = "doc_id"
     min_quality: float = 0.5
     repetition_entity: str = ""   # "" = no repetition gate
+    # "" = drop every pair's id_b (keep-lowest-id heuristic). Set to a
+    # canonical_selection entity (llm/selection.py) to instead drop
+    # the NON-canonical member of every duplicate group — keep-best-
+    # quality, the RefinedWeb-style upgrade; dedup_entity is then only
+    # a config-level dependency hint (the groups already encode it).
+    canonical_entity: str = ""
 
 
 def build_curation(spark, reg: Registry, cfg: CurationConfig,
@@ -38,8 +44,13 @@ def build_curation(spark, reg: Registry, cfg: CurationConfig,
     q = reg.load(spark, cfg.quality_entity)
     lang = reg.load(spark, cfg.langid_entity) \
         .select(cfg.id_col, "predicted_lang")
-    dup_losers = reg.load(spark, cfg.dedup_entity) \
-        .select(F.col("id_b").alias(cfg.id_col)).distinct()
+    if cfg.canonical_entity:
+        dup_losers = (reg.load(spark, cfg.canonical_entity)
+                      .filter(~F.col("is_canonical"))
+                      .select(cfg.id_col).distinct())
+    else:
+        dup_losers = reg.load(spark, cfg.dedup_entity) \
+            .select(F.col("id_b").alias(cfg.id_col)).distinct()
     kept = (q.filter(F.col("quality_score") >= cfg.min_quality)
             .join(lang, cfg.id_col)
             .join(dup_losers, cfg.id_col, "left_anti"))
@@ -55,20 +66,26 @@ def curation_oracle(b: SqlBuilder, reg: Registry, cfg: CurationConfig,
                     g: GlobalConfig = DEFAULT) -> str:
     q = reg.duckdb_relation(cfg.quality_entity)
     lang = reg.duckdb_relation(cfg.langid_entity)
-    dup = reg.duckdb_relation(cfg.dedup_entity)
     rep_gate = ""
     if cfg.repetition_entity:
         rep = reg.duckdb_relation(cfg.repetition_entity)
         rep_gate = (f"AND q.{cfg.id_col} NOT IN "
                     f"(SELECT {cfg.id_col} FROM {rep} WHERE is_repetitive) ")
+    if cfg.canonical_entity:
+        canon = reg.duckdb_relation(cfg.canonical_entity)
+        dup_gate = (f"AND q.{cfg.id_col} NOT IN (SELECT {cfg.id_col} "
+                    f"FROM {canon} WHERE NOT is_canonical)")
+    else:
+        dup = reg.duckdb_relation(cfg.dedup_entity)
+        dup_gate = (f"AND q.{cfg.id_col} NOT IN "
+                    f"(SELECT id_b FROM {dup})")
     return b.cte(
         cfg.name,
         f"SELECT q.{cfg.id_col}, l.predicted_lang, q.n_tokens, "
         f"q.quality_score "
         f"FROM {q} q JOIN {lang} l ON q.{cfg.id_col} = l.{cfg.id_col} "
         f"WHERE q.quality_score >= {cfg.min_quality} "
-        f"{rep_gate}"
-        f"AND q.{cfg.id_col} NOT IN (SELECT id_b FROM {dup})")
+        f"{rep_gate}{dup_gate}")
 
 
 # ------------------------------------------------------- dedup_report --

@@ -155,8 +155,9 @@ def _llm_kinds() -> dict:
         "fingerprint": (build_fingerprint, src),
         "multimodal": (build_multimodal_features, src),
         "curation": (build_curation,
-                     lambda c: [c.quality_entity, c.langid_entity,
-                                c.dedup_entity]
+                     lambda c: [c.quality_entity, c.langid_entity]
+                     + ([c.canonical_entity] if c.canonical_entity
+                        else [c.dedup_entity])
                      + ([c.repetition_entity]
                         if c.repetition_entity else [])),
         "contamination": (build_contamination, src),

@@ -39,6 +39,37 @@ def test_canonical_picks_highest_quality_then_lowest_id(spark):
     assert len(out) == 5  # every grouped doc gets a verdict row
 
 
+def test_curation_with_canonical_keeps_best_not_lowest_id(spark):
+    """The curation chain's canonical_entity mode drops NON-canonical
+    group members (keep-best-quality) where the default pair heuristic
+    would keep the lowest id."""
+    from datavault4dbt_spark.llm.curation import (
+        CurationConfig, build_curation)
+
+    groups = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2)], "doc_id long, group_id long, group_size long")
+    quality = spark.createDataFrame(
+        # doc 2 beats doc 1 on quality; both clear min_quality
+        [(1, 0.6, 10), (2, 0.9, 12)],
+        "doc_id long, quality_score double, n_tokens long")
+    lang = spark.createDataFrame(
+        [(1, "en"), (2, "en")], "doc_id long, predicted_lang string")
+    pairs = spark.createDataFrame(
+        [(1, 2, 3)], "id_a long, id_b long, n_bands long")
+    reg = _reg(dedup_groups=groups, text_quality=quality,
+               text_langid=lang, dedup_minhash_lsh=pairs)
+    reg.register("canonical_docs",
+                 lambda s: build_canonical_selection(
+                     s, reg, CanonicalConfig("c"), G), "canonical_docs")
+    default = {r.doc_id for r in build_curation(
+        spark, reg, CurationConfig("d"), G).collect()}
+    best = {r.doc_id for r in build_curation(
+        spark, reg, CurationConfig("b", canonical_entity="canonical_docs"),
+        G).collect()}
+    assert default == {1}   # pair heuristic keeps the lower id
+    assert best == {2}      # canonical mode keeps the higher quality
+
+
 # ------------------------------------------------------- source cap --
 
 def test_source_cap_two_stage_equals_single_window(spark):
