@@ -13,8 +13,9 @@ streams without reimplementation.
   inactivity. Boundary detection is the classic gaps-and-islands
   window pair: LAG flags gap-starts, a running sum numbers sessions
   (``session_seq`` = 1..n per user, deterministic), then one groupBy
-  folds per-session stats. Two shuffles total, both keyed on the
-  uniform user id.
+  folds per-session stats. ONE shuffle total: the window pair shares
+  the user-id partitioning and the (user, session) groupBy is
+  satisfied by it (pinned in test_plan_quality).
 - ``hopping_agg``: overlapping windows of ``width_seconds`` sliding
   every ``hop_seconds`` (width % hop == 0), epoch-aligned — built on
   Spark's native ``F.window``, which generates each row's

@@ -90,6 +90,29 @@ def test_pit_snapshot_spine_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_sessionize_is_one_shuffle_on_the_user_key(spark, sf_dir):
+    """Gaps-and-islands costs exactly ONE hash exchange: the window
+    pair shares the user_id partitioning and the final
+    (user_id, session_seq) groupBy is satisfied by it (grouping on a
+    superset of the child's partition keys needs no re-shuffle) — a
+    regression here means the session core picked up an extra
+    repartition."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("event_sessions")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hopping_agg_single_aggregation_shuffle(spark, sf_dir):
+    """F.window generates containing windows in the scan stage; the
+    only exchange is the (window, group) aggregation."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("event_hopping_agg")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bridge_spine_broadcast_and_leg_joins_are_hashed(spark, sf_dir):
     """The snapshot spine rides a broadcast (tiny side of the base
     cross join, like PIT) while every leg/eff join keys on a hashkey —
