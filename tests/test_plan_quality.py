@@ -90,6 +90,18 @@ def test_pit_snapshot_spine_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_source_cap_runs_the_salted_two_stage_windows(spark, sf_dir):
+    """Pass 1 must window over (source, id % n_salts) — pmod in the
+    partition spec — so no domain ever pins a whole partition on one
+    reducer; and nothing in the plan is a nested-loop join."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_source_capped")(spark, sf_dir)
+    plan = _plan(df)
+    assert "pmod" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_sessionize_is_one_shuffle_on_the_user_key(spark, sf_dir):
     """Gaps-and-islands costs exactly ONE hash exchange: the window
     pair shares the user_id partitioning and the final
