@@ -14,9 +14,14 @@ histories. This implementation is the scalable union-window form:
    bit encodes the mode — inclusive mode sorts a right row BEFORE a
    left row at the same timestamp (it matches), strict mode after (it
    does not);
-3. each left row reads ``last_value(ignoreNulls)`` of the prefixed
-   right columns over the unbounded-preceding frame — the latest
-   eligible right row — then non-left rows are dropped.
+3. each left row reads ``last_value(ignoreNulls)`` of ONE struct
+   packing the right timestamp and every value column over the
+   unbounded-preceding frame — the latest eligible right row,
+   atomically — then non-left rows are dropped. Packing matters:
+   per-column lasts would skip a genuinely-NULL value on the latest
+   right row and resurrect an OLDER row's value while the attached
+   timestamp still reported the latest row (column-mixed output,
+   diverging from SQL ASOF semantics).
 
 Cost is one hash shuffle on the key and a single sorted pass per
 partition, independent of history length per left row. Skewed keys
@@ -106,8 +111,13 @@ def asof_join_frames(left: DataFrame, right: DataFrame,
     tagged_r = right.select(
         F.col(cfg.key_col), F.col(cfg.ts_col),
         F.lit(r_side).alias("__side"),
-        F.col(cfg.ts_col).alias(f"__r_{cfg.ts_col}"),
-        *[F.col(c).alias(f"__r_{c}") for c in cfg.value_cols])
+        # one struct = one atomic right row: last(ignorenulls) must
+        # pick the timestamp and ALL values from the SAME row even
+        # when some value column is NULL on the latest row
+        F.struct(
+            F.col(cfg.ts_col).alias(f"asof_{cfg.ts_col}"),
+            *[F.col(c).alias(f"asof_{c}") for c in cfg.value_cols]
+        ).alias("__r"))
     tagged_l = left.select(
         F.col(cfg.key_col), F.col(cfg.ts_col),
         F.lit(l_side).alias("__side"),
@@ -119,14 +129,17 @@ def asof_join_frames(left: DataFrame, right: DataFrame,
     w = (Window.partitionBy(cfg.key_col)
          .orderBy(cfg.ts_col, "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    attached = [F.last(f"__r_{c}", ignorenulls=True).over(w)
-                .alias(f"asof_{c}")
-                for c in (cfg.ts_col, *cfg.value_cols)]
     out_cols = ([cfg.key_col, cfg.ts_col]
                 + [c for c in left_cols
                    if c not in (cfg.key_col, cfg.ts_col)])
-    return (u.select(*out_cols, "__is_left", *attached)
-            .filter(F.col("__is_left")).drop("__is_left"))
+    matched = (u.select(*out_cols, "__is_left",
+                        F.last("__r", ignorenulls=True).over(w)
+                        .alias("__latest"))
+               .filter(F.col("__is_left")))
+    return matched.select(
+        *out_cols,
+        *[F.col("__latest").getField(f"asof_{c}").alias(f"asof_{c}")
+          for c in (cfg.ts_col, *cfg.value_cols)])
 
 
 def asof_join_oracle(b: SqlBuilder, reg: Registry, cfg: AsofJoinConfig,

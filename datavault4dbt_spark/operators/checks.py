@@ -16,9 +16,11 @@ Check semantics (dbt generic-test parity):
 
 - ``not_null``: rows where ANY listed column is NULL;
 - ``unique`` / ``unique_combination``: surplus rows beyond one per
-  distinct tuple — ``count(*) - count(DISTINCT tuple)`` over a
-  NULL-folded sentinel encoding so NULL tuples count identically in
-  both engines;
+  distinct tuple — ``count(*) - count(DISTINCT tuple)`` over an
+  injective per-component-md5 encoding (fixed-width components cannot
+  collide across separator placement) with NULLs folded to a sentinel
+  md5 can never emit, so NULL tuples count identically in both
+  engines;
 - ``relationship``: child rows whose (non-NULL, like dbt's
   relationships test) foreign key has no parent — a left-anti count
   against the distinct parent keys.
@@ -103,16 +105,19 @@ def build_vault_checks(spark, reg: Registry, cfg: VaultChecksConfig,
                           c.columns[1:], F.col(c.columns[0]).isNull())
             agg = df.agg(F.sum(pred.cast("long")).alias("n"))
         elif c.kind in ("unique", "unique_combination"):
-            # NULLs fold to a chr(0) sentinel and the tuple joins on
-            # a chr(1) separator -- the same expression the oracle
-            # runs, so both engines count identical distinct tuples
-            # (including all-NULL ones, which countDistinct alone
-            # would skip)
-            sent = [F.coalesce(F.col(col).cast("string"),
-                               F.lit("\x00null")) for col in c.columns]
+            # INJECTIVE tuple encoding: each component is md5-hashed
+            # (fixed 32-hex width) before joining, so values containing
+            # any separator/sentinel byte cannot make distinct tuples
+            # collide (round-7 advice); NULL components fold to a
+            # sentinel md5 can never emit. The oracle runs the same
+            # expression, so both engines count identical distinct
+            # tuples (including all-NULL ones, which countDistinct
+            # alone would skip).
+            sent = [F.coalesce(F.md5(F.col(col).cast("string")),
+                               F.lit("null")) for col in c.columns]
             agg = df.agg(
                 (F.count(F.lit(1))
-                 - F.countDistinct(F.concat_ws("\x01", *sent)))
+                 - F.countDistinct(F.concat_ws(":", *sent)))
                 .alias("n"))
         else:  # relationship
             child = df.select(*c.columns).na.drop("any")
@@ -143,10 +148,10 @@ def vault_checks_oracle(b: SqlBuilder, reg: Registry,
                  f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations "
                  f"FROM {rel}")
         elif c.kind in ("unique", "unique_combination"):
-            # identical sentinel + separator construction as the Spark
-            # side (chr(0)-prefixed NULL fold, chr(1)-joined tuple)
-            tup = " || chr(1) || ".join(
-                f"coalesce(CAST({col} AS VARCHAR), chr(0) || 'null')"
+            # identical injective construction as the Spark side
+            # (per-component md5, ':'-joined fixed-width tuple)
+            tup = " || ':' || ".join(
+                f"coalesce(md5(CAST({col} AS VARCHAR)), 'null')"
                 for col in c.columns)
             q = (f"SELECT {label}, CAST(count(*) - "
                  f"count(DISTINCT ({tup})) AS BIGINT) AS n_violations "

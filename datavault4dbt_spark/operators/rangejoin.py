@@ -99,11 +99,16 @@ def build_interval_join(spark, reg: Registry, cfg: IntervalJoinConfig,
     b = cfg.bin_seconds
 
     pt_cols = [c for c in cfg.point_cols]
+    # both sides are plan-aliased so the join condition and the final
+    # projection use QUALIFIED names: a key_col that also appears in
+    # point_cols/interval_cols (both sides then carry the name) would
+    # otherwise make the bare-string select AMBIGUOUS_REFERENCE
+    # (round-7 advice, medium)
     pts = pts.select(
         *pt_cols, *( [F.col(cfg.key_col)] if cfg.key_col
                      and cfg.key_col not in pt_cols else []),
         F.expr(f"CAST(floor(unix_micros({cfg.ts_col}) / 1e6 / {b}) "
-               f"AS BIGINT)").alias("__bin"))
+               f"AS BIGINT)").alias("__bin")).alias("__pts")
 
     end = _end_expr(cfg)
     # bins covered by [start, end): last bin holds end - 1 microsecond
@@ -120,15 +125,19 @@ def build_interval_join(spark, reg: Registry, cfg: IntervalJoinConfig,
                        f"CAST(floor(unix_micros({cfg.start_col}) / 1e6 "
                        f"/ {b}) AS BIGINT), "
                        f"CAST(floor((unix_micros({end}) - 1) / 1e6 "
-                       f"/ {b}) AS BIGINT)))").alias("__bin")))
+                       f"/ {b}) AS BIGINT)))").alias("__bin"))
+           .alias("__ivs"))
 
-    on = [pts["__bin"] == ivs["__bin"]]
+    on = [F.col("__pts.__bin") == F.col("__ivs.__bin")]
     if cfg.key_col:
-        on.append(pts[cfg.key_col] == ivs[cfg.key_col])
-    on += [pts[cfg.ts_col] >= ivs["__start"],
-           pts[cfg.ts_col] < ivs["__end"]]
+        on.append(F.col(f"__pts.{cfg.key_col}")
+                  == F.col(f"__ivs.{cfg.key_col}"))
+    on += [F.col(f"__pts.{cfg.ts_col}") >= F.col("__ivs.__start"),
+           F.col(f"__pts.{cfg.ts_col}") < F.col("__ivs.__end")]
     joined = pts.join(ivs, reduce(lambda a, c: a & c, on), cfg.how)
-    return joined.select(*pt_cols, *cfg.interval_cols)
+    return joined.select(
+        *[F.col(f"__pts.{c}").alias(c) for c in pt_cols],
+        *[F.col(f"__ivs.{c}").alias(c) for c in cfg.interval_cols])
 
 
 def interval_join_oracle(b: SqlBuilder, reg: Registry,

@@ -32,9 +32,37 @@ _HWM_PROBES: dict = {}
 _GLOBAL_PROBE = "__global__"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def hwm_probe_scope(targets: dict, specs: dict,
+                    g: GlobalConfig = DEFAULT):
+    """Seed the probe cache for one load pass and GUARANTEE the clear.
+
+    The cache holds strong DataFrame references (so ids cannot be
+    recycled); a seed without a paired clear leaks those plans for the
+    process lifetime (round-7 advice). This scope makes the pairing
+    unseparable — use it instead of calling seed/clear by hand::
+
+        with hwm_probe_scope(targets, specs):
+            ... construct phase-2 plans (probes served from cache) ...
+    """
+    seed_hwm_probes(targets, specs, g)
+    try:
+        yield
+    finally:
+        clear_hwm_probes(targets.values())
+
+
 def seed_hwm_probes(targets: dict, specs: dict,
                     g: GlobalConfig = DEFAULT) -> None:
     """Precompute HWM probes for many targets in ONE Spark job.
+
+    MUST be paired with ``clear_hwm_probes(targets.values())`` — the
+    cache strongly references every target DataFrame and outlives the
+    load pass otherwise; prefer ``hwm_probe_scope``, which cannot be
+    mis-paired.
 
     ``targets``: entity -> target DataFrame (the exact object later
     passed to the builders); ``specs``: entity -> iterable of probe

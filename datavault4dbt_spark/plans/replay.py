@@ -38,8 +38,7 @@ from ..context import GlobalConfig, DEFAULT, Registry
 from ..operators.bundle import (BundleMember, BundleConfig, bundle_oracle,
                                 _member_exprs)
 from ..plans.sqlbuild import SqlBuilder
-from .incremental import (ParquetStore, clear_hwm_probes,
-                          seed_hwm_probes)
+from .incremental import ParquetStore, hwm_probe_scope
 
 # The replay result rows use the same (entity, hk, hd, ldts, rsrc)
 # projection as the bundle operator — share its member shape and
@@ -249,15 +248,17 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             write_phase(dict(pool.map(initial, cfg.members)))
             targets = {m.entity: read_slice(m.entity)
                        for m in cfg.members}
-            seed_hwm_probes(
-                targets,
-                {m.entity: keys for m in cfg.members
-                 if (keys := _probe_keys(index[m.entity][0]))}, g)
             # HWM/probe literals are baked into the phase-2 plans at
             # CONSTRUCTION time (hwm_filter/max_ldts collect-or-cache,
-            # then inject), so the plans stay valid after the probe
-            # cache is cleared below.
-            inserts = dict(pool.map(increment, cfg.members))
+            # then inject), so the plans stay valid after the scope
+            # clears the probe cache on exit (success or failure —
+            # the scope makes the seed/clear pairing unseparable,
+            # round-7 advice).
+            with hwm_probe_scope(
+                    targets,
+                    {m.entity: keys for m in cfg.members
+                     if (keys := _probe_keys(index[m.entity][0]))}, g):
+                inserts = dict(pool.map(increment, cfg.members))
     except BaseException:
         # a failed build must not leak marks or cached copies into the
         # caller's registry (round-6 advice)
@@ -265,8 +266,6 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             reg._invalidate(n)
         reg.persist_names.intersection_update(saved_persist)
         raise
-    finally:
-        clear_hwm_probes(targets.values())
     # On SUCCESS the replay-added persist marks and their cached
     # subtrees stay alive deliberately: the returned union embeds the
     # phase-2 insert plans, which the CALLER executes — unpersisting

@@ -127,6 +127,32 @@ def test_null_key_or_ts_right_rows_never_match(spark):
     assert out == {1: None, 2: None}
 
 
+def test_null_value_on_latest_right_row_stays_null(spark):
+    """The latest right row wins ATOMICALLY: a NULL value column on
+    that row must come through as NULL (with its timestamp), not be
+    backfilled from an older right row — per-column last(ignorenulls)
+    would column-mix (round-7 advice, high)."""
+    left = spark.createDataFrame(
+        [(1, 5, TS("2024-01-03 00:00:00"), "view", 0.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    right = spark.createDataFrame(
+        [(10, 5, TS("2024-01-01 00:00:00"), "click", 7.0),
+         (11, 5, TS("2024-01-02 00:00:00"), "click", None)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double")
+    reg = _reg(l=left, r=right)
+    out = build_asof_join(
+        spark, reg,
+        AsofJoinConfig("a", left_entity="l", right_entity="r",
+                       right_filter="event_type = 'click'",
+                       left_cols=("event_id", "user_id", "ts")),
+        G).collect()
+    assert len(out) == 1
+    assert out[0].asof_ts == TS("2024-01-02 00:00:00")
+    assert out[0].asof_value is None   # NOT 7.0 from the older row
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         AsofJoinConfig("a", key_col="bad-name")

@@ -20,8 +20,11 @@ keys = st.integers(min_value=0, max_value=3)
 ticks = st.integers(min_value=0, max_value=9)
 
 left_rows = st.lists(st.tuples(keys, ticks), min_size=1, max_size=12)
-# right side: unique (key, ts) per the operator contract
-right_rows = st.lists(st.tuples(keys, ticks), min_size=0, max_size=12,
+# right side: unique (key, ts) per the operator contract; the boolean
+# nulls that row's VALUE column (the round-7 advice case: the latest
+# right row may carry NULL and must win atomically, not column-mix)
+right_rows = st.lists(st.tuples(keys, ticks, st.booleans()),
+                      min_size=0, max_size=12,
                       unique_by=lambda r: (r[0], r[1]))
 
 
@@ -30,7 +33,8 @@ def _naive(left, right, strict):
     for k, t in left:
         cands = [(rt, rv) for (rk, rt, rv) in right
                  if rk == k and (rt < t if strict else rt <= t)]
-        out.append((k, t, max(cands)[1] if cands else None))
+        out.append((k, t,
+                    max(cands, key=lambda c: c[0])[1] if cands else None))
     return sorted(out, key=lambda r: (r[0], r[1], str(r[2])))
 
 
@@ -39,8 +43,9 @@ def _naive(left, right, strict):
 def test_asof_equals_naive_reference(spark, left, right, strict):
     lrows = [(i, k, BASE + datetime.timedelta(minutes=t))
              for i, (k, t) in enumerate(left)]
-    rrows = [(k, BASE + datetime.timedelta(minutes=t), float(100 + i))
-             for i, (k, t) in enumerate(right)]
+    rrows = [(k, BASE + datetime.timedelta(minutes=t),
+              None if nv else float(100 + i))
+             for i, (k, t, nv) in enumerate(right)]
     ldf = spark.createDataFrame(
         lrows, "rid long, k long, ts timestamp")
     rdf = spark.createDataFrame(
@@ -58,6 +63,6 @@ def test_asof_equals_naive_reference(spark, left, right, strict):
                   for r in build_asof_join(spark, reg, cfg, G).collect()),
                  key=lambda r: (r[0], r[1], str(r[2])))
     want = _naive([(k, t) for k, t in left],
-                  [(k, t, float(100 + i))
-                   for i, (k, t) in enumerate(right)], strict)
+                  [(k, t, None if nv else float(100 + i))
+                   for i, (k, t, nv) in enumerate(right)], strict)
     assert got == want

@@ -116,6 +116,30 @@ def test_rsrc_static_per_source_hwm(spark, sf_dir, tmp_path):
     assert again.count() == 0
 
 
+def test_hwm_probe_scope_clears_cache_even_on_failure(spark):
+    """The probe cache strongly references target DataFrames; the scope
+    must drop the entries on BOTH exits so a failed load pass cannot
+    leak plans for the process lifetime (round-7 advice)."""
+    import datetime
+
+    import pytest
+
+    from datavault4dbt_spark.plans import incremental as inc
+
+    t = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 2), "TPCH/nation")],
+        f"{G.ldts_alias} timestamp, {G.rsrc_alias} string")
+    with inc.hwm_probe_scope({"e": t}, {"e": [None, "TPCH/%"]}):
+        assert id(t) in inc._HWM_PROBES
+        # both probe kinds served from the cache (no further jobs)
+        assert inc.max_ldts(t, G) == datetime.datetime(2024, 1, 2)
+    assert id(t) not in inc._HWM_PROBES
+    with pytest.raises(RuntimeError, match="boom"):
+        with inc.hwm_probe_scope({"e": t}, {"e": [None]}):
+            raise RuntimeError("boom")
+    assert id(t) not in inc._HWM_PROBES
+
+
 def test_replay_query_phase2_contributes(spark, sf_dir):
     """The driver-visible incremental_replay query must actually push
     rows through the phase-2 incremental branch: rows with ldts after

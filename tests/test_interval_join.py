@@ -74,6 +74,42 @@ def test_keyed_mode_restricts_to_same_key(spark):
     assert out == [10]
 
 
+def test_key_col_may_appear_in_output_columns(spark):
+    """key_col listed in point_cols (or interval_cols) means BOTH join
+    sides carry the name; the qualified projection must resolve it
+    (a bare-string select raised AMBIGUOUS_REFERENCE — round-7
+    advice, medium)."""
+    pts = spark.createDataFrame(
+        [(1, 7, TS("2024-01-01 05:30:00")),
+         (2, 9, TS("2024-01-01 05:30:00"))],
+        "pid long, k long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(10, 7, TS("2024-01-01 05:00:00"), TS("2024-01-01 06:00:00"))],
+        "iid long, k long, ivs timestamp, ive timestamp")
+    out = [(r.pid, r.k, r.iid) for r in build_interval_join(
+        spark, _reg(p=pts, i=ivs),
+        _cfg(key_col="k", point_cols=("pid", "k", "ts")), G).collect()]
+    assert out == [(1, 7, 10)]
+    # key in the INTERVAL side's output instead
+    out2 = [(r.pid, r.k, r.iid) for r in build_interval_join(
+        spark, _reg(p=pts, i=ivs),
+        _cfg(key_col="k", interval_cols=("iid", "k")), G).collect()]
+    assert out2 == [(1, 7, 10)]
+
+
+def test_self_join_points_and_intervals_from_same_entity(spark):
+    """Both sides loading the SAME entity must still resolve the
+    qualified references (plan-aliased sides, not bare frames)."""
+    evs = spark.createDataFrame(
+        [(1, TS("2024-01-01 05:30:00"),
+          TS("2024-01-01 05:00:00"), TS("2024-01-01 06:00:00"))],
+        "pid long, ts timestamp, ivs timestamp, ive timestamp")
+    out = build_interval_join(
+        spark, _reg(p=evs, i=evs),
+        _cfg(interval_cols=("ivs", "ive")), G).collect()
+    assert [(r.pid,) for r in out] == [(1,)]
+
+
 def test_left_join_keeps_unmatched_points(spark):
     pts = spark.createDataFrame(
         [(1, TS("2024-01-01 05:30:00")), (2, TS("2024-03-01 00:00:00"))],

@@ -52,6 +52,21 @@ def test_unique_combination_on_composite_grain(spark):
     assert got == {("t", "unique_combination", "k,d"): 1}
 
 
+def test_tuple_encoding_is_injective_on_separator_bytes(spark):
+    """Components containing the separator/sentinel bytes must not
+    make distinct tuples collide (round-7 advice: a raw concat_ws
+    undercounted — ('a\\x01b','c') vs ('a','b\\x01c') folded to one
+    tuple). The md5-per-component encoding keeps them apart."""
+    t = spark.createDataFrame(
+        [("a\x01b", "c"), ("a", "b\x01c"),
+         ("a:b", "c"), ("a", "b:c"),
+         ("x\x00null", None), ("x", None)],
+        "k string, d string")
+    got = _run(spark, _reg(t=t),
+               Check("t", "unique_combination", ("k", "d")))
+    assert got == {("t", "unique_combination", "k,d"): 0}
+
+
 def test_relationship_ignores_null_fks(spark):
     child = spark.createDataFrame(
         [(1,), (2,), (99,), (None,)], "fk long")
