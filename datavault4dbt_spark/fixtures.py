@@ -90,6 +90,8 @@ from .llm.lineclean import (LineCleanConfig, build_line_clean,
 from .llm.curation import (CurationConfig, DedupReportConfig,
                            build_curation, build_dedup_report,
                            curation_oracle, dedup_report_oracle)
+from .llm.incdedup import (IncrementalDedupConfig, build_incremental_dedup,
+                           incremental_dedup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             SourceCapConfig, build_canonical_selection,
                             build_stratified_split, build_source_cap,
@@ -625,6 +627,41 @@ BUNDLES = {
                      "CAST(n_violations AS STRING)",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'vault_checks'"),
+        # round-8: the MinHash-chain consumers consolidate here (r7
+        # advice #1) — previously four EXPOSED queries each rebuilt the
+        # signatures->LSH-pairs->connected-components subtree from
+        # scratch per bench run; inside the bundle the chain is built
+        # once (_multi_consumed persists it for the canonical members
+        # already) and each member adds only its final stage. Their
+        # freed slots back the round-8 exposed entities (inclusive
+        # as-of, keyed interval join, incremental dedup).
+        BundleMember("dedup_minhash_lsh",
+                     "concat(CAST(id_a AS STRING), ':', "
+                     "CAST(id_b AS STRING))",
+                     "CAST(n_bands AS STRING)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'minhash_lsh'"),
+        BundleMember("dedup_groups", "CAST(doc_id AS STRING)",
+                     "concat(CAST(group_id AS STRING), ':', "
+                     "CAST(group_size AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'dedup_groups'"),
+        # the report's integer counters fold into the hd; the DOUBLE
+        # dup_fraction / min/max_quality stay out of the fold (their
+        # string rendering is not portable near 1e-5 — the fraction is
+        # a pure function of the folded integers and the quality
+        # extremes are pinned by text_quality's exposed entry plus the
+        # in-repo per-entity parity suite)
+        BundleMember("dedup_report", "coalesce(predicted_lang, '')",
+                     "concat(CAST(n_docs AS STRING), ':', "
+                     "CAST(n_dup_docs AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'dedup_report'"),
+        BundleMember("docs_curated", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(predicted_lang, ''), ':', "
+                     "CAST(n_tokens AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'curated'"),
     )),
 }
 
@@ -872,7 +909,15 @@ DEDUP_REPORT = {"dedup_report": DedupReportConfig("dedup_report")}
 # DuckDB's native ASOF LEFT JOIN oracles the union-window plan.
 ASOF = {"events_asof_click": AsofJoinConfig(
     "events_asof_click", strict=True,
-    left_cols=("event_id", "user_id", "ts", "event_type", "value"))}
+    left_cols=("event_id", "user_id", "ts", "event_type", "value")),
+        # round-8: the INCLUSIVE mode (at-or-before) under the driver
+        # gate too — a click event now matches itself, so the side-bit
+        # ordering at equal timestamps is externally verified in both
+        # polarities (r7 advice #4)
+        "events_asof_click_incl": AsofJoinConfig(
+            "events_asof_click_incl", strict=False,
+            left_cols=("event_id", "user_id", "ts", "event_type",
+                       "value"))}
 # round-7 event analytics (operators/events.py), bundle-riders. At a
 # 30-min gap the sparse synthetic stream (150 users, ~2 events per
 # user-day at sf0.01) yields mostly singleton sessions plus ~450
@@ -888,7 +933,22 @@ HOPPING = {"event_hopping_agg": HoppingAggConfig(
 # derived end, 1-day bins; DuckDB's raw inequality join (IEJoin
 # algorithm) oracles the binned decomposition
 INTERVAL_JOINS = {"events_in_snapshot_day":
-                  IntervalJoinConfig("events_in_snapshot_day")}
+                  IntervalJoinConfig("events_in_snapshot_day"),
+                  # round-8: the KEYED + explicit-end_col variant under
+                  # the driver gate (r7 advice #4) — each event joins
+                  # to the hopping windows of ITS OWN event_type that
+                  # contain it (the feature-enrichment join a training
+                  # pipeline runs), with the key deliberately listed in
+                  # point_cols to exercise the qualified-projection fix
+                  "events_in_hopping_window": IntervalJoinConfig(
+                      "events_in_hopping_window",
+                      points_entity="events",
+                      intervals_entity="event_hopping_agg",
+                      ts_col="ts", start_col="window_start",
+                      end_col="window_end", key_col="event_type",
+                      bin_seconds=3600,
+                      point_cols=("event_id", "ts", "event_type"),
+                      interval_cols=("window_start", "n_events"))}
 # round-7 soft-constraint suite (operators/checks.py): the reference
 # doc's dbt tests — hub not_null/unique, link unique + relationships
 # to both parents, satellite grain + parent relationship, ref-hub key
@@ -934,6 +994,12 @@ SPLIT = {"docs_split": StratifiedSplitConfig(
 # makes BOTH passes of the skew-safe two-stage top-k genuinely filter
 SOURCE_CAP = {"docs_source_capped": SourceCapConfig(
     "docs_source_capped", cap=5, n_salts=4)}
+# round-8: incremental corpus dedup (r7 advice #3) — three id-range
+# batches processed through a persisted MinHash signature index
+# (llm/incdedup.py store loop), certified against the one-shot
+# first-occurrence-wins SQL
+INC_DEDUP = {"dedup_incremental":
+             IncrementalDedupConfig("dedup_incremental")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -1037,6 +1103,8 @@ _FAMILIES = [
     (SPLIT, build_stratified_split, stratified_split_oracle, _NO_DEPS),
     (SOURCE_CAP, build_source_cap, source_cap_oracle,
      lambda c: [c.quality_entity]),
+    (INC_DEDUP, build_incremental_dedup, incremental_dedup_oracle,
+     _NO_DEPS),
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),

@@ -99,6 +99,34 @@ def _band_width(cfg: MinHashLshConfig) -> int:
     return cfg.num_perm // cfg.bands
 
 
+def minhash_bucket_frame(df: DataFrame, cfg: MinHashLshConfig) -> DataFrame:
+    """(id, band, sig) LSH bucket rows for every document in ``df`` —
+    the shared signature front-end of the batch pair-finder below and
+    the incremental index dedup (llm/incdedup.py): one shingle explode,
+    one md5 digest pass, one k-min aggregation, band keys stacked in
+    the same projection (one generator row per (doc, band))."""
+    r = _band_width(cfg)
+    w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
+    # single pass: explode shingles once, digest once, take all k
+    # minima in ONE partial-aggregating groupBy (no per-permutation
+    # array materialization)
+    nd = n_digests(cfg.num_perm)
+    dig = ", ".join(f"md5(concat('{j}:', s))" for j in range(nd))
+    ex = w.selectExpr(cfg.id_col,
+                      f"explode({spark_shingles('w', cfg.shingle_n)}) AS s") \
+          .selectExpr(cfg.id_col, f"concat({dig}) AS h")
+    sig = ex.groupBy(cfg.id_col).agg(
+        *[F.min(F.expr(f"substr(h, {1 + 4 * i}, 4)")).alias(f"mh{i}")
+          for i in range(cfg.num_perm)])
+    stack_rows = ", ".join(
+        f"{bidx}, md5(concat_ws('|', "
+        + ", ".join(f"mh{bidx * r + j}" for j in range(r)) + "))"
+        for bidx in range(cfg.bands))
+    return sig.selectExpr(
+        cfg.id_col,
+        f"stack({cfg.bands}, {stack_rows}) AS (band, sig)")
+
+
 def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
                       g: GlobalConfig = DEFAULT) -> DataFrame:
     """Candidate duplicate pairs via banded MinHash (Broder '97 /
@@ -113,39 +141,16 @@ def build_minhash_lsh(spark, reg: Registry, cfg: MinHashLshConfig,
     defeat the point. Long-lived sessions running builders repeatedly
     should `spark.catalog.clearCache()` between runs (bench.py does).
     """
-    r = _band_width(cfg)
     # no min-parallelism shim here: the heavy work (bucket join +
     # verify) runs AFTER a shuffle, which restores parallelism on
     # its own; round-robin repartitioning the scan only adds an
     # exchange (measured 1.5-2x slower at fixture scale)
     df = reg.load(spark, cfg.source)
-    w = df.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
-    # single pass: explode shingles once, digest once, take all k
-    # minima in ONE partial-aggregating groupBy (no per-permutation
-    # array materialization)
-    nd = n_digests(cfg.num_perm)
-    dig = ", ".join(f"md5(concat('{j}:', s))" for j in range(nd))
-    ex = w.selectExpr(cfg.id_col,
-                      f"explode({spark_shingles('w', cfg.shingle_n)}) AS s") \
-          .selectExpr(cfg.id_col, f"concat({dig}) AS h")
-    sig = ex.groupBy(cfg.id_col).agg(
-        *[F.min(F.expr(f"substr(h, {1 + 4 * i}, 4)")).alias(f"mh{i}")
-          for i in range(cfg.num_perm)])
-    # The subtree above (shingle explode + md5 digests per shingle +
+    # The bucket subtree (shingle explode + md5 digests per shingle +
     # k-min aggregation) dominates query cost and feeds BOTH self-join
-    # sides, so it must materialize exactly once. Band keys are computed
-    # in the SAME projection as the signature consumer via stack() —
-    # one generator row per (doc, band) — so the cache write is a
-    # single pass over the aggregation output instead of `bands`
-    # separate projections union'd back together (the round-5 shape:
+    # sides, so it must materialize exactly once (the round-5 shape:
     # 2*bands cache readers; this one: 2).
-    stack_rows = ", ".join(
-        f"{bidx}, md5(concat_ws('|', "
-        + ", ".join(f"mh{bidx * r + j}" for j in range(r)) + "))"
-        for bidx in range(cfg.bands))
-    buckets = sig.selectExpr(
-        cfg.id_col,
-        f"stack({cfg.bands}, {stack_rows}) AS (band, sig)").persist()
+    buckets = minhash_bucket_frame(df, cfg).persist()
     a = buckets.alias("a")
     bb = buckets.alias("b")
     pairs = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),

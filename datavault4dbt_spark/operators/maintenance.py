@@ -85,17 +85,43 @@ def rehash_all(store: ParquetStore, specs: tuple,
 def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
                  g: GlobalConfig = DEFAULT,
                  snapshot_trigger_column: str | None = None) -> int:
-    """DELETE FROM pit WHERE sdts NOT IN (active snapshot sdts).
+    """DELETE FROM pit WHERE sdts NOT IN (active snapshot sdts)
+    (reference: macros/hooks/clean_up_pits.sql:27-38, 128-137).
 
     ``snapshot_df``: the control_snap_v1 relation; rows where the
     trigger column is true define the active set. Returns rows deleted.
     With Delta this would be ``DeltaTable.delete``; on the parquet store
     it is the same anti-filter + atomic rewrite.
     """
+    return _clean_up_by_snapshot(store, pit_name, snapshot_df, g,
+                                 snapshot_trigger_column, "clean_up_pit")
+
+
+def clean_up_bridge(store: ParquetStore, bridge_name: str,
+                    snapshot_df: DataFrame, g: GlobalConfig = DEFAULT,
+                    snapshot_trigger_column: str | None = None) -> int:
+    """clean_up_pit's analogue for bridges (round-7 advice #5): bridge
+    rows carry the same per-snapshot sdts grain (operators/bridge.py —
+    one row per base key per ACTIVE snapshot, snapshot-extension
+    anti-inserts), so retiring a snapshot thins the bridge exactly like
+    the PIT — DELETE WHERE sdts NOT IN (active set), whole-partition
+    metadata drops on an sdts-partitioned store. Reference:
+    macros/hooks/clean_up_pits.sql:27-38 applied to the bridge table
+    (the reference documents the hook for PITs and BRIDGEs alike —
+    both are snapshot-keyed query-assistant structures)."""
+    return _clean_up_by_snapshot(store, bridge_name, snapshot_df, g,
+                                 snapshot_trigger_column,
+                                 "clean_up_bridge")
+
+
+def _clean_up_by_snapshot(store: ParquetStore, table: str,
+                          snapshot_df: DataFrame, g: GlobalConfig,
+                          snapshot_trigger_column: str | None,
+                          label: str) -> int:
     trigger = snapshot_trigger_column or g.snapshot_trigger_column
     # Driver-side collect is bounded by the SNAPSHOT SPINE (thousands
     # of rows at most — one per logged snapshot instant), never by the
-    # PIT. Pass the control_snap relation here, not a data table: a
+    # PIT/bridge. Pass the control_snap relation here, not a data table: a
     # high-cardinality sdts source would materialize on the driver.
     active = {r[0] for r in
               snapshot_df.filter(F.col(trigger))
@@ -103,9 +129,9 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     if not active:
         # An empty active set means a misconfigured trigger or an empty
         # control table — deleting "everything not in {}" would silently
-        # drop the whole PIT. Refuse instead.
+        # drop the whole table. Refuse instead.
         raise ValueError(
-            f"clean_up_pit({pit_name}): no active snapshots under "
+            f"{label}({table}): no active snapshots under "
             f"trigger column {trigger!r}; refusing to delete all rows")
     # Fast path: a PIT stored hive-partitioned by sdts (see
     # ParquetStore.append(partition_by=...)) — every row of a partition
@@ -117,21 +143,21 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     # would silently survive; (b) if no active value matches any
     # partition string, the match itself is broken (session timezone
     # changed between write and cleanup, sdts type drift) — dropping
-    # "everything stale" would then delete the whole PIT, so refuse.
-    parts = store.partitions(pit_name, g.sdts_alias)
-    if parts and not store.has_flat_files(pit_name):
+    # "everything stale" would then delete the whole table, so refuse.
+    parts = store.partitions(table, g.sdts_alias)
+    if parts and not store.has_flat_files(table):
         active_strs = {_ts_partition_str(a) for a in active}
         stale = [d for d in parts if _ts_partition_str(d) not in active_strs]
         if len(stale) == len(parts):
             raise ValueError(
-                f"clean_up_pit({pit_name}): no active snapshot matches "
+                f"{label}({table}): no active snapshot matches "
                 f"any sdts partition (tz/type drift between write and "
                 f"cleanup?); refusing to drop every partition")
         # deleted-row count from the dropped partitions' parquet footers
-        # (metadata-only): the fast path never scans the PIT itself
+        # (metadata-only): the fast path never scans the table itself
         deleted = store.partition_row_count(
-            pit_name, [parts[d] for d in stale])
-        store.drop_partitions(pit_name, g.sdts_alias, stale)
+            table, [parts[d] for d in stale])
+        store.drop_partitions(table, g.sdts_alias, stale)
         return deleted
     # Rewrite path (unpartitioned/mixed parquet layout) — or the native
     # DELETE path on stores whose delete is already targeted (Delta:
@@ -139,26 +165,26 @@ def clean_up_pit(store: ParquetStore, pit_name: str, snapshot_df: DataFrame,
     # numDeletedRows themselves, so no before/after count scans).
     # Same drift guard as the hive fast path: if NO stored row matches
     # any active sdts (session-timezone or timestamp-type drift between
-    # write and cleanup), "delete everything stale" means the whole PIT
+    # write and cleanup), "delete everything stale" means the whole table
     # — refuse. The probe is limit(1) over an sdts-pruned scan, cheap
     # on any backend.
     cond = ~F.col(g.sdts_alias).isin(active)
-    if not store.read(pit_name).filter(
+    if not store.read(table).filter(
             F.col(g.sdts_alias).isin(active)).limit(1).count():
         # distinguish drift (rows exist, none match -> refuse) from a
         # legitimately empty PIT (nothing to clean -> 0, like before
         # the guard existed)
-        if not store.read(pit_name).limit(1).count():
+        if not store.read(table).limit(1).count():
             return 0
         raise ValueError(
-            f"clean_up_pit({pit_name}): no stored row matches any active "
+            f"{label}({table}): no stored row matches any active "
             f"snapshot sdts (tz/type drift between write and cleanup?); "
             f"refusing to delete every row")
     if getattr(store, "DELETE_RETURNS_METRICS", False):
-        return store.delete_where(pit_name, cond)
-    before = store.read(pit_name).count()
-    store.delete_where(pit_name, cond)
-    return before - store.read(pit_name).count()
+        return store.delete_where(table, cond)
+    before = store.read(table).count()
+    store.delete_where(table, cond)
+    return before - store.read(table).count()
 
 
 def _ts_partition_str(v) -> str:

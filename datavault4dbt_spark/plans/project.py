@@ -135,6 +135,7 @@ def _llm_kinds() -> dict:
     from ..llm.lineclean import build_line_clean
     from ..llm.selection import (build_canonical_selection,
                                  build_stratified_split, build_source_cap)
+    from ..llm.incdedup import build_incremental_dedup
     from ..operators.asof import build_asof_join
     from ..operators.events import build_sessionize, build_hopping_agg
     from ..operators.rangejoin import build_interval_join
@@ -188,6 +189,10 @@ def _llm_kinds() -> dict:
         "stratified_split": (build_stratified_split, src),
         "source_cap": (build_source_cap,
                        lambda c: [c.source, c.quality_entity]),
+        # runs its own store loop internally; as a project entity the
+        # RESULT is still a full-rebuild table (the internal index is
+        # scratch state, not the materialization)
+        "incremental_dedup": (build_incremental_dedup, src),
         "asof_join": (build_asof_join,
                       lambda c: [c.left_entity, c.right_entity]),
         "sessionize": (build_sessionize, src),

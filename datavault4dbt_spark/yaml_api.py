@@ -455,6 +455,7 @@ def _llm_parsers() -> dict:
     from .llm.lineclean import LineCleanConfig
     from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                                 SourceCapConfig)
+    from .llm.incdedup import IncrementalDedupConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -493,6 +494,7 @@ def _llm_parsers() -> dict:
         "canonical_selection": _dataclass_parser(CanonicalConfig),
         "stratified_split": _dataclass_parser(StratifiedSplitConfig),
         "source_cap": _dataclass_parser(SourceCapConfig),
+        "incremental_dedup": _dataclass_parser(IncrementalDedupConfig),
         "asof_join": _dataclass_parser(_asof_config()),
         "sessionize": _dataclass_parser(_events_configs()[0]),
         "hopping_agg": _dataclass_parser(_events_configs()[1]),

@@ -9,7 +9,8 @@ from datavault4dbt_spark import fixtures
 from datavault4dbt_spark.context import GlobalConfig
 from datavault4dbt_spark.functions.hashing import HashSpec
 from datavault4dbt_spark.operators.maintenance import (
-    RehashSpec, rehash_frame, rehash_table, clean_up_pit)
+    RehashSpec, rehash_frame, rehash_table, clean_up_pit,
+    clean_up_bridge)
 from datavault4dbt_spark.plans.incremental import ParquetStore
 
 
@@ -69,6 +70,35 @@ def test_clean_up_pit(spark, sf_dir, tmp_path):
     left = {r[0] for r in
             store.read("pit_customer").select("sdts").distinct().collect()}
     assert left <= active
+
+
+def test_clean_up_bridge_thins_to_active_snapshots(spark, sf_dir,
+                                                   tmp_path):
+    """The bridge analogue (round-7 advice #5): same sdts grain, same
+    retention semantics — thinning the snapshot set deletes exactly the
+    retired-sdts bridge rows, partitioned stores metadata-only."""
+    store = ParquetStore(spark, str(tmp_path))
+    bridge = fixtures.entity_query("bridge_customer_nation")(spark, sf_dir)
+    # partitioned layout: the fast path must report the same counts
+    store.append("bridge_customer_nation", bridge, partition_by=("sdts",))
+    before = store.read("bridge_customer_nation").count()
+
+    snap = fixtures.entity_query("control_snap_v1")(spark, sf_dir)
+    thinned = snap.withColumn(
+        "is_active", F.col("is_active") & F.col("is_beginning_of_week"))
+    deleted = clean_up_bridge(store, "bridge_customer_nation", thinned)
+    after = store.read("bridge_customer_nation").count()
+    assert deleted > 0
+    assert after == before - deleted
+    active = {r[0] for r in
+              thinned.filter("is_active").select("sdts").collect()}
+    left = {r[0] for r in store.read("bridge_customer_nation")
+            .select("sdts").distinct().collect()}
+    assert left <= active
+    # refusal guard shared with the PIT path
+    none_active = snap.withColumn("is_active", F.lit(False))
+    with pytest.raises(ValueError, match="clean_up_bridge"):
+        clean_up_bridge(store, "bridge_customer_nation", none_active)
 
 
 def test_clean_up_pit_uses_delete_metrics_when_store_reports_them(

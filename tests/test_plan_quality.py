@@ -381,3 +381,53 @@ def test_sat_incremental_latest_lookup_is_semi_join_pruned(spark, sf_dir):
                        target=full, disable_hwm=True)
     plan = _plan(inc)
     assert "LeftSemi" in plan, plan
+
+
+# The bundle's dependency closure is FROZEN (round-7 advice #2): a new
+# vault_dims_bundle member whose dependencies are not already in this
+# set is paid as a fresh subtree on EVERY bench run (the vault_checks
+# lesson: one fresh-subtree draft cost +10 s and was reverted). Adding
+# a member that only consumes entities below keeps the bundle's cost
+# flat (_multi_consumed persists the shared subtrees once). To grow the
+# closure anyway, update this set DELIBERATELY and justify the bench
+# cost in BENCH.md.
+_BUNDLE_CLOSURE = frozenset([
+    "canonical_docs", "chunk_dedup_spans", "control_snap_v0",
+    "control_snap_v1", "dataset_profile", "dedup_groups",
+    "dedup_minhash_lsh", "dedup_report", "doc_chunks", "docs_curated",
+    "docs_curated_best", "docs_decontaminated", "docs_source_capped",
+    "docs_source_gated", "docs_split", "event_hopping_agg",
+    "event_sessions", "events_in_snapshot_day", "hub_nation",
+    "hub_order", "hub_part", "hub_region", "hub_supplier", "hub_user",
+    "link_customer_nation", "link_supplier_nation", "multimodal_decode",
+    "ref_hub_nation", "ref_hub_part", "ref_sat_nation_v0",
+    "ref_sat_nation_v1", "ref_sat_part_v0", "ref_table_nation_latest",
+    "ref_table_nation_snap", "sat_customer_p0_s", "sat_nation_s",
+    "sat_part_s", "sat_part_s_v1", "source_stats", "stage_customer",
+    "stage_events", "stage_nation", "stage_orders", "stage_part",
+    "stage_region", "stage_supplier", "text_langid", "text_line_clean",
+    "text_quality", "text_repetition", "vault_checks",
+])
+
+
+def test_bundle_dependency_closure_is_frozen():
+    idx = fixtures._index()
+
+    def closure(name, seen):
+        cfg, _b, _o, deps = idx[name]
+        for d in deps(cfg):
+            if d in idx and d not in seen:
+                seen.add(d)
+                closure(d, seen)
+        return seen
+
+    got = closure("vault_dims_bundle", set())
+    new = got - _BUNDLE_CLOSURE
+    gone = _BUNDLE_CLOSURE - got
+    assert not new, (
+        f"vault_dims_bundle grew fresh dependency subtrees {sorted(new)} "
+        f"— every new member must target entities the bundle already "
+        f"builds (see comment above; measure before widening)")
+    assert not gone, (
+        f"frozen closure entries no longer built: {sorted(gone)} — "
+        f"update _BUNDLE_CLOSURE to match the slimmed bundle")
