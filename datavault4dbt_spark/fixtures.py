@@ -80,9 +80,13 @@ from .llm.tfidf import TfidfConfig, build_tfidf, tfidf_oracle
 from .llm.sources import (SourceStatsConfig, SourceGateConfig,
                           build_source_stats, build_source_gate,
                           source_stats_oracle, source_gate_oracle)
-from .llm.chunking import (ChunkConfig, ChunkDedupConfig, build_doc_chunks,
-                           build_chunk_dedup, doc_chunks_oracle,
-                           chunk_dedup_oracle)
+from .llm.chunking import (ChunkConfig, ChunkDedupConfig, ChunkScrubConfig,
+                           build_doc_chunks, build_chunk_dedup,
+                           build_chunk_scrub, doc_chunks_oracle,
+                           chunk_dedup_oracle, chunk_scrub_oracle)
+from .llm.lm import (BigramLmConfig, build_lm_score, lm_score_oracle)
+from .llm.gopher import (GopherRulesConfig, build_gopher_rules,
+                         gopher_rules_oracle)
 from .llm.profile import (ProfileConfig, build_dataset_profile,
                           dataset_profile_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
@@ -662,6 +666,32 @@ BUNDLES = {
                      "CAST(n_tokens AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'curated'"),
+        # round-8: fixed-point bigram-LM quality score — every integer
+        # cell (counts + the ppm score, BIGINT by the llm/lm.py
+        # contract so CAST renders identically) drives the driver hash
+        BundleMember("text_lm_score", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_bigrams AS STRING), ':', "
+                     "CAST(n_seen AS STRING), ':', "
+                     "coalesce(CAST(score_ppm AS STRING), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'lm_score'"),
+        # round-8: Gopher rule table — every integer measure and every
+        # boolean verdict folds into the hd (booleans CAST to the same
+        # 'true'/'false' rendering in both engines)
+        BundleMember("gopher_rules", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_words AS STRING), ':', "
+                     "CAST(mean_wlen_e2 AS STRING), ':', "
+                     "CAST(n_symbol_words AS STRING), ':', "
+                     "CAST(n_alpha_words AS STRING), ':', "
+                     "CAST(n_stop AS STRING), ':', "
+                     "CAST(pass_word_count AS STRING), ':', "
+                     "CAST(pass_mean_word_len AS STRING), ':', "
+                     "CAST(pass_symbol_ratio AS STRING), ':', "
+                     "CAST(pass_alpha_words AS STRING), ':', "
+                     "CAST(pass_stopwords AS STRING), ':', "
+                     "CAST(keep AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'gopher'"),
     )),
 }
 
@@ -889,6 +919,20 @@ DOC_CHUNKS = {"doc_chunks": ChunkConfig("doc_chunks")}
 # round-7: paragraph-level dedup composed over the chunk grammar —
 # cross-document chunk signatures merged into per-doc duplicate spans
 CHUNK_DEDUP = {"chunk_dedup_spans": ChunkDedupConfig("chunk_dedup_spans")}
+# round-8: exact substring-dedup TRANSFORM (Lee et al. 2022 policy —
+# cut the later copies of a duplicated passage, keep the document);
+# 60-char disjoint chunks so the word-soup corpus yields real cross-doc
+# repeats, first corpus-order occurrence survives
+CHUNK_SCRUB = {"docs_chunk_scrubbed":
+               ChunkScrubConfig("docs_chunk_scrubbed")}
+# round-8: KenLM-style bigram quality score (fixed-point — llm/lm.py's
+# portability contract); trained on the even-id half, scores every doc
+LM_SCORE = {"text_lm_score": BigramLmConfig("text_lm_score")}
+# round-8: Gopher rule-table filter at the paper's default thresholds —
+# the corpus' 10..99-word docs split naturally on the 50-word floor and
+# on the >=2-stopword rule ('the'/'a' are in-vocabulary), so every rule
+# column carries real variance under the driver hash
+GOPHER = {"gopher_rules": GopherRulesConfig("gopher_rules")}
 # data-card profile of the documents table (exact counts, one scan)
 PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
 # C4-style line cleaning: the synthetic corpus is single-line word
@@ -1096,6 +1140,9 @@ _FAMILIES = [
     (DOC_CHUNKS, build_doc_chunks, doc_chunks_oracle, _NO_DEPS),
     (CHUNK_DEDUP, build_chunk_dedup, chunk_dedup_oracle,
      lambda c: [c.chunks_entity]),
+    (CHUNK_SCRUB, build_chunk_scrub, chunk_scrub_oracle, _NO_DEPS),
+    (LM_SCORE, build_lm_score, lm_score_oracle, _NO_DEPS),
+    (GOPHER, build_gopher_rules, gopher_rules_oracle, _NO_DEPS),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
     (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
     (CANONICAL, build_canonical_selection, canonical_selection_oracle,

@@ -274,3 +274,148 @@ def chunk_dedup_oracle(b: SqlBuilder, reg: Registry, cfg: ChunkDedupConfig,
         f"p.first_dup_start, p.last_dup_end, t.doc_chars "
         f"FROM {tot} t LEFT JOIN {nd} nd ON t.doc_id = nd.doc_id "
         f"LEFT JOIN {pd_} p ON t.doc_id = p.doc_id")
+
+
+@dataclass(frozen=True)
+class ChunkScrubConfig:
+    """Exact substring-dedup TRANSFORM (round-8): remove cross-document
+    duplicated chunks from the text and keep the document — the
+    "deduplicate the substring, not the document" policy of Lee et al.
+    2022 (Deduplicating Training Data Makes Language Models Better),
+    where dropping whole documents for one shared boilerplate passage
+    throws away good prose. ``chunk_dedup`` above REPORTS duplicated
+    spans; this operator REMOVES them and reassembles the survivors.
+
+    Semantics — first occurrence wins, globally: the corpus is cut into
+    NON-overlapping chunks (stride == chunk_chars, so removal is
+    well-defined — each character belongs to exactly one chunk); a
+    chunk occurrence is removed iff an identical (normalized) chunk
+    text exists at a strictly earlier position in corpus order
+    (lower doc_id, or same doc_id and lower chunk_id). The earliest
+    copy of every duplicated passage survives, every later copy is cut,
+    and ``cleaned_text`` is the in-order concatenation of surviving
+    chunks. Chunks shorter than ``min_chunk_len`` (document tails) are
+    never candidates — tiny fragments collide by chance and carry no
+    dedup signal (Lee et al. use a 50-token floor for the same reason).
+
+    Output: (doc_id, n_chunks, n_removed_chunks, cleaned_len,
+    cleaned_text). Documents with NULL text have no chunks and emit no
+    row (the ``doc_chunks`` contract). Ids must be non-negative: the
+    corpus-order key is a zero-padded decimal rendering (portable
+    string MIN across engines — struct-min aggregation orderings are
+    engine-specific, lpad is not).
+
+    No reference analogue (the reference is a Data Vault loader);
+    extends the build brief's training-data-pipeline surface.
+    """
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    chunk_chars: int = 60        # non-overlapping removal unit
+    min_chunk_len: int = 20      # tails below this are never removed
+    normalize: bool = True       # lower(trim(text)) before matching
+
+    def __post_init__(self):
+        if self.chunk_chars < 1:
+            raise ValueError(f"{self.name}: chunk_chars must be >= 1")
+        if self.min_chunk_len < 1:
+            raise ValueError(f"{self.name}: min_chunk_len must be >= 1")
+
+    def chunker(self) -> ChunkConfig:
+        # stride == chunk_chars: disjoint chunks, removal well-defined
+        return ChunkConfig(f"{self.name}__ch", source=self.source,
+                           id_col=self.id_col, text_col=self.text_col,
+                           chunk_chars=self.chunk_chars,
+                           stride=self.chunk_chars)
+
+
+def _okey_expr(cfg: ChunkScrubConfig, dialect: str) -> str:
+    """Corpus-order occurrence key: zero-padded '(doc_id):(chunk_id)'.
+
+    String MIN over these equals numeric (doc_id, chunk_id) MIN for
+    non-negative ids; lpad renders identically in Spark and DuckDB."""
+    vc = "STRING" if dialect == "spark" else "VARCHAR"
+    return (f"concat(lpad(CAST({cfg.id_col} AS {vc}), 19, '0'), ':', "
+            f"lpad(CAST(chunk_id AS {vc}), 10, '0'))")
+
+
+def build_chunk_scrub(spark, reg: Registry, cfg: ChunkScrubConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Scale design (100 TB): chunking is scan-stage generate+project
+    (zero shuffles); the signature census is ONE map-side-combined
+    groupBy on md5 (uniform key, partial MIN/COUNT collapse hot
+    signatures before the shuffle); only signatures seen >= 2 times
+    survive into the join side, so the equi-join back is against the
+    duplicated minority (AQE broadcasts it when small, shuffles on the
+    uniform md5 key when not); the reassembly shuffles once on doc_id.
+    No windows, no driver actions, no cartesian anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    ch = chunk_dataframe(reg.load(spark, cfg.source), cfg.chunker())
+    norm = (F.lower(F.trim(F.col("chunk_text"))) if cfg.normalize
+            else F.col("chunk_text"))
+    cand = (ch.filter(F.col("chunk_len") >= cfg.min_chunk_len)
+            .select(F.col(cfg.id_col), F.col("chunk_id"),
+                    F.md5(norm).alias("sig"),
+                    F.expr(_okey_expr(cfg, "spark")).alias("okey")))
+    firsts = (cand.groupBy("sig")
+              .agg(F.min("okey").alias("first_key"),
+                   F.count(F.lit(1)).alias("n_occ"))
+              .filter(F.col("n_occ") >= 2))
+    removals = (cand.join(firsts, "sig")
+                .filter(F.col("okey") != F.col("first_key"))
+                .select(cfg.id_col, "chunk_id",
+                        F.lit(True).alias("__removed")))
+    out = (ch.join(removals, [cfg.id_col, "chunk_id"], "left")
+           .groupBy(cfg.id_col)
+           .agg(F.count(F.lit(1)).cast("int").alias("n_chunks"),
+                F.sum(F.when(F.col("__removed"), 1).otherwise(0))
+                .cast("int").alias("n_removed_chunks"),
+                F.collect_list(
+                    F.when(F.col("__removed").isNull(),
+                           F.struct("chunk_id", "chunk_text")))
+                .alias("__kept")))
+    return (out.withColumn(
+                "cleaned_text",
+                F.expr("array_join(transform(array_sort(__kept), "
+                       "x -> x.chunk_text), '')"))
+            .select(cfg.id_col, "n_chunks", "n_removed_chunks",
+                    F.length("cleaned_text").cast("int")
+                    .alias("cleaned_len"),
+                    "cleaned_text"))
+
+
+def chunk_scrub_oracle(b: SqlBuilder, reg: Registry, cfg: ChunkScrubConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    chunks = doc_chunks_oracle(b, reg, cfg.chunker(), g)
+    norm = ("lower(trim(chunk_text))" if cfg.normalize else "chunk_text")
+    cand = b.cte(
+        f"{cfg.name}__ca",
+        f"SELECT {cfg.id_col}, chunk_id, md5({norm}) AS sig, "
+        f"{_okey_expr(cfg, 'duckdb')} AS okey "
+        f"FROM {chunks} WHERE chunk_len >= {cfg.min_chunk_len}")
+    firsts = b.cte(
+        f"{cfg.name}__fi",
+        f"SELECT sig, min(okey) AS first_key FROM {cand} "
+        f"GROUP BY sig HAVING count(*) >= 2")
+    rem = b.cte(
+        f"{cfg.name}__rm",
+        f"SELECT c.{cfg.id_col}, c.chunk_id, true AS removed "
+        f"FROM {cand} c JOIN {firsts} f USING (sig) "
+        f"WHERE c.okey <> f.first_key")
+    return b.cte(
+        cfg.name,
+        f"SELECT ch.{cfg.id_col}, CAST(count(*) AS INT) AS n_chunks, "
+        f"CAST(count(r.removed) AS INT) AS n_removed_chunks, "
+        f"CAST(length(coalesce(string_agg(ch.chunk_text, '' "
+        f"ORDER BY ch.chunk_id) FILTER (WHERE r.removed IS NULL), "
+        f"'')) AS INT) AS cleaned_len, "
+        f"coalesce(string_agg(ch.chunk_text, '' ORDER BY ch.chunk_id) "
+        f"FILTER (WHERE r.removed IS NULL), '') AS cleaned_text "
+        f"FROM {chunks} ch LEFT JOIN {rem} r "
+        f"ON ch.{cfg.id_col} = r.{cfg.id_col} "
+        f"AND ch.chunk_id = r.chunk_id "
+        f"GROUP BY ch.{cfg.id_col}")

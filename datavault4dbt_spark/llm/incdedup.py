@@ -125,37 +125,61 @@ def build_incremental_dedup(spark, reg: Registry,
 
     batch_of = F.expr(_batch_expr(cfg, bound, "spark"))
     for k in range(cfg.n_batches):
-        batch_docs = docs.filter(batch_of == k)
-        buckets = minhash_bucket_frame(batch_docs, mh).persist()
-        # lower-id match within the batch: the pair-finder's self-join
-        a, bb = buckets.alias("a"), buckets.alias("b")
-        within = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),
-                                 F.col("a.sig") == F.col("b.sig"),
-                                 F.col(f"a.{cfg.id_col}")
-                                 < F.col(f"b.{cfg.id_col}")])
-                  .select(F.col(f"b.{cfg.id_col}").alias(cfg.id_col)))
-        if k > 0:
-            # any match in the index is an earlier doc by construction;
-            # left-semi keeps the new batch the probe side (no row
-            # explosion on multi-bucket matches)
-            vs_index = (buckets.join(store.read("index"),
-                                     on=["band", "sig"], how="left_semi")
-                        .select(cfg.id_col))
-            dropped = within.union(vs_index).distinct()
-        else:
-            dropped = within.distinct()
-        verdict = (batch_docs.select(cfg.id_col)
-                   .join(dropped.withColumn("__dropped", F.lit(True)),
-                         on=cfg.id_col, how="left")
-                   .select(cfg.id_col,
-                           F.lit(k).cast("int").alias("batch_id"),
-                           F.col("__dropped").isNull().alias("is_kept")))
-        # verdict is WRITTEN (action) before the batch's buckets land in
-        # the index, so its plan can never see its own batch as "earlier"
-        store.append("result", verdict)
-        store.append("index", buckets)
-        buckets.unpersist()
+        process_dedup_batch(store, docs.filter(batch_of == k), mh,
+                            cfg.id_col, batch_id=k)
     return store.read("result")
+
+
+def process_dedup_batch(store: ParquetStore, batch_docs: DataFrame,
+                        mh: MinHashLshConfig, id_col: str,
+                        batch_id: int) -> None:
+    """One batch through the persisted index — the shared core of the
+    batch replay loop above and the foreachBatch streaming twin
+    (streaming/incdedup.py). "Earlier" = previously processed batch, or
+    lower id within this batch."""
+    buckets = minhash_bucket_frame(batch_docs, mh).persist()
+    # lower-id match within the batch: the pair-finder's self-join
+    a, bb = buckets.alias("a"), buckets.alias("b")
+    within = (a.join(bb, on=[F.col("a.band") == F.col("b.band"),
+                             F.col("a.sig") == F.col("b.sig"),
+                             F.col(f"a.{id_col}")
+                             < F.col(f"b.{id_col}")])
+              .select(F.col(f"b.{id_col}").alias(id_col)))
+    if store.exists("index"):
+        # any match in the index is an earlier doc by construction;
+        # left-semi keeps the new batch the probe side (no row
+        # explosion on multi-bucket matches)
+        vs_index = (buckets.join(store.read("index"),
+                                 on=["band", "sig"], how="left_semi")
+                    .select(id_col))
+        dropped = within.union(vs_index).distinct()
+    else:
+        dropped = within.distinct()
+    verdict = (batch_docs.select(id_col)
+               .join(dropped.withColumn("__dropped", F.lit(True)),
+                     on=id_col, how="left")
+               .select(id_col,
+                       F.lit(batch_id).cast("int").alias("batch_id"),
+                       F.col("__dropped").isNull().alias("is_kept")))
+    # verdict is WRITTEN (action) before the batch's buckets land in
+    # the index, so its plan can never see its own batch as "earlier".
+    # Both tables are hive-partitioned on batch_id so the streaming
+    # twin's at-least-once replay probes (streaming/incdedup.py) prune
+    # to one partition directory instead of scanning history.
+    store.append("result", verdict, partition_by=("batch_id",))
+    append_batch_index(store, buckets, batch_id)
+    buckets.unpersist()
+
+
+def append_batch_index(store: ParquetStore, buckets: DataFrame,
+                       batch_id: int) -> None:
+    """Append a batch's bucket signatures under its batch_id tag —
+    split out so the streaming twin can repair an index append that
+    failed AFTER its verdict landed (llm/incdedup write order)."""
+    store.append("index",
+                 buckets.withColumn("batch_id",
+                                    F.lit(batch_id).cast("int")),
+                 partition_by=("batch_id",))
 
 
 def incremental_dedup_oracle(b: SqlBuilder, reg: Registry,

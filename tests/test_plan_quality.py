@@ -407,6 +407,14 @@ _BUNDLE_CLOSURE = frozenset([
     "stage_events", "stage_nation", "stage_orders", "stage_part",
     "stage_region", "stage_supplier", "text_langid", "text_line_clean",
     "text_quality", "text_repetition", "vault_checks",
+    # round-8 deliberate widening: bigram-LM quality score — measured
+    # 1.36s standalone at sf0.1 (min-of-3, idle host) before adding;
+    # two document scans + two map-side-combined word aggs, no chain
+    # rebuild (BENCH.md round-8 section)
+    "text_lm_score",
+    # round-8 deliberate widening: Gopher rule table — pure scan-stage
+    # projection (zero shuffles), sub-second at sf0.1 (BENCH.md)
+    "gopher_rules",
 ])
 
 
