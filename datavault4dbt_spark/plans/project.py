@@ -130,7 +130,10 @@ def _llm_kinds() -> dict:
     from ..llm.substring import build_substring_dup
     from ..llm.tfidf import build_tfidf
     from ..llm.sources import build_source_stats, build_source_gate
-    from ..llm.chunking import build_doc_chunks, build_chunk_dedup
+    from ..llm.chunking import (build_doc_chunks, build_chunk_dedup,
+                                build_chunk_scrub)
+    from ..llm.lm import build_lm_score
+    from ..llm.gopher import build_gopher_rules
     from ..llm.profile import build_dataset_profile
     from ..llm.lineclean import build_line_clean
     from ..llm.selection import (build_canonical_selection,
@@ -179,6 +182,9 @@ def _llm_kinds() -> dict:
                         lambda c: [c.stats_entity]),
         "doc_chunks": (build_doc_chunks, src),
         "chunk_dedup": (build_chunk_dedup, lambda c: [c.chunks_entity]),
+        "chunk_scrub": (build_chunk_scrub, src),
+        "lm_score": (build_lm_score, src),
+        "gopher_rules": (build_gopher_rules, src),
         "multimodal_decode": (build_multimodal_decode, src),
         "decontaminate": (build_decontaminated, src),
         "dataset_profile": (build_dataset_profile, src),

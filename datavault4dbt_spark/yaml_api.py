@@ -449,7 +449,10 @@ def _llm_parsers() -> dict:
     from .llm.substring import SubstringDupConfig
     from .llm.tfidf import TfidfConfig
     from .llm.sources import SourceStatsConfig, SourceGateConfig
-    from .llm.chunking import ChunkConfig, ChunkDedupConfig
+    from .llm.chunking import (ChunkConfig, ChunkDedupConfig,
+                               ChunkScrubConfig)
+    from .llm.lm import BigramLmConfig
+    from .llm.gopher import GopherRulesConfig
     from .llm.multimodal import MultimodalDecodeConfig
     from .llm.profile import ProfileConfig
     from .llm.lineclean import LineCleanConfig
@@ -487,6 +490,9 @@ def _llm_parsers() -> dict:
         "source_gate": _dataclass_parser(SourceGateConfig),
         "doc_chunks": _dataclass_parser(ChunkConfig),
         "chunk_dedup": _dataclass_parser(ChunkDedupConfig),
+        "chunk_scrub": _dataclass_parser(ChunkScrubConfig),
+        "lm_score": _dataclass_parser(BigramLmConfig),
+        "gopher_rules": _dataclass_parser(GopherRulesConfig),
         "multimodal_decode": _dataclass_parser(MultimodalDecodeConfig),
         "decontaminate": _dataclass_parser(ContaminationConfig),
         "dataset_profile": _dataclass_parser(ProfileConfig),

@@ -200,6 +200,16 @@ stopwords: [the, a, of, and, to, in, is]
     assert q == fixtures.TEXT_QUALITY["text_quality"]
     assert isinstance(q.stopwords, tuple)
 
+    # round-8 kinds route through the same generic parser
+    lm = yaml_api.parse("lm_score", "train_mod: 2\n", name="text_lm_score")
+    assert lm == fixtures.LM_SCORE["text_lm_score"]
+    gr = yaml_api.parse("gopher_rules", "min_words: 50\n",
+                        name="gopher_rules")
+    assert gr == fixtures.GOPHER["gopher_rules"]
+    cs = yaml_api.parse("chunk_scrub", "chunk_chars: 60\n",
+                        name="docs_chunk_scrubbed")
+    assert cs == fixtures.CHUNK_SCRUB["docs_chunk_scrubbed"]
+
 
 def test_llm_kind_rejects_unknown_keys():
     import pytest
