@@ -87,6 +87,10 @@ from .llm.chunking import (ChunkConfig, ChunkDedupConfig, ChunkScrubConfig,
 from .llm.lm import (BigramLmConfig, build_lm_score, lm_score_oracle)
 from .llm.gopher import (GopherRulesConfig, build_gopher_rules,
                          gopher_rules_oracle)
+from .llm.boilerplate import (BoilerplateConfig,
+                              build_boilerplate_removal,
+                              boilerplate_removal_oracle)
+from .llm.dsir import DsirConfig, build_dsir_score, dsir_score_oracle
 from .llm.profile import (ProfileConfig, build_dataset_profile,
                           dataset_profile_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
@@ -675,9 +679,27 @@ BUNDLES = {
                      "coalesce(CAST(score_ppm AS STRING), ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'lm_score'"),
+        # round-8: DSIR importance score — integer count, fixed-point
+        # score and the selection verdict all drive the driver hash
+        BundleMember("dsir_score", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_bigrams AS STRING), ':', "
+                     "coalesce(CAST(score_ppm AS STRING), ''), ':', "
+                     "coalesce(CAST(selected AS STRING), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'dsir'"),
         # round-8: Gopher rule table — every integer measure and every
         # boolean verdict folds into the hd (booleans CAST to the same
         # 'true'/'false' rendering in both engines)
+        # round-8: cross-doc boilerplate removal — counts fold directly,
+        # the (possibly long) cleaned_text folds as its md5 (identical
+        # rendering both engines), so any reassembly drift fails the hash
+        BundleMember("docs_boilerplate_clean", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_lines AS STRING), ':', "
+                     "CAST(n_boiler_lines AS STRING), ':', "
+                     "CAST(cleaned_len AS STRING), ':', "
+                     "md5(cleaned_text))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'boilerplate'"),
         BundleMember("gopher_rules", "CAST(doc_id AS STRING)",
                      "concat(CAST(n_words AS STRING), ':', "
                      "CAST(mean_wlen_e2 AS STRING), ':', "
@@ -928,11 +950,34 @@ CHUNK_SCRUB = {"docs_chunk_scrubbed":
 # round-8: KenLM-style bigram quality score (fixed-point — llm/lm.py's
 # portability contract); trained on the even-id half, scores every doc
 LM_SCORE = {"text_lm_score": BigramLmConfig("text_lm_score")}
+# round-8: CCNet-style cross-document line-frequency boilerplate
+# removal. The fixture plants the web-page shape the operator exists
+# for: a banner line shared by EVERY doc (always removed), a footer
+# shared by the id%3==0 third (removed), a per-doc unique tail (kept),
+# plus the same mid-text line structure the line-clean fixture plants —
+# so removal, survival and ordering all carry variance under the
+# driver hash. The literal newlines inside the SQL string parse
+# identically in both dialects (the LINECLEAN trick).
+BOILERPLATE = {"docs_boilerplate_clean": BoilerplateConfig(
+    "docs_boilerplate_clean",
+    text_expr=("concat('all rights reserved.', '\n', "
+               "replace(coalesce(text, ''), ' window ', "
+               "concat('.', '\n', 'window ')), '\n', "
+               "CASE WHEN doc_id % 3 = 0 "
+               "THEN 'subscribe to our newsletter.' "
+               "ELSE concat('doc tail ', doc_id) END)"))}
 # round-8: Gopher rule-table filter at the paper's default thresholds —
 # the corpus' 10..99-word docs split naturally on the 50-word floor and
 # on the >=2-stopword rule ('the'/'a' are in-vocabulary), so every rule
 # column carries real variance under the driver hash
 GOPHER = {"gopher_rules": GopherRulesConfig("gopher_rules")}
+# round-8: DSIR-style importance score — the src0 slice plays the
+# trusted target corpus; every doc gets the mean per-bigram target
+# posterior in ppm (fixed-point analogue of the paper's LLR weight,
+# see llm/dsir.py) and a threshold selection flag
+# threshold sits between the target slice's score mode (~110k ppm at
+# sf0.01) and the raw complement's (~79k), so the flag genuinely splits
+DSIR = {"dsir_score": DsirConfig("dsir_score", threshold_ppm=95_000)}
 # data-card profile of the documents table (exact counts, one scan)
 PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
 # C4-style line cleaning: the synthetic corpus is single-line word
@@ -1143,6 +1188,9 @@ _FAMILIES = [
     (CHUNK_SCRUB, build_chunk_scrub, chunk_scrub_oracle, _NO_DEPS),
     (LM_SCORE, build_lm_score, lm_score_oracle, _NO_DEPS),
     (GOPHER, build_gopher_rules, gopher_rules_oracle, _NO_DEPS),
+    (BOILERPLATE, build_boilerplate_removal, boilerplate_removal_oracle,
+     _NO_DEPS),
+    (DSIR, build_dsir_score, dsir_score_oracle, _NO_DEPS),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
     (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
     (CANONICAL, build_canonical_selection, canonical_selection_oracle,

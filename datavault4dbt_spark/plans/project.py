@@ -134,6 +134,8 @@ def _llm_kinds() -> dict:
                                 build_chunk_scrub)
     from ..llm.lm import build_lm_score
     from ..llm.gopher import build_gopher_rules
+    from ..llm.boilerplate import build_boilerplate_removal
+    from ..llm.dsir import build_dsir_score
     from ..llm.profile import build_dataset_profile
     from ..llm.lineclean import build_line_clean
     from ..llm.selection import (build_canonical_selection,
@@ -185,6 +187,8 @@ def _llm_kinds() -> dict:
         "chunk_scrub": (build_chunk_scrub, src),
         "lm_score": (build_lm_score, src),
         "gopher_rules": (build_gopher_rules, src),
+        "boilerplate_removal": (build_boilerplate_removal, src),
+        "dsir_score": (build_dsir_score, src),
         "multimodal_decode": (build_multimodal_decode, src),
         "decontaminate": (build_decontaminated, src),
         "dataset_profile": (build_dataset_profile, src),

@@ -453,6 +453,8 @@ def _llm_parsers() -> dict:
                                ChunkScrubConfig)
     from .llm.lm import BigramLmConfig
     from .llm.gopher import GopherRulesConfig
+    from .llm.boilerplate import BoilerplateConfig
+    from .llm.dsir import DsirConfig
     from .llm.multimodal import MultimodalDecodeConfig
     from .llm.profile import ProfileConfig
     from .llm.lineclean import LineCleanConfig
@@ -493,6 +495,8 @@ def _llm_parsers() -> dict:
         "chunk_scrub": _dataclass_parser(ChunkScrubConfig),
         "lm_score": _dataclass_parser(BigramLmConfig),
         "gopher_rules": _dataclass_parser(GopherRulesConfig),
+        "boilerplate_removal": _dataclass_parser(BoilerplateConfig),
+        "dsir_score": _dataclass_parser(DsirConfig),
         "multimodal_decode": _dataclass_parser(MultimodalDecodeConfig),
         "decontaminate": _dataclass_parser(ContaminationConfig),
         "dataset_profile": _dataclass_parser(ProfileConfig),

@@ -415,6 +415,15 @@ _BUNDLE_CLOSURE = frozenset([
     # round-8 deliberate widening: Gopher rule table — pure scan-stage
     # projection (zero shuffles), sub-second at sf0.1 (BENCH.md)
     "gopher_rules",
+    # round-8 deliberate widening: cross-doc line-frequency boilerplate
+    # removal — one census groupBy + join-back + per-doc reassembly
+    # (the chunk-scrub shape), measured 1.49s warm at sf0.1 (min-of-3,
+    # idle host) before adding
+    "docs_boilerplate_clean",
+    # round-8 deliberate widening: DSIR importance score — one census
+    # groupBy + scoring join + per-doc reduce, the lm_score cost shape
+    # (1.93s warm at sf0.1, min-of-3 idle; measured before adding)
+    "dsir_score",
 ])
 
 

@@ -209,6 +209,12 @@ stopwords: [the, a, of, and, to, in, is]
     cs = yaml_api.parse("chunk_scrub", "chunk_chars: 60\n",
                         name="docs_chunk_scrubbed")
     assert cs == fixtures.CHUNK_SCRUB["docs_chunk_scrubbed"]
+    ds = yaml_api.parse("dsir_score", "threshold_ppm: 95000\n",
+                        name="dsir_score")
+    assert ds == fixtures.DSIR["dsir_score"]
+    bp = yaml_api.parse("boilerplate_removal", "min_docs: 2\n",
+                        name="b")
+    assert bp.min_chars == 5 and bp.min_docs == 2
 
 
 def test_llm_kind_rejects_unknown_keys():
