@@ -383,6 +383,57 @@ def test_sat_incremental_latest_lookup_is_semi_join_pruned(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+def test_chunk_scrub_census_shape(spark, sf_dir):
+    """Chunk scrub: exactly two hash exchanges — the signature census
+    and the per-doc reassembly; the join-back against the duplicated
+    minority is an equi-join (broadcast at this SF), never a
+    nested-loop. A third hash exchange means the removal join stopped
+    reusing the census partitioning or AQE demoted the broadcast."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_chunk_scrubbed")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_boilerplate_census_shape(spark, sf_dir):
+    """Line boilerplate: the distinct-doc census expands to Spark's
+    two-phase count-distinct (2 exchanges) plus the per-doc reassembly
+    — 3 hash exchanges total, equi-joins only."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_boilerplate_clean")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_lm_score_vocab_is_broadcast_single_row(spark, sf_dir):
+    """Bigram LM: the vocabulary rides as an explicitly-broadcast
+    1-row cross join (the ONLY nested-loop allowed); model joins are
+    equi-joins."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("text_lm_score")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") >= 2, plan
+
+
+def test_dsir_single_pass_census(spark, sf_dir):
+    """DSIR: target/raw counts come from ONE census aggregation (no
+    second scan, no census-vs-census join) — two hash exchanges total
+    (census + per-doc reduce), scoring join equi-keyed."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("dsir_score")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 # The bundle's dependency closure is FROZEN (round-7 advice #2): a new
 # vault_dims_bundle member whose dependencies are not already in this
 # set is paid as a fresh subtree on EVERY bench run (the vault_checks

@@ -159,7 +159,10 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "doc_chunks", "dataset_profile", "text_line_clean",
                            "chunk_dedup_spans", "docs_decontaminated",
                            "multimodal_decode", "canonical_docs",
-                           "docs_split", "docs_source_capped"}
+                           "docs_split", "docs_source_capped",
+                           "docs_chunk_scrubbed", "text_lm_score",
+                           "gopher_rules", "dsir_score",
+                           "docs_boilerplate_clean"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
@@ -167,7 +170,9 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                  "dedup_report", "source_stats", "docs_source_gated",
                  "doc_chunks", "dataset_profile", "text_line_clean",
                  "chunk_dedup_spans", "multimodal_decode",
-                 "canonical_docs", "docs_split", "docs_source_capped"):
+                 "canonical_docs", "docs_split", "docs_source_capped",
+                 "docs_chunk_scrubbed", "text_lm_score", "gopher_rules",
+                 "dsir_score", "docs_boilerplate_clean"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 
