@@ -123,6 +123,26 @@ class DeltaStore(ParquetStore):
             self.overwrite(name, self.read(name), partition_by=partition_by)
         return self._num_files(name)
 
+    def cluster(self, name: str, order_by: tuple, n_files: int = 0,
+                partition_by: tuple = ()) -> int:
+        """Native OPTIMIZE ZORDER when the engine exposes it (multi-
+        dimensional locality, transactional swap); otherwise the
+        range-cluster rewrite through this class's TRANSACTIONAL
+        ``overwrite`` (same reasoning as ``compact``'s fallback — the
+        parquet directory swap would strip the _delta_log)."""
+        if not order_by:
+            raise ValueError("cluster() needs at least one order_by col")
+        t = self._DeltaTable.forPath(self.spark, self.path(name))
+        if hasattr(t, "optimize"):
+            t.optimize().executeZOrderBy(*order_by)
+        else:
+            df = self.read(name)
+            df = (df.repartitionByRange(n_files, *order_by) if n_files
+                  else df.repartitionByRange(*order_by))
+            self.overwrite(name, df.sortWithinPartitions(*order_by),
+                           partition_by=partition_by)
+        return self._num_files(name)
+
     def delete_where(self, name: str, condition) -> int:
         """Native targeted DELETE. With a partition-column predicate
         Delta drops whole files from the log (metadata-only); otherwise

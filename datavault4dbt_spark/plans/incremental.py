@@ -390,8 +390,37 @@ class ParquetStore:
         import os
 
         self.overwrite(name, self.read(name), partition_by=partition_by)
+        return self._count_parquet_files(name)
+
+    def _count_parquet_files(self, name: str) -> int:
+        import os
         return sum(1 for _base, _d, files in os.walk(self.path(name))
                    for f in files if f.endswith(".parquet"))
+
+    def cluster(self, name: str, order_by: tuple, n_files: int = 0,
+                partition_by: tuple = ()) -> int:
+        """Range-cluster the table's file layout on ``order_by``: rewrite
+        with repartitionByRange + sortWithinPartitions so each output
+        file covers a narrow, non-overlapping key range. Parquet footer
+        min/max stats then prune WHOLE FILES for selective predicates on
+        those keys — the open-format analogue of Delta's OPTIMIZE
+        ZORDER for prefix-ordered keys, and the layout step that makes
+        100 TB point/range lookups read megabytes instead of the table.
+
+        Fully distributed: one range shuffle (sampled boundaries) + a
+        per-partition sort, funneled through ``overwrite``'s swap
+        protocol. ``n_files`` sizes the layout (0 = the session's
+        shuffle parallelism); ``partition_by`` preserves a hive layout
+        (clustering applies within each partition directory). Returns
+        the resulting file count."""
+        if not order_by:
+            raise ValueError("cluster() needs at least one order_by col")
+        df = self.read(name)
+        df = (df.repartitionByRange(n_files, *order_by) if n_files
+              else df.repartitionByRange(*order_by))
+        df = df.sortWithinPartitions(*order_by)
+        self.overwrite(name, df, partition_by=partition_by)
+        return self._count_parquet_files(name)
 
     def delete_where(self, name: str, condition) -> int | None:
         """DELETE FROM name WHERE condition (reference:

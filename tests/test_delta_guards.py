@@ -45,6 +45,7 @@ class FakeDeltaTable:
         self.commits = commits
         self.deleted_conditions = []
         self.compactions = 0
+        self.zorders = []
         self.n_files = 3
 
     # -- DeltaTable surface consumed by DeltaStore --------------------
@@ -71,6 +72,10 @@ class FakeDeltaTable:
             def executeCompaction(self):
                 outer.compactions += 1
                 outer.n_files = 1
+
+            def executeZOrderBy(self, *cols):
+                outer.zorders.append(cols)
+                outer.n_files = 2
 
         return _Opt()
 
@@ -124,6 +129,17 @@ def test_compact_prefers_native_optimize(tmp_path):
     fake = FakeDeltaTable()
     assert _store(fake, tmp_path).compact("pit") == 1
     assert fake.compactions == 1
+
+
+def test_cluster_prefers_native_zorder(tmp_path):
+    fake = FakeDeltaTable()
+    assert _store(fake, tmp_path).cluster("pit", order_by=("hk", "sdts")) == 2
+    assert fake.zorders == [("hk", "sdts")]
+
+
+def test_cluster_rejects_empty_keys(tmp_path):
+    with pytest.raises(ValueError, match="order_by"):
+        _store(FakeDeltaTable(), tmp_path).cluster("pit", order_by=())
 
 
 def test_drop_partitions_empty_request_short_circuits(tmp_path):

@@ -460,3 +460,56 @@ def test_compact_consolidates_small_files(spark, sf_dir, tmp_path):
     store.compact("p", partition_by=("day",))
     assert set(store.partitions("p", "day")) == {"0", "1", "2"}
     assert store.read("p").count() == 1000
+
+
+def test_cluster_layout_enables_file_pruning(spark, tmp_path):
+    """Range-clustering rewrites the table so each file covers a
+    narrow, NON-OVERLAPPING key range — the property parquet min/max
+    footer pruning needs. Verified from the actual footers via
+    pyarrow, plus row-multiset preservation."""
+    import glob
+    import pyarrow.parquet as pq
+    from datavault4dbt_spark.plans.incremental import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    # shuffled appends: every file initially spans ~the full key range
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(hash(id) % 100000 AS BIGINT) AS k", "id AS payload")
+    for i in range(4):
+        store.append("t", df.filter(f"id % 4 = {i}"))
+
+    def ranges():
+        out = []
+        for f in glob.glob(store.path("t") + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ks = [md.row_group(g).column(0) for g in range(md.num_row_groups)]
+            assert all(c.path_in_schema == "k" for c in ks)
+            out.append((min(c.statistics.min for c in ks),
+                        max(c.statistics.max for c in ks)))
+        return sorted(out)
+
+    # pre-clustering: overlapping ranges (each append saw all keys)
+    pre = ranges()
+    assert any(a_max > b_min for (_a, a_max), (b_min, _b)
+               in zip(pre, pre[1:]))
+
+    rows_before = sorted((r.k, r.payload)
+                         for r in store.read("t").collect())
+    n = store.cluster("t", order_by=("k",), n_files=8)
+    assert n <= 8
+    post = ranges()
+    assert len(post) == n
+    # disjoint: every file's max < the next file's min (distinct keys)
+    assert all(a_max <= b_min for (_a, a_max), (b_min, _b)
+               in zip(post, post[1:]))
+    assert sorted((r.k, r.payload)
+                  for r in store.read("t").collect()) == rows_before
+
+
+def test_cluster_requires_keys(spark, tmp_path):
+    import pytest
+    from datavault4dbt_spark.plans.incremental import ParquetStore
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.append("t", spark.range(5))
+    with pytest.raises(ValueError, match="order_by"):
+        store.cluster("t", order_by=())
