@@ -116,7 +116,8 @@ _RULE_COLS = ("pass_word_count", "pass_mean_word_len",
               "pass_symbol_ratio", "pass_alpha_words", "pass_stopwords")
 
 
-def _final_exprs(cfg: GopherRulesConfig, dialect: str) -> list:
+def _final_exprs(cfg: GopherRulesConfig, dialect: str,
+                 carry: tuple = ()) -> list:
     # integer division — NOT '/', which is double division in Spark and
     # would reintroduce the engine-specific rounding the fixed-point
     # contract exists to avoid (CAST(DOUBLE) truncates in Spark but
@@ -124,24 +125,35 @@ def _final_exprs(cfg: GopherRulesConfig, dialect: str) -> list:
     idiv = " div " if dialect == "spark" else " // "
     mean = (f"CAST(CASE WHEN n_words = 0 THEN 0 "
             f"ELSE (sum_wlen * 100){idiv}n_words END AS BIGINT)")
-    return ([cfg.id_col, "n_words",
+    return ([cfg.id_col, *carry, "n_words",
              f"{mean} AS mean_wlen_e2",
              "n_symbol_words", "n_alpha_words", "n_stop"]
             + list(_RULE_COLS)
             + [" AND ".join(_RULE_COLS) + " AS keep"])
 
 
-def build_gopher_rules(spark, reg: Registry, cfg: GopherRulesConfig,
-                       g: GlobalConfig = DEFAULT) -> DataFrame:
-    docs = reg.load(spark, cfg.source)
-    w = docs.selectExpr(cfg.id_col, f"{spark_tokens(cfg.text_col)} AS w")
-    meas = w.selectExpr(cfg.id_col, *_measure_exprs(cfg, "spark"))
+def gopher_rules_frame(docs: DataFrame, cfg: GopherRulesConfig,
+                       carry: tuple = ()) -> DataFrame:
+    """Rule-table projection over an arbitrary DataFrame — the single
+    implementation the batch builder and the streaming gate
+    (streaming/curation.py) share, so the two paths cannot drift
+    (stateless scan-stage exprs run unchanged in a micro-batch plan).
+    ``carry``: extra columns passed through (e.g. a stream's event-time
+    column)."""
+    w = docs.selectExpr(cfg.id_col, *carry,
+                        f"{spark_tokens(cfg.text_col)} AS w")
+    meas = w.selectExpr(cfg.id_col, *carry, *_measure_exprs(cfg, "spark"))
     # two selects so rule exprs reference measure aliases; Catalyst
     # collapses them into one scan-stage projection
-    verd = meas.selectExpr(cfg.id_col, "n_words", "sum_wlen",
+    verd = meas.selectExpr(cfg.id_col, *carry, "n_words", "sum_wlen",
                            "n_symbol_words", "n_alpha_words", "n_stop",
                            *_verdict_exprs(cfg))
-    return verd.selectExpr(*_final_exprs(cfg, "spark"))
+    return verd.selectExpr(*_final_exprs(cfg, "spark", carry=carry))
+
+
+def build_gopher_rules(spark, reg: Registry, cfg: GopherRulesConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    return gopher_rules_frame(reg.load(spark, cfg.source), cfg)
 
 
 def gopher_rules_oracle(b: SqlBuilder, reg: Registry,

@@ -66,6 +66,24 @@ def streaming_curation(docs: DataFrame, *, id_col: str = "doc_id",
                           "predicted_lang", "quality_score", "content_hash")
 
 
+def streaming_gopher_gate(stream_docs: DataFrame, cfg,
+                          event_time_col: str = "ts") -> DataFrame:
+    """Gopher rule-filter an ARRIVING stream: documents that pass every
+    rule, with their rule verdicts attached. The measure/verdict
+    expressions come from the SAME ``llm.gopher.gopher_rules_frame``
+    the oracle-checked batch builder uses (stateless scan-stage
+    projection, so it runs unchanged inside a micro-batch plan) —
+    shared code, so the stream and batch paths cannot drift; the
+    stream-equals-batch test pins it. Rules are per-document, so
+    micro-batch-local gating equals corpus-wide gating and replays are
+    idempotent."""
+    from ..llm.gopher import gopher_rules_frame
+
+    rules = gopher_rules_frame(stream_docs, cfg,
+                               carry=(event_time_col,))
+    return rules.filter(F.col("keep"))
+
+
 def streaming_source_gate(stream_docs: DataFrame, stats: DataFrame,
                           cfg) -> DataFrame:
     """Source-level gate on an ARRIVING stream: the offending-source

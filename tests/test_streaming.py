@@ -561,3 +561,38 @@ def test_streaming_contamination_gate_equals_batch(spark, sf_dir,
     with pytest.raises(ValueError, match="max_doc_freq"):
         contamination_gate(batch, ev, ContaminationConfig(
             "cg2", source="cdocs", max_doc_freq=3))
+
+
+def test_streaming_gopher_gate_equals_batch(spark, doc_batches, tmp_path):
+    """Gopher rule-gating on an arriving stream: the gate is a
+    stateless scan-stage projection sharing gopher_rules_frame with
+    the oracle-checked batch builder, so streamed survivors (with
+    verdict columns and the carried event-time column) must equal the
+    batch gate over the full corpus — and the gate must genuinely bite
+    (thresholds data-derived so some documents drop, some survive)."""
+    from datavault4dbt_spark.llm.gopher import (
+        GopherRulesConfig, gopher_rules_frame)
+    from datavault4dbt_spark.streaming.curation import streaming_gopher_gate
+
+    fixtures.ensure_session_conf(spark)
+    batch = spark.read.parquet(doc_batches)
+    # median word count as min_words: a strict lower bound that bites
+    # at any scale factor
+    wc = sorted(r[0] for r in batch.selectExpr(
+        "size(split(lower(text), '\\\\s+')) AS n").collect())
+    cfg = GopherRulesConfig("gg", min_words=wc[len(wc) // 2],
+                            min_stopwords=1)
+    want = {tuple(map(str, r)) for r in gopher_rules_frame(
+        batch, cfg, carry=("ts",)).filter("keep").collect()}
+    assert 0 < len(want) < batch.count()   # dropped some, kept some
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches))
+    out = streaming_gopher_gate(stream, cfg, event_time_col="ts")
+    q = (out.writeStream.format("memory").queryName("gopher_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_gg")).start())
+    q.awaitTermination(300)
+    got = {tuple(map(str, r))
+           for r in spark.table("gopher_stream").collect()}
+    assert got == want
