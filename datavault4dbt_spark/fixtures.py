@@ -84,7 +84,11 @@ from .llm.chunking import (ChunkConfig, ChunkDedupConfig, ChunkScrubConfig,
                            build_doc_chunks, build_chunk_dedup,
                            build_chunk_scrub, doc_chunks_oracle,
                            chunk_dedup_oracle, chunk_scrub_oracle)
-from .llm.lm import (BigramLmConfig, build_lm_score, lm_score_oracle)
+from .llm.lm import (BigramLmConfig, build_lm_score, lm_score_oracle,
+                     CcnetBucketsConfig, build_ccnet_buckets,
+                     ccnet_buckets_oracle)
+from .llm.vocab import (VocabTopkConfig, build_vocab_topk,
+                        vocab_topk_oracle)
 from .llm.gopher import (GopherRulesConfig, build_gopher_rules,
                          gopher_rules_oracle)
 from .llm.boilerplate import (BoilerplateConfig,
@@ -714,6 +718,23 @@ BUNDLES = {
                      "CAST(keep AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'gopher'"),
+        # round-8: CCNet perplexity terciles — bucket label, keep flag
+        # and the underlying score all drive the driver hash; shares
+        # the text_lm_score subtree already in the bundle's build set
+        BundleMember("docs_ccnet_buckets", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(lang, ''), ':', "
+                     "coalesce(CAST(score_ppm AS STRING), ''), ':', "
+                     "ppl_bucket, ':', CAST(keep AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'ccnet'"),
+        # round-8: vocabulary top-k — token, both counts and the
+        # deterministic rank fold in, so any tie-break or census drift
+        # fails the hash
+        BundleMember("text_vocab_topk", "token",
+                     "concat(CAST(tf AS STRING), ':', "
+                     "CAST(df AS STRING), ':', CAST(rnk AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'vocab'"),
     )),
 }
 
@@ -950,6 +971,16 @@ CHUNK_SCRUB = {"docs_chunk_scrubbed":
 # round-8: KenLM-style bigram quality score (fixed-point — llm/lm.py's
 # portability contract); trained on the even-id half, scores every doc
 LM_SCORE = {"text_lm_score": BigramLmConfig("text_lm_score")}
+# round-8: CCNet perplexity bucketing over the LM score — per-language
+# head/middle/tail terciles from a histogram-derived exact cutoff (no
+# per-language corpus sort, llm/lm.py docstring); rides the bundle so
+# the text_lm_score subtree is shared, and the corpus' 3 languages x
+# integer-ppm tie structure exercises the ties-go-up rule for real
+CCNET = {"docs_ccnet_buckets": CcnetBucketsConfig("docs_ccnet_buckets")}
+# round-8: corpus vocabulary top-k (tf + df + deterministic rank) —
+# the word-soup corpus has a known closed vocabulary, so the driver
+# hash pins both counts and the full tie-break ordering
+VOCAB = {"text_vocab_topk": VocabTopkConfig("text_vocab_topk")}
 # round-8: CCNet-style cross-document line-frequency boilerplate
 # removal. The fixture plants the web-page shape the operator exists
 # for: a banner line shared by EVERY doc (always removed), a footer
@@ -1187,6 +1218,9 @@ _FAMILIES = [
      lambda c: [c.chunks_entity]),
     (CHUNK_SCRUB, build_chunk_scrub, chunk_scrub_oracle, _NO_DEPS),
     (LM_SCORE, build_lm_score, lm_score_oracle, _NO_DEPS),
+    (CCNET, build_ccnet_buckets, ccnet_buckets_oracle,
+     lambda c: [c.score_entity]),
+    (VOCAB, build_vocab_topk, vocab_topk_oracle, _NO_DEPS),
     (GOPHER, build_gopher_rules, gopher_rules_oracle, _NO_DEPS),
     (BOILERPLATE, build_boilerplate_removal, boilerplate_removal_oracle,
      _NO_DEPS),
@@ -1307,6 +1341,8 @@ def _internal_reuse(name: str) -> list:
         return [s for s, _ in cfg.ref_satellites]  # date spine + payload
     if name in CHUNK_DEDUP:
         return [cfg.chunks_entity]  # signature freq + join-back + totals
+    if name in CCNET:
+        return [cfg.score_entity]   # histogram/cutoff branch + join-back
     return []
 
 

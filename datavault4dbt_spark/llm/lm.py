@@ -170,3 +170,113 @@ def lm_score_oracle(b: SqlBuilder, reg: Registry, cfg: BigramLmConfig,
         f"coalesce(p.n_seen, 0) AS n_seen, p.score_ppm "
         f"FROM {src} d LEFT JOIN {pd_} p "
         f"ON d.{cfg.id_col} = p.{cfg.id_col}")
+
+
+@dataclass(frozen=True)
+class CcnetBucketsConfig:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    per-language, split scored documents into head/middle/tail thirds
+    by LM score and keep head+middle — the standard quality-filter
+    shape for multilingual crawl corpora. ``score_entity`` is a
+    ``build_lm_score`` output (higher score_ppm = more target-like;
+    CCNet's perplexity is lower-is-better, so its head = our
+    highest-score third)."""
+
+    name: str
+    score_entity: str = "text_lm_score"
+    source: str = "documents"
+    id_col: str = "doc_id"
+    lang_col: str = "lang"
+
+    def __post_init__(self):
+        for c in (self.id_col, self.lang_col):
+            ensure_identifier(c, "column", self.name)
+
+
+_BUCKET_CASE = ("CASE WHEN score_ppm IS NULL THEN 'tail' "
+                "WHEN score_ppm >= c_head THEN 'head' "
+                "WHEN score_ppm >= c_mid THEN 'middle' "
+                "ELSE 'tail' END")
+
+
+def build_ccnet_buckets(spark, reg: Registry, cfg: CcnetBucketsConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Exact tercile cutoffs WITHOUT a per-language corpus sort: the
+    naive NTILE(3) OVER (PARTITION BY lang ORDER BY score) funnels each
+    language's full corpus through one reducer — the one-domain-one-
+    reducer skew CCNet itself avoids by computing cutoffs on a sample.
+    This takes the exact-arithmetic version of that idea:
+
+    1. histogram: map-side-combined groupBy (lang, score_ppm) — at most
+       SCALE+1 distinct scores per language regardless of corpus size,
+       so the only window in the plan runs over the BOUNDED histogram,
+       never the corpus;
+    2. cutoffs: descending cumulative count over the histogram;
+       c_head = max score whose cum*3 >= n (the score where the top
+       third is first complete), c_mid likewise at 2n — integer
+       cross-multiplication, no division rounding;
+    3. assignment: broadcast the per-language cutoff row back and
+       bucket by comparison — ties at a cutoff all land in the higher
+       bucket (deterministic; no arbitrary tie split).
+
+    Unscored documents (< 2 tokens, score_ppm NULL) bucket as 'tail'.
+    ``keep`` = head|middle, CCNet's published keep set."""
+    from pyspark.sql import Window
+
+    docs = reg.load(spark, cfg.source).selectExpr(
+        cfg.id_col, f"{cfg.lang_col} AS lang")
+    score = reg.load(spark, cfg.score_entity).selectExpr(
+        cfg.id_col, "score_ppm")
+    d = docs.join(score, [cfg.id_col], "left")
+    hist = (d.filter("score_ppm IS NOT NULL")
+            .groupBy("lang", "score_ppm")
+            .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("lang").orderBy(F.desc("score_ppm"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        "lang", "score_ppm",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"))
+    # both cutoffs from ONE pass over the cumulative histogram —
+    # conditional max, no second window branch, no cutoff-cutoff join
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.expr("CASE WHEN cum * 3 >= n THEN score_ppm END"))
+        .alias("c_head"),
+        F.max(F.expr("CASE WHEN cum * 3 >= 2 * n THEN score_ppm END"))
+        .alias("c_mid"))
+    return (d.join(F.broadcast(cuts), ["lang"], "left")
+            .selectExpr(cfg.id_col, "lang", "score_ppm",
+                        f"{_BUCKET_CASE} AS ppl_bucket",
+                        f"{_BUCKET_CASE} IN ('head', 'middle') AS keep"))
+
+
+def ccnet_buckets_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: CcnetBucketsConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    sc = reg.duckdb_relation(cfg.score_entity)
+    d = b.cte(f"{cfg.name}__d",
+              f"SELECT s.{cfg.id_col}, s.{cfg.lang_col} AS lang, "
+              f"q.score_ppm FROM {src} s LEFT JOIN {sc} q "
+              f"ON s.{cfg.id_col} = q.{cfg.id_col}")
+    hist = b.cte(f"{cfg.name}__h",
+                 f"SELECT lang, score_ppm, count(*) AS c FROM {d} "
+                 f"WHERE score_ppm IS NOT NULL GROUP BY lang, score_ppm")
+    cum = b.cte(
+        f"{cfg.name}__cu",
+        f"SELECT lang, score_ppm, "
+        f"sum(c) OVER (PARTITION BY lang ORDER BY score_ppm DESC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        f"sum(c) OVER (PARTITION BY lang) AS n FROM {hist}")
+    cuts = b.cte(
+        f"{cfg.name}__ct",
+        f"SELECT lang, "
+        f"max(CASE WHEN cum * 3 >= n THEN score_ppm END) AS c_head, "
+        f"max(CASE WHEN cum * 3 >= 2 * n THEN score_ppm END) AS c_mid "
+        f"FROM {cum} GROUP BY lang")
+    return b.cte(
+        cfg.name,
+        f"SELECT d.{cfg.id_col}, d.lang, d.score_ppm, "
+        f"{_BUCKET_CASE} AS ppl_bucket, "
+        f"{_BUCKET_CASE} IN ('head', 'middle') AS keep "
+        f"FROM {d} d LEFT JOIN {cuts} c ON d.lang = c.lang")

@@ -69,3 +69,59 @@ def test_train_mod_slices_training_set(spark):
                train_mod=3)
     assert got[1].n_seen == 1
     assert got[2].n_seen == 0
+
+
+# -- CCNet perplexity bucketing over the LM score ---------------------------
+
+from datavault4dbt_spark.llm.lm import CcnetBucketsConfig, build_ccnet_buckets
+
+
+def _run_buckets(spark, docs, scores):
+    """docs: (doc_id, lang); scores: (doc_id, score_ppm or None)."""
+    reg = Registry()
+    ddf = spark.createDataFrame(docs, "doc_id long, lang string")
+    sdf = spark.createDataFrame(scores, "doc_id long, score_ppm long")
+    reg.register("docs", lambda s, d=ddf: d, "docs")
+    reg.register("scores", lambda s, d=sdf: d, "scores")
+    cfg = CcnetBucketsConfig("t", source="docs", score_entity="scores")
+    return {r.doc_id: r for r in
+            build_ccnet_buckets(spark, reg, cfg, G).collect()}
+
+
+def test_exact_terciles(spark):
+    # 6 distinct scores -> clean thirds: top 2 head, mid 2, low 2 tail
+    docs = [(i, "en") for i in range(6)]
+    scores = [(i, (6 - i) * 10) for i in range(6)]   # 60,50,40,30,20,10
+    got = _run_buckets(spark, docs, scores)
+    assert [got[i].ppl_bucket for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    assert [got[i].keep for i in range(6)] == [
+        True, True, True, True, False, False]
+
+
+def test_cutoff_ties_all_land_in_higher_bucket(spark):
+    # three docs share the head-cutoff score: no arbitrary tie split —
+    # all three bucket as head even though that overfills the third
+    docs = [(i, "en") for i in range(6)]
+    scores = [(0, 50), (1, 50), (2, 50), (3, 10), (4, 10), (5, 10)]
+    got = _run_buckets(spark, docs, scores)
+    assert [got[i].ppl_bucket for i in range(3)] == ["head"] * 3
+    assert [got[i].ppl_bucket for i in range(3, 6)] == ["middle"] * 3
+
+
+def test_null_scores_bucket_as_tail(spark):
+    docs = [(0, "en"), (1, "en"), (2, "en"), (3, "en")]
+    scores = [(0, 30), (1, 20), (2, 10), (3, None)]
+    got = _run_buckets(spark, docs, scores)
+    assert got[3].ppl_bucket == "tail" and got[3].keep is False
+    assert got[0].ppl_bucket == "head"
+
+
+def test_languages_bucket_independently(spark):
+    # same absolute score lands in different buckets per language
+    docs = [(0, "en"), (1, "en"), (2, "en"), (10, "fr"), (11, "fr"),
+            (12, "fr")]
+    scores = [(0, 90), (1, 50), (2, 10), (10, 50), (11, 40), (12, 30)]
+    got = _run_buckets(spark, docs, scores)
+    assert got[1].ppl_bucket == "middle"    # 50 is en's middle
+    assert got[10].ppl_bucket == "head"     # 50 is fr's head

@@ -434,6 +434,36 @@ def test_dsir_single_pass_census(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_ccnet_windows_run_over_histogram_not_corpus(spark, sf_dir):
+    """CCNet buckets: the only windows in the plan are the cumulative
+    count over the BOUNDED (lang, score) histogram — two Window nodes
+    (cum + n specs), never a per-language NTILE over the corpus; the
+    cutoff join-back is broadcast, and the only nested-loop joins are
+    the LM subtree's 1-row vocabulary rider (one per score branch)."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_ccnet_buckets")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_topk_avoids_global_sort(spark, sf_dir):
+    """Vocabulary top-k: ORDER BY + LIMIT must compile to
+    TakeOrderedAndProject (per-partition heaps, no full vocabulary
+    sort); the census is one two-level aggregate (two hash exchanges:
+    tf/df partials + final); the rnk window runs over the k-row
+    result."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("text_vocab_topk")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 # The bundle's dependency closure is FROZEN (round-7 advice #2): a new
 # vault_dims_bundle member whose dependencies are not already in this
 # set is paid as a fresh subtree on EVERY bench run (the vault_checks
@@ -475,6 +505,13 @@ _BUNDLE_CLOSURE = frozenset([
     # groupBy + scoring join + per-doc reduce, the lm_score cost shape
     # (1.93s warm at sf0.1, min-of-3 idle; measured before adding)
     "dsir_score",
+    # round-8 deliberate widening: CCNet perplexity buckets + vocab
+    # top-k — measured TOGETHER as a bundle delta before adding:
+    # 27.0s -> 30.8s min-of-3 at sf0.1 (+3.7s for both). ccnet rides
+    # the already-persisted text_lm_score subtree (histogram window
+    # runs over the bounded score histogram, never the corpus); vocab
+    # is one census groupBy + TakeOrderedAndProject
+    "docs_ccnet_buckets", "text_vocab_topk",
 ])
 
 

@@ -1,0 +1,48 @@
+"""Corpus vocabulary top-k (llm/vocab.py): hand-computed tf/df, the
+deterministic (tf desc, token asc) tie break, and k-truncation. The
+driver fixture (text_vocab_topk) is row-level verified against the
+DuckDB mirror by test_oracle_parity."""
+
+from datavault4dbt_spark.context import DEFAULT, Registry
+from datavault4dbt_spark.llm.vocab import VocabTopkConfig, build_vocab_topk
+
+G = DEFAULT
+
+
+def _run(spark, rows, **kw):
+    cfg = VocabTopkConfig("t", source="docs", **kw)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reg = Registry()
+    reg.register("docs", lambda s, d=df: d, "docs")
+    return build_vocab_topk(spark, reg, cfg, G).collect()
+
+
+def test_tf_df_and_rank(spark):
+    rows = [(0, "a a b"), (1, "a c"), (2, "b b b")]
+    got = _run(spark, rows)
+    by_tok = {r.token: r for r in got}
+    assert (by_tok["b"].tf, by_tok["b"].df) == (4, 2)
+    assert (by_tok["a"].tf, by_tok["a"].df) == (3, 2)
+    assert (by_tok["c"].tf, by_tok["c"].df) == (1, 1)
+    assert [r.token for r in sorted(got, key=lambda r: r.rnk)] == \
+        ["b", "a", "c"]
+
+
+def test_tie_break_is_token_ascending(spark):
+    rows = [(0, "z q m"), (1, "q z m")]          # all tf=2, df=2
+    got = sorted(_run(spark, rows), key=lambda r: r.rnk)
+    assert [r.token for r in got] == ["m", "q", "z"]
+    assert [r.rnk for r in got] == [1, 2, 3]
+
+
+def test_k_truncates_after_ordering(spark):
+    rows = [(0, "a a a b b c")]
+    got = _run(spark, rows, k=2)
+    assert [(r.token, r.rnk) for r in
+            sorted(got, key=lambda r: r.rnk)] == [("a", 1), ("b", 2)]
+
+
+def test_empty_and_multispace_text(spark):
+    rows = [(0, ""), (1, "  a   a "), (2, "a")]
+    got = _run(spark, rows)
+    assert [(r.token, r.tf, r.df) for r in got] == [("a", 3, 2)]
