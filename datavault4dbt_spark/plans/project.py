@@ -132,7 +132,8 @@ def _llm_kinds() -> dict:
     from ..llm.sources import build_source_stats, build_source_gate
     from ..llm.chunking import (build_doc_chunks, build_chunk_dedup,
                                 build_chunk_scrub)
-    from ..llm.lm import build_lm_score
+    from ..llm.lm import build_lm_score, build_ccnet_buckets
+    from ..llm.vocab import build_vocab_topk
     from ..llm.gopher import build_gopher_rules
     from ..llm.boilerplate import build_boilerplate_removal
     from ..llm.dsir import build_dsir_score
@@ -186,6 +187,9 @@ def _llm_kinds() -> dict:
         "chunk_dedup": (build_chunk_dedup, lambda c: [c.chunks_entity]),
         "chunk_scrub": (build_chunk_scrub, src),
         "lm_score": (build_lm_score, src),
+        "ccnet_buckets": (build_ccnet_buckets,
+                          lambda c: [c.source, c.score_entity]),
+        "vocab_topk": (build_vocab_topk, src),
         "gopher_rules": (build_gopher_rules, src),
         "boilerplate_removal": (build_boilerplate_removal, src),
         "dsir_score": (build_dsir_score, src),

@@ -451,7 +451,8 @@ def _llm_parsers() -> dict:
     from .llm.sources import SourceStatsConfig, SourceGateConfig
     from .llm.chunking import (ChunkConfig, ChunkDedupConfig,
                                ChunkScrubConfig)
-    from .llm.lm import BigramLmConfig
+    from .llm.lm import BigramLmConfig, CcnetBucketsConfig
+    from .llm.vocab import VocabTopkConfig
     from .llm.gopher import GopherRulesConfig
     from .llm.boilerplate import BoilerplateConfig
     from .llm.dsir import DsirConfig
@@ -494,6 +495,8 @@ def _llm_parsers() -> dict:
         "chunk_dedup": _dataclass_parser(ChunkDedupConfig),
         "chunk_scrub": _dataclass_parser(ChunkScrubConfig),
         "lm_score": _dataclass_parser(BigramLmConfig),
+        "ccnet_buckets": _dataclass_parser(CcnetBucketsConfig),
+        "vocab_topk": _dataclass_parser(VocabTopkConfig),
         "gopher_rules": _dataclass_parser(GopherRulesConfig),
         "boilerplate_removal": _dataclass_parser(BoilerplateConfig),
         "dsir_score": _dataclass_parser(DsirConfig),

@@ -162,7 +162,8 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "docs_split", "docs_source_capped",
                            "docs_chunk_scrubbed", "text_lm_score",
                            "gopher_rules", "dsir_score",
-                           "docs_boilerplate_clean"}
+                           "docs_boilerplate_clean",
+                           "docs_ccnet_buckets", "text_vocab_topk"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
@@ -172,7 +173,8 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                  "chunk_dedup_spans", "multimodal_decode",
                  "canonical_docs", "docs_split", "docs_source_capped",
                  "docs_chunk_scrubbed", "text_lm_score", "gopher_rules",
-                 "dsir_score", "docs_boilerplate_clean"):
+                 "dsir_score", "docs_boilerplate_clean",
+                 "docs_ccnet_buckets", "text_vocab_topk"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 
