@@ -70,7 +70,8 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            PackingManifestConfig, build_dataset_mix,
                            build_sequence_packing, build_packing_manifest,
                            dataset_mix_oracle, sequence_packing_oracle,
-                           packing_manifest_oracle)
+                           packing_manifest_oracle, CorpusShuffleConfig,
+                           build_corpus_shuffle, corpus_shuffle_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
@@ -735,6 +736,14 @@ BUNDLES = {
                      "CAST(df AS STRING), ':', CAST(rnk AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'vocab'"),
+        # round-8: deterministic shuffle-shard — shard, in-shard
+        # position and the 48-bit key drive the driver hash
+        BundleMember("corpus_shuffle", "CAST(doc_id AS STRING)",
+                     "concat(CAST(shard AS STRING), ':', "
+                     "CAST(pos AS STRING), ':', "
+                     "CAST(shuffle_key AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'shuffle'"),
     )),
 }
 
@@ -940,6 +949,10 @@ PII = {"pii_redact": PiiRedactConfig(
                "CAST(doc_id AS STRING), '@mail.example.com from 10.0.', "
                "CAST(doc_id % 256 AS STRING), '.7')"))}
 SAMPLING = {"dataset_mix": DatasetMixConfig("dataset_mix")}
+# round-8: deterministic seeded shuffle-shard — shard + in-shard
+# position + the 48-bit key all fold into the bundle hd, so any
+# ordering or hashing drift is driver-visible
+CORPUS_SHUFFLE = {"corpus_shuffle": CorpusShuffleConfig("corpus_shuffle")}
 PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
 PACK_MANIFEST = {"packing_manifest":
                  PackingManifestConfig("packing_manifest")}
@@ -1201,6 +1214,8 @@ _FAMILIES = [
     (REPETITION, build_repetition, repetition_oracle, _NO_DEPS),
     (PII, build_pii_redact, pii_redact_oracle, _NO_DEPS),
     (SAMPLING, build_dataset_mix, dataset_mix_oracle, _NO_DEPS),
+    (CORPUS_SHUFFLE, build_corpus_shuffle, corpus_shuffle_oracle,
+     _NO_DEPS),
     (PACKING, build_sequence_packing, sequence_packing_oracle, _NO_DEPS),
     (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),
     (QUANTIZE, build_scalar_quantize, scalar_quantize_oracle, _NO_DEPS),

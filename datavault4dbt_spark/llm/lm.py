@@ -86,9 +86,13 @@ def _bigram_pairs(cfg: BigramLmConfig, dialect: str) -> str:
             "i -> {'p': w[i], 'c': w[i + 1]})")
 
 
-def build_lm_score(spark, reg: Registry, cfg: BigramLmConfig,
-                   g: GlobalConfig = DEFAULT) -> DataFrame:
-    docs = reg.load(spark, cfg.source)
+def lm_model_frames(docs: DataFrame, cfg: BigramLmConfig):
+    """Train the add-one-smoothed bigram model over ``docs``'s
+    ``id % train_mod == 0`` slice: ``(bigram counts, prefix counts,
+    1-row vocabulary size)``. Split out so the streaming gate
+    (streaming/curation.py) can train ONCE on a static reference
+    corpus and score arriving micro-batches against the same frames
+    the oracle-checked batch builder uses."""
     toks = docs.selectExpr(cfg.id_col,
                            f"{spark_tokens(cfg.text_col)} AS w")
     bi = toks.selectExpr(
@@ -104,6 +108,21 @@ def build_lm_score(spark, reg: Registry, cfg: BigramLmConfig,
     vocab = (toks.filter(F.col(cfg.id_col) % cfg.train_mod == 0)
              .selectExpr("explode(w) AS t")
              .agg(F.countDistinct("t").alias("v")))
+    return cbi, cpre, vocab
+
+
+def lm_score_frame(docs: DataFrame, cbi: DataFrame, cpre: DataFrame,
+                   vocab: DataFrame, cfg: BigramLmConfig,
+                   carry: tuple = ()) -> DataFrame:
+    """Score an arbitrary document frame against trained model frames —
+    the single implementation batch and streaming share. ``carry``:
+    extra columns passed through (e.g. a stream's language or
+    event-time column). Documents with < 2 tokens keep a NULL score."""
+    toks = docs.selectExpr(cfg.id_col,
+                           f"{spark_tokens(cfg.text_col)} AS w")
+    bi = toks.selectExpr(
+        cfg.id_col,
+        f"inline({_bigram_pairs(cfg, 'spark')})")
     scored = (bi.join(cbi, ["p", "c"], "left")
               .join(cpre, ["p"], "left")
               .crossJoin(F.broadcast(vocab))
@@ -118,12 +137,22 @@ def build_lm_score(spark, reg: Registry, cfg: BigramLmConfig,
                     .cast("int").alias("n_seen"),
                     F.expr("sum(q) div count(*)").alias("score_ppm")))
     # docs with < 2 tokens have no bigrams: keep them with NULL score
-    return (docs.selectExpr(cfg.id_col)
+    return (docs.selectExpr(cfg.id_col, *carry)
             .join(per_doc, [cfg.id_col], "left")
-            .selectExpr(cfg.id_col,
+            .selectExpr(cfg.id_col, *carry,
                         "coalesce(n_bigrams, 0) AS n_bigrams",
                         "coalesce(n_seen, 0) AS n_seen",
                         "score_ppm"))
+
+
+def build_lm_score(spark, reg: Registry, cfg: BigramLmConfig,
+                   g: GlobalConfig = DEFAULT) -> DataFrame:
+    docs = reg.load(spark, cfg.source)
+    # the docs->bigram projection is scan-stage, so splitting the
+    # model/score frames costs no extra shuffle (model aggs and
+    # scoring joins are unchanged)
+    cbi, cpre, vocab = lm_model_frames(docs, cfg)
+    return lm_score_frame(docs, cbi, cpre, vocab, cfg)
 
 
 def lm_score_oracle(b: SqlBuilder, reg: Registry, cfg: BigramLmConfig,
@@ -199,6 +228,42 @@ _BUCKET_CASE = ("CASE WHEN score_ppm IS NULL THEN 'tail' "
                 "ELSE 'tail' END")
 
 
+def ccnet_cutoffs_frame(d: DataFrame) -> DataFrame:
+    """Per-language tercile cutoff scores ``(lang, c_head, c_mid)``
+    from any frame carrying ``lang`` and ``score_ppm`` — the static
+    side the streaming gate broadcasts (streaming/curation.py), shared
+    with the batch builder so the two paths cannot drift."""
+    from pyspark.sql import Window
+
+    hist = (d.filter("score_ppm IS NOT NULL")
+            .groupBy("lang", "score_ppm")
+            .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("lang").orderBy(F.desc("score_ppm"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        "lang", "score_ppm",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"))
+    # both cutoffs from ONE pass over the cumulative histogram —
+    # conditional max, no second window branch, no cutoff-cutoff join
+    return cum.groupBy("lang").agg(
+        F.max(F.expr("CASE WHEN cum * 3 >= n THEN score_ppm END"))
+        .alias("c_head"),
+        F.max(F.expr("CASE WHEN cum * 3 >= 2 * n THEN score_ppm END"))
+        .alias("c_mid"))
+
+
+def ccnet_assign_frame(d: DataFrame, cuts: DataFrame, id_col: str,
+                       carry: tuple = ()) -> DataFrame:
+    """Bucket-assign any ``(id, lang, score_ppm, *carry)`` frame
+    against precomputed cutoffs (broadcast — one row per language).
+    Shared by the batch builder and the streaming gate."""
+    return (d.join(F.broadcast(cuts), ["lang"], "left")
+            .selectExpr(id_col, *carry, "lang", "score_ppm",
+                        f"{_BUCKET_CASE} AS ppl_bucket",
+                        f"{_BUCKET_CASE} IN ('head', 'middle') AS keep"))
+
+
 def build_ccnet_buckets(spark, reg: Registry, cfg: CcnetBucketsConfig,
                         g: GlobalConfig = DEFAULT) -> DataFrame:
     """Exact tercile cutoffs WITHOUT a per-language corpus sort: the
@@ -221,33 +286,12 @@ def build_ccnet_buckets(spark, reg: Registry, cfg: CcnetBucketsConfig,
 
     Unscored documents (< 2 tokens, score_ppm NULL) bucket as 'tail'.
     ``keep`` = head|middle, CCNet's published keep set."""
-    from pyspark.sql import Window
-
     docs = reg.load(spark, cfg.source).selectExpr(
         cfg.id_col, f"{cfg.lang_col} AS lang")
     score = reg.load(spark, cfg.score_entity).selectExpr(
         cfg.id_col, "score_ppm")
     d = docs.join(score, [cfg.id_col], "left")
-    hist = (d.filter("score_ppm IS NOT NULL")
-            .groupBy("lang", "score_ppm")
-            .agg(F.count(F.lit(1)).alias("c")))
-    w = (Window.partitionBy("lang").orderBy(F.desc("score_ppm"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = hist.select(
-        "lang", "score_ppm",
-        F.sum("c").over(w).alias("cum"),
-        F.sum("c").over(Window.partitionBy("lang")).alias("n"))
-    # both cutoffs from ONE pass over the cumulative histogram —
-    # conditional max, no second window branch, no cutoff-cutoff join
-    cuts = cum.groupBy("lang").agg(
-        F.max(F.expr("CASE WHEN cum * 3 >= n THEN score_ppm END"))
-        .alias("c_head"),
-        F.max(F.expr("CASE WHEN cum * 3 >= 2 * n THEN score_ppm END"))
-        .alias("c_mid"))
-    return (d.join(F.broadcast(cuts), ["lang"], "left")
-            .selectExpr(cfg.id_col, "lang", "score_ppm",
-                        f"{_BUCKET_CASE} AS ppl_bucket",
-                        f"{_BUCKET_CASE} IN ('head', 'middle') AS keep"))
+    return ccnet_assign_frame(d, ccnet_cutoffs_frame(d), cfg.id_col)
 
 
 def ccnet_buckets_oracle(b: SqlBuilder, reg: Registry,

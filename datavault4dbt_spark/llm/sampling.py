@@ -256,3 +256,89 @@ def packing_manifest_oracle(b: SqlBuilder, reg: Registry,
         f"SELECT {cfg.id_col}, shard, n_tok, bin, stream_offset_tokens, "
         f"stream_offset_tokens - bin * {cfg.budget} AS bin_offset_tokens "
         f"FROM {off}")
+
+
+# -------------------------------------------------------- corpus_shuffle --
+
+@dataclass(frozen=True)
+class CorpusShuffleConfig:
+    """Deterministic seeded global shuffle + sharding: every document
+    gets a 48-bit key from ``md5(salt:id)``, a shard (``key %
+    n_shards``), and its position within the shard's key order — the
+    reproducible data-ordering step before writing training shards
+    (the same examples land in the same shard at the same offset on
+    every rerun, so a training run is replayable from any step; cf.
+    the deterministic shuffles of T5/GPT data pipelines).
+
+    Scale design (100 TB): the key is scan-stage integer arithmetic
+    over md5 nibbles (no DOUBLE, no rand()); the only shuffle IS the
+    shuffle — one hash exchange on ``shard`` with a per-shard sort for
+    ``row_number`` (exactly the exchange a shard writer pays anyway;
+    n_shards scales with the cluster so no reducer sees more than
+    corpus/n_shards rows). Shard skew is bounded by the 48-bit hash's
+    uniformity."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    n_shards: int = 8
+    salt: str = "shuffle"
+
+    def __post_init__(self):
+        if self.n_shards < 1:
+            raise ValueError(f"{self.name}: n_shards must be >= 1")
+        if "'" in self.salt or "\\" in self.salt:
+            raise ValueError(f"{self.name}: salt must not contain "
+                             f"quotes/backslashes (SQL literal)")
+
+
+def _shuffle_key(id_col: str, salt: str) -> str:
+    """48-bit BIGINT from the first 12 md5 nibbles — exact integer in
+    both dialects (no DOUBLE forms; 48 bits < 2^53 keeps every
+    intermediate product inside BIGINT)."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS STRING)))"
+    key = "CAST(0 AS BIGINT)"
+    for i in range(1, 13):
+        key = f"({key} * 16 + {spark_nibble(f'substr({h}, {i}, 1)')})"
+    return key
+
+
+def build_corpus_shuffle(spark, reg: Registry, cfg: CorpusShuffleConfig,
+                         g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = reg.load(spark, cfg.source)
+    keyed = df.selectExpr(
+        cfg.id_col,
+        f"{_shuffle_key(cfg.id_col, cfg.salt)} AS shuffle_key")
+    keyed = keyed.selectExpr(
+        cfg.id_col, "shuffle_key",
+        f"CAST(shuffle_key % {cfg.n_shards} AS INT) AS shard")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.asc("shuffle_key"), F.asc(cfg.id_col)))
+    return keyed.select(
+        cfg.id_col, "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "shuffle_key")
+
+
+def corpus_shuffle_oracle(b: SqlBuilder, reg: Registry,
+                          cfg: CorpusShuffleConfig,
+                          g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    keyed = b.cte(
+        f"{cfg.name}__k",
+        f"SELECT {cfg.id_col}, "
+        f"{_shuffle_key(cfg.id_col, cfg.salt)} AS shuffle_key "
+        f"FROM {src}")
+    sharded = b.cte(
+        f"{cfg.name}__s",
+        f"SELECT {cfg.id_col}, shuffle_key, "
+        f"CAST(shuffle_key % {cfg.n_shards} AS INT) AS shard "
+        f"FROM {keyed}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, shard, "
+        f"CAST(row_number() OVER (PARTITION BY shard "
+        f"ORDER BY shuffle_key, {cfg.id_col}) AS BIGINT) AS pos, "
+        f"shuffle_key FROM {sharded}")

@@ -124,7 +124,8 @@ def _llm_kinds() -> dict:
                                      build_decontaminated)
     from ..llm.scrub import build_repetition, build_pii_redact
     from ..llm.sampling import (build_dataset_mix, build_sequence_packing,
-                                build_packing_manifest)
+                                build_packing_manifest,
+                                build_corpus_shuffle)
     from ..llm.semdedup import build_semdedup
     from ..llm.quantize import build_scalar_quantize
     from ..llm.substring import build_substring_dup
@@ -177,6 +178,7 @@ def _llm_kinds() -> dict:
         "substring_dup": (build_substring_dup, src),
         "tfidf": (build_tfidf, src),
         "packing_manifest": (build_packing_manifest, src),
+        "corpus_shuffle": (build_corpus_shuffle, src),
         "dedup_report": (build_dedup_report,
                          lambda c: [c.langid_entity, c.quality_entity,
                                     c.groups_entity]),

@@ -133,3 +133,40 @@ def start_contamination_gate(stream_docs: DataFrame, eval_grams: DataFrame,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_ccnet_gate(stream_docs: DataFrame, model: tuple,
+                     cuts: DataFrame, lm_cfg, sink, checkpoint_dir: str,
+                     lang_col: str = "lang", available_now: bool = True):
+    """CCNet quality-gate an ARRIVING crawl stream: score each
+    micro-batch's documents against a STATIC trained bigram model
+    (``llm.lm.lm_model_frames`` over the reference corpus — CCNet's
+    Wikipedia LM), bucket against STATIC per-language perplexity
+    cutoffs (``llm.lm.ccnet_cutoffs_frame`` over the already-scored
+    corpus), and hand the head+middle survivors to ``sink``. Scoring,
+    bucket CASE and keep rule are the SAME frame functions the
+    oracle-checked batch builders use, so the paths cannot drift.
+
+    ``foreachBatch`` rather than a stream-static join: scoring needs
+    bigram explode -> model joins -> per-doc re-aggregation, a batch
+    shape. Each document is one stream row, so its bigrams never span
+    micro-batches — batch-local scoring equals corpus scoring against
+    the same static model, and replays are idempotent up to the
+    sink's append semantics. Model/cutoff frames are re-evaluated per
+    micro-batch plan, so a nightly-refreshed model takes effect on
+    the next trigger without restarting the query."""
+    from ..llm.lm import lm_score_frame, ccnet_assign_frame
+
+    cbi, cpre, vocab = model
+
+    def gate_batch(batch_df: DataFrame, _batch_id: int):
+        scored = lm_score_frame(batch_df, cbi, cpre, vocab, lm_cfg,
+                                carry=(f"{lang_col} AS lang",))
+        out = ccnet_assign_frame(scored, cuts, lm_cfg.id_col)
+        sink(out.filter(F.col("keep")))
+
+    writer = (stream_docs.writeStream.foreachBatch(gate_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

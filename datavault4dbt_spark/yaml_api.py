@@ -443,7 +443,7 @@ def _llm_parsers() -> dict:
     from .llm.contamination import ContaminationConfig
     from .llm.scrub import RepetitionConfig, PiiRedactConfig
     from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
-                               PackingManifestConfig)
+                               PackingManifestConfig, CorpusShuffleConfig)
     from .llm.semdedup import SemDedupConfig
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
@@ -488,6 +488,7 @@ def _llm_parsers() -> dict:
         "substring_dup": _dataclass_parser(SubstringDupConfig),
         "tfidf": _dataclass_parser(TfidfConfig),
         "packing_manifest": _dataclass_parser(PackingManifestConfig),
+        "corpus_shuffle": _dataclass_parser(CorpusShuffleConfig),
         "dedup_report": _dataclass_parser(DedupReportConfig),
         "source_stats": _dataclass_parser(SourceStatsConfig),
         "source_gate": _dataclass_parser(SourceGateConfig),

@@ -512,6 +512,10 @@ _BUNDLE_CLOSURE = frozenset([
     # runs over the bounded score histogram, never the corpus); vocab
     # is one census groupBy + TakeOrderedAndProject
     "docs_ccnet_buckets", "text_vocab_topk",
+    # round-8 deliberate widening: deterministic shuffle-shard — one
+    # hash exchange + per-shard rank over documents; 0.59s warm
+    # standalone at sf0.1 (min-of-4, idle host; measured before adding)
+    "corpus_shuffle",
 ])
 
 

@@ -596,3 +596,43 @@ def test_streaming_gopher_gate_equals_batch(spark, doc_batches, tmp_path):
     got = {tuple(map(str, r))
            for r in spark.table("gopher_stream").collect()}
     assert got == want
+
+
+def test_streaming_ccnet_gate_equals_batch(spark, doc_batches, tmp_path):
+    """CCNet gate on an arriving stream: documents scored against a
+    STATIC trained bigram model and bucketed against STATIC per-lang
+    cutoffs must equal the batch scoring+assignment of the full corpus
+    (shared lm_score_frame / ccnet_assign_frame), and the gate must
+    genuinely bite (terciles: the tail third drops per language)."""
+    from datavault4dbt_spark.llm.lm import (
+        BigramLmConfig, lm_model_frames, lm_score_frame,
+        ccnet_cutoffs_frame, ccnet_assign_frame)
+    from datavault4dbt_spark.streaming.curation import start_ccnet_gate
+
+    fixtures.ensure_session_conf(spark)
+    lang_expr = "CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' " \
+                "ELSE 'de' END"
+    batch = spark.read.parquet(doc_batches).selectExpr(
+        "doc_id", "text", f"{lang_expr} AS lang")
+    cfg = BigramLmConfig("ccg")
+    model = tuple(f.localCheckpoint(eager=True)
+                  for f in lm_model_frames(batch, cfg))
+    scored = lm_score_frame(batch, *model, cfg, carry=("lang",))
+    cuts = ccnet_cutoffs_frame(scored).localCheckpoint(eager=True)
+    want_df = ccnet_assign_frame(scored, cuts, cfg.id_col)
+    want = {tuple(map(str, r))
+            for r in want_df.filter("keep").collect()}
+    assert 0 < len(want) < batch.count()   # tail third dropped
+
+    got_rows = []
+    schema = spark.read.parquet(doc_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches)
+              .selectExpr("doc_id", "text", f"{lang_expr} AS lang"))
+    q = start_ccnet_gate(
+        stream, model, cuts, cfg,
+        sink=lambda df: got_rows.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_ccg"))
+    q.awaitTermination(300)
+    got = {tuple(map(str, r)) for r in got_rows}
+    assert got == want

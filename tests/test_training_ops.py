@@ -5,7 +5,7 @@ semdedup cluster scoping."""
 import pytest
 
 from datavault4dbt_spark import fixtures
-from datavault4dbt_spark.context import Registry
+from datavault4dbt_spark.context import DEFAULT, Registry
 from datavault4dbt_spark.llm.scrub import (RepetitionConfig, PiiRedactConfig,
                                            build_repetition, build_pii_redact)
 from datavault4dbt_spark.llm.sampling import (DatasetMixConfig,
@@ -276,3 +276,57 @@ def test_packing_manifest_consistent_with_bin_rollup(spark, sf_dir):
     # offsets are the prefix sums the bins were cut from
     row = man.filter("shard = 0").orderBy("doc_id").limit(1).first()
     assert row["bin_offset_tokens"] == 0 and row["bin"] == 0
+
+
+def test_corpus_shuffle_matches_python_reference(spark):
+    """corpus_shuffle: shard/key/pos must equal a Python md5 replay —
+    48-bit key from the first 12 md5 nibbles of 'salt:id', shard =
+    key % n_shards, pos = rank within shard by (key, id)."""
+    import hashlib
+    from datavault4dbt_spark.llm.sampling import (CorpusShuffleConfig,
+                                                  build_corpus_shuffle)
+
+    ids = [0, 1, 5, 7, 13, 42, 999, 10_000]
+    reg = Registry()
+    df = spark.createDataFrame([(i, "x") for i in ids],
+                               "doc_id BIGINT, text STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    cfg = CorpusShuffleConfig("cs", n_shards=3, salt="s1")
+    got = {r.doc_id: (r.shard, r.pos, r.shuffle_key)
+           for r in build_corpus_shuffle(spark, reg, cfg, DEFAULT)
+           .collect()}
+
+    keys = {i: int(hashlib.md5(f"s1:{i}".encode()).hexdigest()[:12], 16)
+            for i in ids}
+    want = {}
+    for shard in range(3):
+        members = sorted((keys[i], i) for i in ids if keys[i] % 3 == shard)
+        for pos, (k, i) in enumerate(members, start=1):
+            want[i] = (shard, pos, k)
+    assert got == want
+
+
+def test_corpus_shuffle_rerun_and_salt_sensitivity(spark):
+    """Same salt -> identical assignment on rerun (reproducibility);
+    different salt -> a different permutation (the knob is real)."""
+    from datavault4dbt_spark.llm.sampling import (CorpusShuffleConfig,
+                                                  build_corpus_shuffle)
+
+    reg = Registry()
+    df = spark.createDataFrame([(i, "x") for i in range(64)],
+                               "doc_id BIGINT, text STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    run = lambda salt: sorted(  # noqa: E731
+        (r.doc_id, r.shard, r.pos) for r in build_corpus_shuffle(
+            spark, reg, CorpusShuffleConfig("cs", n_shards=4, salt=salt),
+            DEFAULT).collect())
+    a1, a2, b = run("a"), run("a"), run("b")
+    assert a1 == a2
+    assert a1 != b
+    # every doc exactly once, positions contiguous from 1 per shard
+    assert len(a1) == 64
+    by_shard = {}
+    for _i, shard, pos in a1:
+        by_shard.setdefault(shard, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
