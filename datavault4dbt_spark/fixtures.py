@@ -71,7 +71,9 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            build_sequence_packing, build_packing_manifest,
                            dataset_mix_oracle, sequence_packing_oracle,
                            packing_manifest_oracle, CorpusShuffleConfig,
-                           build_corpus_shuffle, corpus_shuffle_oracle)
+                           build_corpus_shuffle, corpus_shuffle_oracle,
+                           TemperatureMixConfig, build_temperature_mix,
+                           temperature_mix_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
@@ -744,6 +746,11 @@ BUNDLES = {
                      "CAST(shuffle_key AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'shuffle'"),
+        # round-8: temperature mix — survivor set + per-stratum rate
+        BundleMember("temperature_mix", "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(rate_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'temperature_mix'"),
     )),
 }
 
@@ -953,6 +960,13 @@ SAMPLING = {"dataset_mix": DatasetMixConfig("dataset_mix")}
 # position + the 48-bit key all fold into the bundle hd, so any
 # ordering or hashing drift is driver-visible
 CORPUS_SHUFFLE = {"corpus_shuffle": CorpusShuffleConfig("corpus_shuffle")}
+# round-8: XLM-R-style alpha sampling over the skewed lang column
+# (en 43%, tail langs ~13% at any sf) — alpha 0.5 + 0.8 budget puts
+# the tail languages' boosted rate above 1, so the cap branch and the
+# keep decision both carry real variance under the driver hash
+TEMPERATURE_MIX = {"temperature_mix": TemperatureMixConfig(
+    "temperature_mix", strata_col="lang", alpha="0.5",
+    budget_ppm=800_000)}
 PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
 PACK_MANIFEST = {"packing_manifest":
                  PackingManifestConfig("packing_manifest")}
@@ -1215,6 +1229,8 @@ _FAMILIES = [
     (PII, build_pii_redact, pii_redact_oracle, _NO_DEPS),
     (SAMPLING, build_dataset_mix, dataset_mix_oracle, _NO_DEPS),
     (CORPUS_SHUFFLE, build_corpus_shuffle, corpus_shuffle_oracle,
+     _NO_DEPS),
+    (TEMPERATURE_MIX, build_temperature_mix, temperature_mix_oracle,
      _NO_DEPS),
     (PACKING, build_sequence_packing, sequence_packing_oracle, _NO_DEPS),
     (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),

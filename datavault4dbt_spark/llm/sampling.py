@@ -342,3 +342,133 @@ def corpus_shuffle_oracle(b: SqlBuilder, reg: Registry,
         f"CAST(row_number() OVER (PARTITION BY shard "
         f"ORDER BY shuffle_key, {cfg.id_col}) AS BIGINT) AS pos, "
         f"shuffle_key FROM {sharded}")
+
+
+# ----------------------------------------------------- temperature_mix --
+
+_ALPHA_EXPRS = {
+    # exactly-computable alpha surface: each form is a chain of
+    # IEEE-754 correctly-rounded ops (division, sqrt), so the Spark
+    # plan and the DuckDB oracle produce bit-identical DOUBLEs before
+    # the fixed-point floor. Arbitrary pow(x, a) is a libm call with
+    # engine-specific rounding and is deliberately NOT offered.
+    "1": "({p})",
+    "0.5": "sqrt({p})",
+    "0.25": "sqrt(sqrt({p}))",
+}
+
+
+@dataclass(frozen=True)
+class TemperatureMixConfig:
+    """Temperature-based stratum rebalancing (XLM-R / mT5 alpha
+    sampling): sample documents so the kept corpus' stratum shares
+    follow ``p_s^alpha`` (normalized) instead of the natural ``p_s`` —
+    the standard fix for high-resource strata drowning out the tail.
+    ``budget_ppm`` is the overall keep fraction; a stratum whose
+    boosted rate exceeds 1 is capped (documented deviation: true
+    alpha-sampling would up-REPEAT it; a sampling gate can only keep).
+
+    Fixed-point contract: stratum weights are floored to parts-per-1e9
+    immediately after the sqrt chain, so normalization, the rate
+    formula and the keep decision are pure BIGINT arithmetic —
+    order-independent and identical in both engines. Rates are ppm;
+    a stratum with q*budget under 1 ppm rounds to rate 0 and drops.
+
+    Scale design (100 TB): stratum stats are one map-side-combined
+    groupBy (strata-count rows); the rate table is strata-sized and
+    broadcast back; the keep decision is the same scan-stage salted
+    md5 draw as dataset_mix — zero corpus-wide shuffles."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    strata_col: str = "source"
+    alpha: str = "0.5"
+    budget_ppm: int = 1_000_000
+    salt: str = "temp"
+
+    def __post_init__(self):
+        if self.alpha not in _ALPHA_EXPRS:
+            raise ValueError(
+                f"{self.name}: alpha must be one of "
+                f"{sorted(_ALPHA_EXPRS)} (exactly-computable surface)")
+        if not 0 <= self.budget_ppm <= 1_000_000:
+            raise ValueError(f"{self.name}: budget_ppm must be 0..1e6")
+        if "'" in self.salt or "\\" in self.salt:
+            raise ValueError(f"{self.name}: salt must not contain "
+                             f"quotes/backslashes (SQL literal)")
+
+
+def _u16(id_col: str, salt: str) -> str:
+    """Raw 16-bit draw (integer, no division) — the keep decision
+    compares it cross-multiplied against the ppm rate. BIGINT seed:
+    the cross-multiplication (* 1e6) overflows INT32 under ANSI."""
+    h = f"md5(concat('{salt}:', CAST({id_col} AS STRING)))"
+    u16 = "CAST(0 AS BIGINT)"
+    for i in range(1, 5):
+        u16 = f"({u16} * 16 + {spark_nibble(f'substr({h}, {i}, 1)')})"
+    return u16
+
+
+def _rate_exprs(cfg: TemperatureMixConfig) -> tuple:
+    """(w_ppb expr over (n_s, n_total), rate_ppm expr over
+    (w_ppb, z, n_s, n_total)) — valid verbatim in both dialects."""
+    p = f"(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE))"
+    w = _ALPHA_EXPRS[cfg.alpha].format(p=p)
+    w_ppb = (f"CAST(floor({w} * 1000000000) AS BIGINT)")
+    # q_ppm = normalized weight; rate = budget * q / p, all integer:
+    # ((q_ppm * budget_ppm) div 1e6) <= 1e6, * n_total stays in BIGINT
+    # for corpora under ~9e12 tiles of the ppm grid
+    rate = (f"least(CAST(1000000 AS BIGINT), "
+            f"((((w_ppb * 1000000) {{idiv}} z) * {cfg.budget_ppm}) "
+            f"{{idiv}} 1000000) * n_total {{idiv}} n_s)")
+    return w_ppb, rate
+
+
+def build_temperature_mix(spark, reg: Registry, cfg: TemperatureMixConfig,
+                          g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    stats = (df.groupBy(cfg.strata_col)
+             .agg(F.count(F.lit(1)).alias("n_s")))
+    tot = stats.agg(F.sum("n_s").alias("n_total"))
+    w_ppb, rate = _rate_exprs(cfg)
+    w = (stats.crossJoin(F.broadcast(tot))
+         .selectExpr(cfg.strata_col, "n_s", "n_total",
+                     f"{w_ppb} AS w_ppb"))
+    z = w.agg(F.sum("w_ppb").alias("z"))
+    rates = (w.crossJoin(F.broadcast(z))
+             .selectExpr(cfg.strata_col,
+                         f"{rate.format(idiv=' div ')} AS rate_ppm"))
+    u = _u16(cfg.id_col, cfg.salt)
+    return (df.join(F.broadcast(rates), [cfg.strata_col])
+            .filter(F.expr(f"({u}) * 1000000 < rate_ppm * 65536"))
+            .selectExpr(cfg.id_col, cfg.strata_col, "rate_ppm"))
+
+
+def temperature_mix_oracle(b: SqlBuilder, reg: Registry,
+                           cfg: TemperatureMixConfig,
+                           g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    w_ppb, rate = _rate_exprs(cfg)
+    stats = b.cte(f"{cfg.name}__s",
+                  f"SELECT {cfg.strata_col}, count(*) AS n_s "
+                  f"FROM {src} GROUP BY {cfg.strata_col}")
+    # DuckDB's sum(BIGINT) widens to HUGEINT: CAST back so the integer
+    # arithmetic (and the emitted rate's type) matches the Spark plan
+    tot = b.cte(f"{cfg.name}__t",
+                f"SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM {stats}")
+    w = b.cte(f"{cfg.name}__w",
+              f"SELECT {cfg.strata_col}, n_s, n_total, {w_ppb} AS w_ppb "
+              f"FROM {stats}, {tot}")
+    z = b.cte(f"{cfg.name}__z",
+              f"SELECT CAST(sum(w_ppb) AS BIGINT) AS z FROM {w}")
+    rates = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT {cfg.strata_col}, "
+        f"{rate.format(idiv=' // ')} AS rate_ppm FROM {w}, {z}")
+    u = _u16(f"d.{cfg.id_col}", cfg.salt)
+    return b.cte(
+        cfg.name,
+        f"SELECT d.{cfg.id_col}, d.{cfg.strata_col}, r.rate_ppm "
+        f"FROM {src} d JOIN {rates} r USING ({cfg.strata_col}) "
+        f"WHERE ({u}) * 1000000 < r.rate_ppm * 65536")

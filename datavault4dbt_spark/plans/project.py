@@ -125,7 +125,8 @@ def _llm_kinds() -> dict:
     from ..llm.scrub import build_repetition, build_pii_redact
     from ..llm.sampling import (build_dataset_mix, build_sequence_packing,
                                 build_packing_manifest,
-                                build_corpus_shuffle)
+                                build_corpus_shuffle,
+                                build_temperature_mix)
     from ..llm.semdedup import build_semdedup
     from ..llm.quantize import build_scalar_quantize
     from ..llm.substring import build_substring_dup
@@ -179,6 +180,7 @@ def _llm_kinds() -> dict:
         "tfidf": (build_tfidf, src),
         "packing_manifest": (build_packing_manifest, src),
         "corpus_shuffle": (build_corpus_shuffle, src),
+        "temperature_mix": (build_temperature_mix, src),
         "dedup_report": (build_dedup_report,
                          lambda c: [c.langid_entity, c.quality_entity,
                                     c.groups_entity]),

@@ -443,7 +443,8 @@ def _llm_parsers() -> dict:
     from .llm.contamination import ContaminationConfig
     from .llm.scrub import RepetitionConfig, PiiRedactConfig
     from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
-                               PackingManifestConfig, CorpusShuffleConfig)
+                               PackingManifestConfig, CorpusShuffleConfig,
+                               TemperatureMixConfig)
     from .llm.semdedup import SemDedupConfig
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
@@ -489,6 +490,7 @@ def _llm_parsers() -> dict:
         "tfidf": _dataclass_parser(TfidfConfig),
         "packing_manifest": _dataclass_parser(PackingManifestConfig),
         "corpus_shuffle": _dataclass_parser(CorpusShuffleConfig),
+        "temperature_mix": _dataclass_parser(TemperatureMixConfig),
         "dedup_report": _dataclass_parser(DedupReportConfig),
         "source_stats": _dataclass_parser(SourceStatsConfig),
         "source_gate": _dataclass_parser(SourceGateConfig),

@@ -516,6 +516,10 @@ _BUNDLE_CLOSURE = frozenset([
     # hash exchange + per-shard rank over documents; 0.59s warm
     # standalone at sf0.1 (min-of-4, idle host; measured before adding)
     "corpus_shuffle",
+    # round-8 deliberate widening: temperature mix — one strata-count
+    # groupBy + broadcast rate join + scan-stage keep decision; 0.96s
+    # warm standalone at sf0.1 (min-of-4, idle; measured before adding)
+    "temperature_mix",
 ])
 
 

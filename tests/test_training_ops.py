@@ -330,3 +330,79 @@ def test_corpus_shuffle_rerun_and_salt_sensitivity(spark):
         by_shard.setdefault(shard, []).append(pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def _temp_mix_replay(ids_by_stratum, alpha, budget_ppm, salt):
+    """Python mirror of temperature_mix's integer fixed-point formula."""
+    import hashlib
+    import math
+    n_total = sum(len(v) for v in ids_by_stratum.values())
+    w_ppb = {}
+    for s, ids in ids_by_stratum.items():
+        p = len(ids) / n_total
+        x = {"1": p, "0.5": math.sqrt(p),
+             "0.25": math.sqrt(math.sqrt(p))}[alpha]
+        w_ppb[s] = math.floor(x * 1_000_000_000)
+    z = sum(w_ppb.values())
+    kept = {}
+    for s, ids in ids_by_stratum.items():
+        q_ppm = (w_ppb[s] * 1_000_000) // z
+        rate = min(1_000_000,
+                   ((q_ppm * budget_ppm) // 1_000_000)
+                   * n_total // len(ids))
+        for i in ids:
+            u16 = int(hashlib.md5(f"{salt}:{i}".encode())
+                      .hexdigest()[:4], 16)
+            if u16 * 1_000_000 < rate * 65536:
+                kept[i] = (s, rate)
+    return kept
+
+
+def test_temperature_mix_matches_python_reference(spark):
+    """Skewed strata at alpha=0.5: the boosted tail stratum's rate hits
+    the 1e6 cap while the heavy stratum is suppressed below budget, and
+    every kept row matches the Python replay of the integer formula."""
+    from datavault4dbt_spark.llm.sampling import (TemperatureMixConfig,
+                                                  build_temperature_mix)
+
+    strata = {"big": list(range(0, 90)), "small": list(range(100, 110))}
+    rows = [(i, s) for s, ids in strata.items() for i in ids]
+    reg = Registry()
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    cfg = TemperatureMixConfig("tm", alpha="0.5", budget_ppm=700_000,
+                               salt="t1")
+    got = {r.doc_id: (r.source, r.rate_ppm)
+           for r in build_temperature_mix(spark, reg, cfg, DEFAULT)
+           .collect()}
+    want = _temp_mix_replay(strata, "0.5", 700_000, "t1")
+    assert got == want
+    rates = {s: r for s, r in got.values()}
+    assert rates["small"] == 1_000_000          # cap branch
+    assert rates["big"] < 700_000               # suppressed below budget
+
+
+def test_temperature_mix_alpha_one_is_flat(spark):
+    """alpha=1 degenerates to plain budget sampling: every stratum's
+    rate equals the replay's (≈ budget up to ppm flooring)."""
+    from datavault4dbt_spark.llm.sampling import (TemperatureMixConfig,
+                                                  build_temperature_mix)
+
+    strata = {"a": list(range(0, 30)), "b": list(range(50, 70))}
+    rows = [(i, s) for s, ids in strata.items() for i in ids]
+    reg = Registry()
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    cfg = TemperatureMixConfig("tm1", alpha="1", budget_ppm=500_000)
+    got = {r.doc_id: (r.source, r.rate_ppm)
+           for r in build_temperature_mix(spark, reg, cfg, DEFAULT)
+           .collect()}
+    assert got == _temp_mix_replay(strata, "1", 500_000, "temp")
+    for _s, rate in got.values():
+        assert abs(rate - 500_000) <= 1_000     # flat up to flooring
+
+
+def test_temperature_mix_rejects_unportable_alpha(spark):
+    from datavault4dbt_spark.llm.sampling import TemperatureMixConfig
+    with pytest.raises(ValueError, match="alpha"):
+        TemperatureMixConfig("bad", alpha="0.3")
