@@ -751,6 +751,15 @@ BUNDLES = {
                      "concat(lang, ':', CAST(rate_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'temperature_mix'"),
+        # round-8: tolerance as-of — the matched timestamp and the
+        # value (folded as integer cents; raw DOUBLE rendering is not
+        # portable) both drive the hash, NULLed-out stale matches
+        # included via the coalesce sentinels
+        BundleMember("events_asof_click_tol", "CAST(event_id AS STRING)",
+                     "concat(coalesce(CAST(asof_ts AS STRING), ''), "
+                     "':', coalesce(CAST(CAST(round(asof_value * 100) "
+                     "AS BIGINT) AS STRING), ''))",
+                     ldts="ts", rsrc="'asof_tol'"),
     )),
 }
 
@@ -1064,7 +1073,17 @@ ASOF = {"events_asof_click": AsofJoinConfig(
         "events_asof_click_incl": AsofJoinConfig(
             "events_asof_click_incl", strict=False,
             left_cols=("event_id", "user_id", "ts", "event_type",
-                       "value"))}
+                       "value")),
+        # round-8: the tolerance (max-staleness) knob under the driver
+        # gate — 24h against a ~19h median click staleness, so roughly
+        # half the matches genuinely null out (merge_asof rule: a stale
+        # latest match is NO match, never an older fallback). events.ts
+        # reads as BIGINT nanos in Spark (nanosAsLong) and
+        # TIMESTAMP(NANOS) in DuckDB (epoch_ns), both exact.
+        "events_asof_click_tol": AsofJoinConfig(
+            "events_asof_click_tol", strict=False,
+            tolerance_nanos=24 * 3600 * 10**9,
+            left_cols=("event_id", "user_id", "ts"))}
 # round-7 event analytics (operators/events.py), bundle-riders. At a
 # 30-min gap the sparse synthetic stream (150 users, ~2 events per
 # user-day at sf0.01) yields mostly singleton sessions plus ~450

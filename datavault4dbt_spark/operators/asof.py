@@ -65,8 +65,17 @@ class AsofJoinConfig:
     # left columns carried through (() = all left columns).
     left_cols: tuple = ()
     strict: bool = False   # False: match at-or-before; True: strictly before
+    # max staleness in NANOSECONDS (pandas merge_asof's `tolerance`):
+    # a latest-eligible right row older than this yields NO match
+    # (NULL asof_* columns), never a fallback to an even older row.
+    # 0 = unbounded. Unit contract: a BIGINT ts column is treated as
+    # epoch-nanos (this repo's nanosAsLong convention); a TIMESTAMP
+    # column compares at microsecond precision (tolerance truncates).
+    tolerance_nanos: int = 0
 
     def __post_init__(self):
+        if self.tolerance_nanos < 0:
+            raise ValueError(f"{self.name}: tolerance_nanos must be >= 0")
         for c in (self.key_col, self.ts_col, *self.value_cols,
                   *self.left_cols):
             ensure_identifier(c, "column", self.name)
@@ -136,6 +145,22 @@ def asof_join_frames(left: DataFrame, right: DataFrame,
                         F.last("__r", ignorenulls=True).over(w)
                         .alias("__latest"))
                .filter(F.col("__is_left")))
+    if cfg.tolerance_nanos:
+        # staleness gate AFTER the window: the latest eligible row
+        # either lies within tolerance or there is no match at all —
+        # never a fallback to an older row (pandas merge_asof rule).
+        # Scan-stage predicate; the window/shuffle shape is unchanged.
+        ats = f"__latest.asof_{cfg.ts_col}"
+        if dict(u.dtypes)[cfg.ts_col] in ("bigint", "int", "long"):
+            fresh = (f"{cfg.ts_col} - {ats} <= {cfg.tolerance_nanos}")
+        else:
+            fresh = (f"unix_micros(CAST({cfg.ts_col} AS TIMESTAMP)) - "
+                     f"unix_micros(CAST({ats} AS TIMESTAMP)) <= "
+                     f"{cfg.tolerance_nanos // 1000}")
+        matched = matched.withColumn(
+            "__latest",
+            F.expr(f"CASE WHEN __latest IS NOT NULL AND {fresh} "
+                   f"THEN __latest END"))
     return matched.select(
         *out_cols,
         *[F.col("__latest").getField(f"asof_{c}").alias(f"asof_{c}")
@@ -164,8 +189,28 @@ def asof_join_oracle(b: SqlBuilder, reg: Registry, cfg: AsofJoinConfig,
                 if c not in (cfg.key_col, cfg.ts_col)]))
     rsel = ", ".join(f"r.{c} AS asof_{c}"
                      for c in (cfg.ts_col, *cfg.value_cols))
-    return b.cte(
-        cfg.name,
+    raw = b.cte(
+        f"{cfg.name}__asof" if cfg.tolerance_nanos else cfg.name,
         f"SELECT {lsel}, {rsel} FROM {left} l "
         f"ASOF LEFT JOIN {r} r ON l.{cfg.key_col} = r.{cfg.key_col} "
         f"AND l.{cfg.ts_col} {cmp_op} r.{cfg.ts_col}")
+    if not cfg.tolerance_nanos:
+        return raw
+    # DuckDB's ASOF ON clause admits exactly one inequality, so the
+    # staleness gate wraps the result: NULL out matches older than the
+    # tolerance (assumes a timestamp ts column on the DuckDB side —
+    # epoch_ns; the fixture's TIMESTAMP(NANOS) satisfies it exactly)
+    fresh = (f"asof_{cfg.ts_col} IS NOT NULL AND "
+             f"epoch_ns({cfg.ts_col}) - epoch_ns(asof_{cfg.ts_col}) "
+             f"<= {cfg.tolerance_nanos}")
+    if left_cols is None:
+        keep = f"* EXCLUDE ({', '.join(f'asof_{c}' for c in (cfg.ts_col, *cfg.value_cols))})"
+    else:
+        keep = ", ".join(
+            [cfg.key_col, cfg.ts_col]
+            + [c for c in left_cols
+               if c not in (cfg.key_col, cfg.ts_col)])
+    gated = ", ".join(
+        f"CASE WHEN {fresh} THEN asof_{c} END AS asof_{c}"
+        for c in (cfg.ts_col, *cfg.value_cols))
+    return b.cte(cfg.name, f"SELECT {keep}, {gated} FROM {raw}")

@@ -160,3 +160,36 @@ def test_config_validation():
         AsofJoinConfig("a", value_cols=("ts",))
     with pytest.raises(ValueError):
         AsofJoinConfig("a", key_col="user_id", value_cols=("user_id",))
+
+
+def test_tolerance_nulls_stale_matches_never_falls_back(spark):
+    """tolerance_nanos (merge_asof rule): the latest eligible match is
+    either within tolerance or there is NO match — event 3's only
+    earlier click is 3h stale, so under a 2h tolerance every asof_*
+    column nulls out (no fallback), while the fresh matches keep their
+    full row atomically."""
+    left = _frames(spark)
+    reg = _reg(e=left)
+    cfg = AsofJoinConfig("a", left_entity="e", right_entity="e",
+                         right_filter="event_type = 'click'",
+                         left_cols=("event_id", "user_id", "ts"),
+                         tolerance_nanos=2 * 3600 * 10**9)
+    got = {r.event_id: (r.asof_ts, r.asof_value)
+           for r in build_asof_join(spark, reg, cfg, G).collect()}
+    click = TS("2024-01-01 12:00:00")
+    assert got[2] == (click, 2.0)              # 0s stale: kept
+    assert got[3] == (None, None)              # 3h stale: fully nulled
+    assert got[1] == (None, None)              # no earlier click at all
+    assert got[4] == (None, None)              # other user: no click
+    # unbounded keeps the stale match
+    wide = AsofJoinConfig("a2", left_entity="e", right_entity="e",
+                          right_filter="event_type = 'click'",
+                          left_cols=("event_id", "user_id", "ts"))
+    got2 = {r.event_id: r.asof_ts
+            for r in build_asof_join(spark, reg, wide, G).collect()}
+    assert got2[3] == click
+
+
+def test_tolerance_rejects_negative(spark):
+    with pytest.raises(ValueError, match="tolerance"):
+        AsofJoinConfig("bad", tolerance_nanos=-1)

@@ -520,6 +520,11 @@ _BUNDLE_CLOSURE = frozenset([
     # groupBy + broadcast rate join + scan-stage keep decision; 0.96s
     # warm standalone at sf0.1 (min-of-4, idle; measured before adding)
     "temperature_mix",
+    # round-8 deliberate widening: tolerance as-of — the same
+    # single-shuffle union-window as the exposed as-of entries plus a
+    # scan-stage staleness gate; 0.60s warm standalone at sf0.1
+    # (min-of-4, idle; measured before adding)
+    "events_asof_click_tol",
 ])
 
 
