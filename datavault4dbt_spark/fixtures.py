@@ -99,7 +99,9 @@ from .llm.boilerplate import (BoilerplateConfig,
                               boilerplate_removal_oracle)
 from .llm.dsir import DsirConfig, build_dsir_score, dsir_score_oracle
 from .llm.profile import (ProfileConfig, build_dataset_profile,
-                          dataset_profile_oracle)
+                          dataset_profile_oracle,
+                          GroupedQuantilesConfig, build_grouped_quantiles,
+                          grouped_quantiles_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
                             line_clean_oracle)
 from .llm.curation import (CurationConfig, DedupReportConfig,
@@ -751,6 +753,16 @@ BUNDLES = {
                      "concat(lang, ':', CAST(rate_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'temperature_mix'"),
+        # round-8: per-source length quartiles — every order
+        # statistic and both extremes drive the driver hash
+        BundleMember("source_len_quantiles", "source",
+                     "concat(CAST(n_rows AS STRING), ':', "
+                     "CAST(v_min AS STRING), ':', "
+                     "CAST(q25 AS STRING), ':', CAST(q50 AS STRING), "
+                     "':', CAST(q75 AS STRING), ':', "
+                     "CAST(v_max AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'len_quantiles'"),
         # round-8: tolerance as-of — the matched timestamp and the
         # value (folded as integer cents; raw DOUBLE rendering is not
         # portable) both drive the hash, NULLed-out stale matches
@@ -1047,6 +1059,11 @@ GOPHER = {"gopher_rules": GopherRulesConfig("gopher_rules")}
 DSIR = {"dsir_score": DsirConfig("dsir_score", threshold_ppm=95_000)}
 # data-card profile of the documents table (exact counts, one scan)
 PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
+# round-8: exact per-source length quartiles (type-1 order statistics
+# from the bounded histogram — no per-group corpus sort); 20 sources x
+# varied n_chars, so every quartile column carries real variance
+QUANTILES = {"source_len_quantiles": GroupedQuantilesConfig(
+    "source_len_quantiles")}
 # C4-style line cleaning: the synthetic corpus is single-line word
 # soup, so the fixture plants a deterministic line structure (a period
 # + newline before each 'window' occurrence — the literal newline
@@ -1276,6 +1293,8 @@ _FAMILIES = [
      _NO_DEPS),
     (DSIR, build_dsir_score, dsir_score_oracle, _NO_DEPS),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
+    (QUANTILES, build_grouped_quantiles, grouped_quantiles_oracle,
+     _NO_DEPS),
     (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
     (CANONICAL, build_canonical_selection, canonical_selection_oracle,
      lambda c: [c.groups_entity, c.quality_entity]),

@@ -114,3 +114,98 @@ def dataset_profile_oracle(b: SqlBuilder, reg: Registry,
             f"__n - __nn_{c} AS n_nulls, __nd_{c} AS n_distinct, "
             f"{mn} AS min_value, {mx} AS max_value FROM {wide}")
     return b.cte(cfg.name, "\nUNION ALL\n".join(selects))
+
+
+# ------------------------------------------------------ grouped_quantiles --
+
+@dataclass(frozen=True)
+class GroupedQuantilesConfig:
+    """Exact per-group quartiles of an integer column — the
+    distribution half of the data card (length/token-count profiles
+    per source or language). Type-1 (lower) order statistics:
+    ``q_k = min v with cum(v) * 4 >= k * n`` — pure integer
+    comparisons, so both engines agree bit-for-bit; no interpolation,
+    no DOUBLE.
+
+    Scale design (100 TB): same shape as the CCNet cutoff derivation
+    (llm/lm.py) — ONE map-side-combined histogram groupBy
+    (group, value), an ascending cumulative window over the BOUNDED
+    histogram (distinct values per group, never the corpus), and all
+    three quartiles from one conditional-min aggregation. The naive
+    percentile_disc-per-group window over raw rows would funnel each
+    group's corpus through one reducer; the histogram form never
+    does. NULL values are excluded from n (SQL aggregate convention);
+    all-NULL groups emit NULL quartiles."""
+
+    name: str
+    source: str = "documents"
+    group_col: str = "source"
+    value_col: str = "n_chars"
+
+    def __post_init__(self):
+        import re as _re
+        for c in (self.group_col, self.value_col):
+            if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise ValueError(
+                    f"{self.name}: column {c!r} must be a plain "
+                    f"identifier — it is interpolated into both "
+                    f"dialects' SQL")
+
+
+_QUARTILE_AGGS = (
+    ("q25", "cum * 4 >= n"),
+    ("q50", "cum * 2 >= n"),
+    ("q75", "cum * 4 >= 3 * n"),
+)
+
+
+def build_grouped_quantiles(spark, reg: Registry,
+                            cfg: GroupedQuantilesConfig,
+                            g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = reg.load(spark, cfg.source)
+    grp, val = cfg.group_col, cfg.value_col
+    hist = (df.filter(F.col(val).isNotNull())
+            .groupBy(grp, val).agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy(grp).orderBy(F.asc(val))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        grp, val,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(grp)).alias("n"))
+    # conditional MIN over the ascending histogram: the smallest value
+    # whose cumulative count crosses the quartile boundary
+    aggs = [F.min(F.expr(f"CASE WHEN {pred} THEN {val} END")).alias(a)
+            for a, pred in _QUARTILE_AGGS]
+    return (cum.groupBy(grp)
+            .agg(F.max("n").alias("n_rows"),
+                 F.min(val).alias("v_min"),
+                 F.max(val).alias("v_max"),
+                 *aggs)
+            .selectExpr(grp, "n_rows", "v_min", "q25", "q50", "q75",
+                        "v_max"))
+
+
+def grouped_quantiles_oracle(b: SqlBuilder, reg: Registry,
+                             cfg: GroupedQuantilesConfig,
+                             g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    grp, val = cfg.group_col, cfg.value_col
+    hist = b.cte(f"{cfg.name}__h",
+                 f"SELECT {grp}, {val}, count(*) AS c FROM {src} "
+                 f"WHERE {val} IS NOT NULL GROUP BY {grp}, {val}")
+    cum = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT {grp}, {val}, "
+        f"sum(c) OVER (PARTITION BY {grp} ORDER BY {val} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        f"sum(c) OVER (PARTITION BY {grp}) AS n FROM {hist}")
+    qsel = ", ".join(
+        f"min(CASE WHEN {pred} THEN {val} END) AS {a}"
+        for a, pred in _QUARTILE_AGGS)
+    return b.cte(
+        cfg.name,
+        f"SELECT {grp}, CAST(max(n) AS BIGINT) AS n_rows, "
+        f"min({val}) AS v_min, {qsel}, max({val}) AS v_max "
+        f"FROM {cum} GROUP BY {grp}")

@@ -139,7 +139,8 @@ def _llm_kinds() -> dict:
     from ..llm.gopher import build_gopher_rules
     from ..llm.boilerplate import build_boilerplate_removal
     from ..llm.dsir import build_dsir_score
-    from ..llm.profile import build_dataset_profile
+    from ..llm.profile import (build_dataset_profile,
+                               build_grouped_quantiles)
     from ..llm.lineclean import build_line_clean
     from ..llm.selection import (build_canonical_selection,
                                  build_stratified_split, build_source_cap)
@@ -200,6 +201,7 @@ def _llm_kinds() -> dict:
         "multimodal_decode": (build_multimodal_decode, src),
         "decontaminate": (build_decontaminated, src),
         "dataset_profile": (build_dataset_profile, src),
+        "grouped_quantiles": (build_grouped_quantiles, src),
         "line_clean": (build_line_clean, src),
         "canonical_selection": (build_canonical_selection,
                                 lambda c: [c.groups_entity,

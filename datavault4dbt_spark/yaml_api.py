@@ -458,7 +458,7 @@ def _llm_parsers() -> dict:
     from .llm.boilerplate import BoilerplateConfig
     from .llm.dsir import DsirConfig
     from .llm.multimodal import MultimodalDecodeConfig
-    from .llm.profile import ProfileConfig
+    from .llm.profile import ProfileConfig, GroupedQuantilesConfig
     from .llm.lineclean import LineCleanConfig
     from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                                 SourceCapConfig)
@@ -506,6 +506,7 @@ def _llm_parsers() -> dict:
         "multimodal_decode": _dataclass_parser(MultimodalDecodeConfig),
         "decontaminate": _dataclass_parser(ContaminationConfig),
         "dataset_profile": _dataclass_parser(ProfileConfig),
+        "grouped_quantiles": _dataclass_parser(GroupedQuantilesConfig),
         "line_clean": _dataclass_parser(LineCleanConfig),
         "canonical_selection": _dataclass_parser(CanonicalConfig),
         "stratified_split": _dataclass_parser(StratifiedSplitConfig),

@@ -525,6 +525,11 @@ _BUNDLE_CLOSURE = frozenset([
     # scan-stage staleness gate; 0.60s warm standalone at sf0.1
     # (min-of-4, idle; measured before adding)
     "events_asof_click_tol",
+    # round-8 deliberate widening: per-source length quartiles — one
+    # histogram groupBy + bounded-histogram window + conditional-min
+    # agg (the CCNet cutoff shape); 0.56s warm standalone at sf0.1
+    # (min-of-4, idle; measured before adding)
+    "source_len_quantiles",
 ])
 
 

@@ -164,7 +164,8 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "gopher_rules", "dsir_score",
                            "docs_boilerplate_clean",
                            "docs_ccnet_buckets", "text_vocab_topk",
-                           "corpus_shuffle", "temperature_mix"}
+                           "corpus_shuffle", "temperature_mix",
+                           "source_len_quantiles"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
@@ -176,7 +177,8 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                  "docs_chunk_scrubbed", "text_lm_score", "gopher_rules",
                  "dsir_score", "docs_boilerplate_clean",
                  "docs_ccnet_buckets", "text_vocab_topk",
-                 "corpus_shuffle", "temperature_mix"):
+                 "corpus_shuffle", "temperature_mix",
+                 "source_len_quantiles"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 

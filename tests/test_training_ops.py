@@ -406,3 +406,34 @@ def test_temperature_mix_rejects_unportable_alpha(spark):
     from datavault4dbt_spark.llm.sampling import TemperatureMixConfig
     with pytest.raises(ValueError, match="alpha"):
         TemperatureMixConfig("bad", alpha="0.3")
+
+
+def test_grouped_quantiles_match_python_order_statistics(spark):
+    """Exact type-1 quartiles: q_k = the smallest value whose
+    cumulative count reaches k/4 of the group — checked against
+    Python's order-statistic indexing, NULLs excluded, per group."""
+    from datavault4dbt_spark.llm.profile import (GroupedQuantilesConfig,
+                                                 build_grouped_quantiles)
+
+    groups = {"a": [5, 1, 9, 3, 7, 7, 2], "b": [10, 10, 10],
+              "c": [4], "d": [None, 8, 6]}
+    rows = [(f"{g}{i}", g, v) for g, vs in groups.items()
+            for i, v in enumerate(vs)]
+    reg = Registry()
+    df = spark.createDataFrame(rows,
+                               "doc_id STRING, source STRING, n_chars BIGINT")
+    reg.spark_loaders["documents"] = lambda _s: df
+    cfg = GroupedQuantilesConfig("gq")
+    got = {r.source: (r.n_rows, r.v_min, r.q25, r.q50, r.q75, r.v_max)
+           for r in build_grouped_quantiles(spark, reg, cfg, DEFAULT)
+           .collect()}
+
+    import math
+    want = {}
+    for g, vs in groups.items():
+        s = sorted(v for v in vs if v is not None)
+        n = len(s)
+        # type-1: smallest v with cum*4 >= k*n == s[ceil(k*n/4) - 1]
+        q = lambda k: s[math.ceil(k * n / 4) - 1]  # noqa: E731
+        want[g] = (n, s[0], q(1), q(2), q(3), s[-1])
+    assert got == want
