@@ -118,7 +118,8 @@ from .operators.asof import (AsofJoinConfig, build_asof_join,
                              asof_join_oracle)
 from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                build_sessionize, build_hopping_agg,
-                               sessionize_oracle, hopping_agg_oracle)
+                               sessionize_oracle, hopping_agg_oracle,
+                               FunnelConfig, build_funnel, funnel_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
                                   interval_join_oracle)
 from .operators.checks import (Check, VaultChecksConfig,
@@ -753,6 +754,16 @@ BUNDLES = {
                      "concat(lang, ':', CAST(rate_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'temperature_mix'"),
+        # round-8: first-touch funnel — each step's first-completion
+        # timestamp and the depth fold in (timestamps render
+        # identically: the registry normalizes events.ts to micros)
+        BundleMember("event_funnel", "CAST(user_id AS STRING)",
+                     "concat(coalesce(CAST(step1_ts AS STRING), ''), "
+                     "':', coalesce(CAST(step2_ts AS STRING), ''), "
+                     "':', coalesce(CAST(step3_ts AS STRING), ''), "
+                     "':', CAST(depth AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'funnel'"),
         # round-8: per-source length quartiles — every order
         # statistic and both extremes drive the driver hash
         BundleMember("source_len_quantiles", "source",
@@ -1109,6 +1120,10 @@ ASOF = {"events_asof_click": AsofJoinConfig(
 # 4 containing windows per event.
 SESSIONS = {"event_sessions": SessionizeConfig(
     "event_sessions", gap_seconds=1800)}
+# round-8: first-touch funnel — the synthetic stream's 150 users /
+# 5 event types give every depth 0..3 real membership, so the depth
+# column and each step timestamp carry variance under the driver hash
+FUNNELS = {"event_funnel": FunnelConfig("event_funnel")}
 HOPPING = {"event_hopping_agg": HoppingAggConfig(
     "event_hopping_agg", width_seconds=3600, hop_seconds=900)}
 # round-7 interval join (operators/rangejoin.py): events against the
@@ -1306,6 +1321,7 @@ _FAMILIES = [
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
+    (FUNNELS, build_funnel, funnel_oracle, _NO_DEPS),
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,

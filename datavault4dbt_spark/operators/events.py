@@ -188,3 +188,94 @@ def hopping_agg_oracle(b: SqlBuilder, reg: Registry, cfg: HoppingAggConfig,
         f"AS window_end, {gcol}, count(*) AS n_events, "
         f"SUM(CAST(round({v} * 100) AS BIGINT)) AS sum_value_cents "
         f"FROM {exploded} GROUP BY 1, 2, 3")
+
+
+# -------------------------------------------------------------- funnel --
+
+@dataclass(frozen=True)
+class FunnelConfig:
+    """First-touch funnel analysis: per user, the timestamp at which
+    each ordered step first completes (a step counts only STRICTLY
+    after the previous step's first completion), plus the reached
+    depth — the product-analytics query every event warehouse runs
+    (conversion funnels; cf. window-function funnel formulations in
+    ClickHouse/BigQuery practice).
+
+    Scale design (100 TB): ONE hash shuffle on the user — every step
+    is a whole-partition conditional MIN chained over the same window
+    partitioning, so Catalyst reuses a single exchange+sort for all k
+    Window nodes, and the final per-user collapse reuses the same
+    partitioning (no second shuffle). No state machine, no UDF, no
+    per-user single-reducer beyond the user partition itself (user
+    histories are retention-bounded)."""
+
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    type_col: str = "event_type"
+    steps: tuple = ("view", "click", "purchase")
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col, self.type_col):
+            _ident(c, "column", self.name)
+        if not 1 <= len(self.steps) <= 8:
+            raise ValueError(f"{self.name}: 1..8 steps")
+        for s in self.steps:
+            if "'" in s or "\\" in s:
+                raise ValueError(
+                    f"{self.name}: step {s!r} violates the portability "
+                    f"contract (it becomes a SQL string literal in "
+                    f"both dialects)")
+
+
+def build_funnel(spark, reg: Registry, cfg: FunnelConfig,
+                 g: GlobalConfig = DEFAULT) -> DataFrame:
+    ev = reg.load(spark, cfg.source).select(
+        cfg.user_col, cfg.ts_col, cfg.type_col)
+    w = (Window.partitionBy(cfg.user_col)
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    t, ty = cfg.ts_col, cfg.type_col
+    cur = ev
+    for i, step in enumerate(cfg.steps, start=1):
+        prev = f" AND {t} > step{i - 1}_ts" if i > 1 else ""
+        cur = cur.withColumn(
+            f"step{i}_ts",
+            F.min(F.expr(f"CASE WHEN {ty} = '{step}'{prev} "
+                         f"THEN {t} END")).over(w))
+    depth = " + ".join(
+        f"CASE WHEN step{i}_ts IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, len(cfg.steps) + 1))
+    # every row in a user's partition carries identical step columns:
+    # the collapse reuses the window's hash partitioning (no shuffle)
+    return (cur.groupBy(cfg.user_col)
+            .agg(*[F.min(f"step{i}_ts").alias(f"step{i}_ts")
+                   for i in range(1, len(cfg.steps) + 1)])
+            .selectExpr(cfg.user_col,
+                        *[f"step{i}_ts"
+                          for i in range(1, len(cfg.steps) + 1)],
+                        f"CAST({depth} AS INT) AS depth"))
+
+
+def funnel_oracle(b: SqlBuilder, reg: Registry, cfg: FunnelConfig,
+                  g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t, ty = cfg.user_col, cfg.ts_col, cfg.type_col
+    cur = b.cte(f"{cfg.name}__e",
+                f"SELECT {u}, {t}, {ty} FROM {src}")
+    for i, step in enumerate(cfg.steps, start=1):
+        prev = f" AND {t} > step{i - 1}_ts" if i > 1 else ""
+        cur = b.cte(
+            f"{cfg.name}__s{i}",
+            f"SELECT *, min(CASE WHEN {ty} = '{step}'{prev} "
+            f"THEN {t} END) OVER (PARTITION BY {u}) AS step{i}_ts "
+            f"FROM {cur}")
+    cols = ", ".join(f"min(step{i}_ts) AS step{i}_ts"
+                     for i in range(1, len(cfg.steps) + 1))
+    depth = " + ".join(
+        f"CASE WHEN min(step{i}_ts) IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, len(cfg.steps) + 1))
+    return b.cte(cfg.name,
+                 f"SELECT {u}, {cols}, CAST({depth} AS INT) AS depth "
+                 f"FROM {cur} GROUP BY {u}")

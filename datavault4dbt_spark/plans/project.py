@@ -146,7 +146,8 @@ def _llm_kinds() -> dict:
                                  build_stratified_split, build_source_cap)
     from ..llm.incdedup import build_incremental_dedup
     from ..operators.asof import build_asof_join
-    from ..operators.events import build_sessionize, build_hopping_agg
+    from ..operators.events import (build_sessionize, build_hopping_agg,
+                                    build_funnel)
     from ..operators.rangejoin import build_interval_join
 
     src = lambda c: [c.source]                       # noqa: E731
@@ -216,6 +217,7 @@ def _llm_kinds() -> dict:
         "asof_join": (build_asof_join,
                       lambda c: [c.left_entity, c.right_entity]),
         "sessionize": (build_sessionize, src),
+        "funnel": (build_funnel, src),
         "hopping_agg": (build_hopping_agg, src),
         "interval_join": (build_interval_join,
                           lambda c: [c.points_entity, c.intervals_entity]),

@@ -428,6 +428,11 @@ def _interval_config():
     return IntervalJoinConfig
 
 
+def _funnel_config():
+    from .operators.events import FunnelConfig
+    return FunnelConfig
+
+
 def _llm_parsers() -> dict:
     """kind -> parser for the beyond-reference training-data operators,
     so a project YAML can declare the full curation pipeline alongside
@@ -514,6 +519,7 @@ def _llm_parsers() -> dict:
         "incremental_dedup": _dataclass_parser(IncrementalDedupConfig),
         "asof_join": _dataclass_parser(_asof_config()),
         "sessionize": _dataclass_parser(_events_configs()[0]),
+        "funnel": _dataclass_parser(_funnel_config()),
         "hopping_agg": _dataclass_parser(_events_configs()[1]),
         "interval_join": _dataclass_parser(_interval_config()),
     }

@@ -92,3 +92,59 @@ def test_config_validation():
         HoppingAggConfig("h", width_seconds=3600, hop_seconds=700)
     with pytest.raises(ValueError):
         SessionizeConfig("s", user_col="bad-name")
+
+
+def test_funnel_first_touch_strict_ordering(spark):
+    """Funnel semantics: first occurrence per step, strictly AFTER the
+    previous step's first completion — an out-of-order purchase before
+    the first click does not count, a same-timestamp next step does
+    not count (strict >), and depth reports the reached prefix."""
+    import datetime
+    from datavault4dbt_spark.context import DEFAULT, Registry
+    from datavault4dbt_spark.operators.events import (FunnelConfig,
+                                                      build_funnel)
+
+    TS = datetime.datetime.fromisoformat
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, TS("2024-01-01 10:00:00"), "view"),
+        (1, TS("2024-01-01 11:00:00"), "click"),
+        (1, TS("2024-01-01 12:00:00"), "purchase"),
+        # user 2: purchase BEFORE first click -> depth 2 only
+        (2, TS("2024-01-01 10:00:00"), "view"),
+        (2, TS("2024-01-01 10:30:00"), "purchase"),
+        (2, TS("2024-01-01 11:00:00"), "click"),
+        # user 3: click at the SAME ts as first view -> strict > fails
+        (3, TS("2024-01-01 10:00:00"), "view"),
+        (3, TS("2024-01-01 10:00:00"), "click"),
+        # user 4: never views -> depth 0 despite later steps
+        (4, TS("2024-01-01 10:00:00"), "click"),
+        (4, TS("2024-01-01 11:00:00"), "purchase"),
+        # user 5: repeated steps -> FIRST completion wins
+        (5, TS("2024-01-01 09:00:00"), "view"),
+        (5, TS("2024-01-01 09:30:00"), "view"),
+        (5, TS("2024-01-01 10:00:00"), "click"),
+        (5, TS("2024-01-01 10:30:00"), "click"),
+        (5, TS("2024-01-01 11:00:00"), "purchase"),
+    ]
+    reg = Registry()
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    reg.register("ev", lambda s, d=df: d, "ev")
+    cfg = FunnelConfig("f", source="ev")
+    got = {r.user_id: (r.step1_ts, r.step2_ts, r.step3_ts, r.depth)
+           for r in build_funnel(spark, reg, cfg, DEFAULT).collect()}
+    assert got[1] == (TS("2024-01-01 10:00:00"),
+                      TS("2024-01-01 11:00:00"),
+                      TS("2024-01-01 12:00:00"), 3)
+    assert got[2] == (TS("2024-01-01 10:00:00"),
+                      TS("2024-01-01 11:00:00"), None, 2)
+    assert got[3] == (TS("2024-01-01 10:00:00"), None, None, 1)
+    assert got[4] == (None, None, None, 0)
+    assert got[5] == (TS("2024-01-01 09:00:00"),
+                      TS("2024-01-01 10:00:00"),
+                      TS("2024-01-01 11:00:00"), 3)
+    # one shuffle: a single exchange feeds all step windows + collapse
+    plan = build_funnel(spark, reg, cfg, DEFAULT) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -530,6 +530,11 @@ _BUNDLE_CLOSURE = frozenset([
     # agg (the CCNet cutoff shape); 0.56s warm standalone at sf0.1
     # (min-of-4, idle; measured before adding)
     "source_len_quantiles",
+    # round-8 deliberate widening: first-touch funnel — ONE exchange
+    # feeds all step windows + the per-user collapse (pinned in
+    # tests/test_events_ops.py); 0.59s warm standalone at sf0.1
+    # (min-of-4, idle; measured before adding)
+    "event_funnel",
 ])
 
 
