@@ -119,7 +119,10 @@ from .operators.asof import (AsofJoinConfig, build_asof_join,
 from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                build_sessionize, build_hopping_agg,
                                sessionize_oracle, hopping_agg_oracle,
-                               FunnelConfig, build_funnel, funnel_oracle)
+                               FunnelConfig, build_funnel, funnel_oracle,
+                               CohortRetentionConfig,
+                               build_cohort_retention,
+                               cohort_retention_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
                                   interval_join_oracle)
 from .operators.checks import (Check, VaultChecksConfig,
@@ -764,6 +767,13 @@ BUNDLES = {
                      "':', CAST(depth AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'funnel'"),
+        # round-8: cohort retention — the full matrix folds in
+        BundleMember("event_cohort_retention",
+                     "concat(CAST(cohort_day AS STRING), ':', "
+                     "CAST(offset_day AS STRING))",
+                     "CAST(n_users AS STRING)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'cohort'"),
         # round-8: per-source length quartiles — every order
         # statistic and both extremes drive the driver hash
         BundleMember("source_len_quantiles", "source",
@@ -1124,6 +1134,10 @@ SESSIONS = {"event_sessions": SessionizeConfig(
 # 5 event types give every depth 0..3 real membership, so the depth
 # column and each step timestamp carry variance under the driver hash
 FUNNELS = {"event_funnel": FunnelConfig("event_funnel")}
+# round-8: cohort retention — the ~35-day synthetic stream yields a
+# full triangular (cohort x offset) matrix with varied counts
+COHORTS = {"event_cohort_retention":
+           CohortRetentionConfig("event_cohort_retention")}
 HOPPING = {"event_hopping_agg": HoppingAggConfig(
     "event_hopping_agg", width_seconds=3600, hop_seconds=900)}
 # round-7 interval join (operators/rangejoin.py): events against the
@@ -1322,6 +1336,7 @@ _FAMILIES = [
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
     (FUNNELS, build_funnel, funnel_oracle, _NO_DEPS),
+    (COHORTS, build_cohort_retention, cohort_retention_oracle, _NO_DEPS),
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,

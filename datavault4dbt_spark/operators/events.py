@@ -279,3 +279,69 @@ def funnel_oracle(b: SqlBuilder, reg: Registry, cfg: FunnelConfig,
     return b.cte(cfg.name,
                  f"SELECT {u}, {cols}, CAST({depth} AS INT) AS depth "
                  f"FROM {cur} GROUP BY {u}")
+
+
+# ----------------------------------------------------- cohort retention --
+
+@dataclass(frozen=True)
+class CohortRetentionConfig:
+    """Cohort retention matrix: users grouped by their first-activity
+    day (the cohort), counted on each later active day as an offset
+    from the cohort day — the (cohort_day, offset_day, n_users) long
+    form every retention chart pivots from. Days are epoch-day
+    integers (pure integer division of the epoch-microsecond value),
+    so both engines bucket identically with no date-rendering or
+    timezone surface.
+
+    Scale design (100 TB): first-activity and the distinct activity
+    set are two aggregations over the SAME user-keyed shuffle; the
+    cohort join is user-keyed equi (AQE picks broadcast when a cohort
+    table fits); the final (cohort, offset) rollup is map-side
+    combined. No windows, no per-day reducers."""
+
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col):
+            _ident(c, "column", self.name)
+
+
+_DAY_US = 86_400_000_000
+
+
+def build_cohort_retention(spark, reg: Registry,
+                           cfg: CohortRetentionConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    u, t = cfg.user_col, cfg.ts_col
+    ev = reg.load(spark, cfg.source).selectExpr(
+        u, f"unix_micros(CAST({t} AS TIMESTAMP)) div {_DAY_US} AS day")
+    active = ev.distinct()
+    cohort = active.groupBy(u).agg(F.min("day").alias("cohort_day"))
+    return (active.join(cohort, [u])
+            .selectExpr(u, "cohort_day",
+                        "day - cohort_day AS offset_day")
+            .groupBy("cohort_day", "offset_day")
+            .agg(F.countDistinct(u).alias("n_users")))
+
+
+def cohort_retention_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: CohortRetentionConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t = cfg.user_col, cfg.ts_col
+    active = b.cte(f"{cfg.name}__a",
+                   f"SELECT DISTINCT {u}, "
+                   f"epoch_us(CAST({t} AS TIMESTAMP)) // {_DAY_US} AS day "
+                   f"FROM {src}")
+    cohort = b.cte(f"{cfg.name}__c",
+                   f"SELECT {u}, min(day) AS cohort_day FROM {active} "
+                   f"GROUP BY {u}")
+    return b.cte(
+        cfg.name,
+        f"SELECT c.cohort_day, a.day - c.cohort_day AS offset_day, "
+        f"count(DISTINCT a.{u}) AS n_users "
+        f"FROM {active} a JOIN {cohort} c USING ({u}) "
+        f"GROUP BY c.cohort_day, a.day - c.cohort_day")

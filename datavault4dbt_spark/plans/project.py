@@ -147,7 +147,7 @@ def _llm_kinds() -> dict:
     from ..llm.incdedup import build_incremental_dedup
     from ..operators.asof import build_asof_join
     from ..operators.events import (build_sessionize, build_hopping_agg,
-                                    build_funnel)
+                                    build_funnel, build_cohort_retention)
     from ..operators.rangejoin import build_interval_join
 
     src = lambda c: [c.source]                       # noqa: E731
@@ -218,6 +218,7 @@ def _llm_kinds() -> dict:
                       lambda c: [c.left_entity, c.right_entity]),
         "sessionize": (build_sessionize, src),
         "funnel": (build_funnel, src),
+        "cohort_retention": (build_cohort_retention, src),
         "hopping_agg": (build_hopping_agg, src),
         "interval_join": (build_interval_join,
                           lambda c: [c.points_entity, c.intervals_entity]),

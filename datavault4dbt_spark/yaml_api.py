@@ -433,6 +433,11 @@ def _funnel_config():
     return FunnelConfig
 
 
+def _cohort_config():
+    from .operators.events import CohortRetentionConfig
+    return CohortRetentionConfig
+
+
 def _llm_parsers() -> dict:
     """kind -> parser for the beyond-reference training-data operators,
     so a project YAML can declare the full curation pipeline alongside
@@ -520,6 +525,7 @@ def _llm_parsers() -> dict:
         "asof_join": _dataclass_parser(_asof_config()),
         "sessionize": _dataclass_parser(_events_configs()[0]),
         "funnel": _dataclass_parser(_funnel_config()),
+        "cohort_retention": _dataclass_parser(_cohort_config()),
         "hopping_agg": _dataclass_parser(_events_configs()[1]),
         "interval_join": _dataclass_parser(_interval_config()),
     }

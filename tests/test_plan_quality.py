@@ -535,6 +535,11 @@ _BUNDLE_CLOSURE = frozenset([
     # tests/test_events_ops.py); 0.59s warm standalone at sf0.1
     # (min-of-4, idle; measured before adding)
     "event_funnel",
+    # round-8 deliberate widening: cohort retention — two aggs over
+    # one user-keyed shuffle + a map-side (cohort, offset) rollup;
+    # 0.67s warm standalone at sf0.1 (min-of-4, idle; measured
+    # before adding)
+    "event_cohort_retention",
 ])
 
 
