@@ -229,10 +229,11 @@ class FunnelConfig:
                     f"both dialects)")
 
 
-def build_funnel(spark, reg: Registry, cfg: FunnelConfig,
-                 g: GlobalConfig = DEFAULT) -> DataFrame:
-    ev = reg.load(spark, cfg.source).select(
-        cfg.user_col, cfg.ts_col, cfg.type_col)
+def funnel_frame(ev: DataFrame, cfg: FunnelConfig) -> DataFrame:
+    """Frame-level core (no registry): shared by the batch operator and
+    the stateful-streaming twin's batch reference so the two cannot
+    drift."""
+    ev = ev.select(cfg.user_col, cfg.ts_col, cfg.type_col)
     w = (Window.partitionBy(cfg.user_col)
          .rowsBetween(Window.unboundedPreceding,
                       Window.unboundedFollowing))
@@ -256,6 +257,11 @@ def build_funnel(spark, reg: Registry, cfg: FunnelConfig,
                         *[f"step{i}_ts"
                           for i in range(1, len(cfg.steps) + 1)],
                         f"CAST({depth} AS INT) AS depth"))
+
+
+def build_funnel(spark, reg: Registry, cfg: FunnelConfig,
+                 g: GlobalConfig = DEFAULT) -> DataFrame:
+    return funnel_frame(reg.load(spark, cfg.source), cfg)
 
 
 def funnel_oracle(b: SqlBuilder, reg: Registry, cfg: FunnelConfig,

@@ -136,3 +136,74 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
                  F.count("*").alias("n_events"),
                  F.sum("value").alias("sum_value"))
             .drop("session_seq"))
+
+
+# ---------------------------------------------------- streaming funnel --
+
+def _funnel_schemas(steps: tuple):
+    from pyspark.sql.types import IntegerType
+    out = StructType(
+        [StructField("user_id", LongType())]
+        + [StructField(f"step{i}_ts", TimestampType())
+           for i in range(1, len(steps) + 1)]
+        + [StructField("depth", IntegerType())])
+    # -1 sentinel for "step not reached" (kept non-null in state)
+    state = StructType([StructField(f"s{i}_us", LongType())
+                        for i in range(1, len(steps) + 1)])
+    return out, state
+
+
+def _funnel_fn(steps: tuple, out_schema):
+    k = len(steps)
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        ev = []
+        for pdf in pdfs:
+            ev.extend((int(t.value // 1000), str(y))
+                      for t, y in zip(pdf["ts"], pdf["event_type"]))
+        cur = list(state.get) if state.exists else [-1] * k
+        for t, ty in sorted(ev):
+            for i in range(k):
+                if cur[i] != -1:
+                    continue
+                if ty == steps[i] and (i == 0 or
+                                       (cur[i - 1] != -1
+                                        and t > cur[i - 1])):
+                    cur[i] = t
+                break   # only the FIRST incomplete step can advance
+        state.update(tuple(cur))
+        depth = sum(1 for v in cur if v != -1)
+        yield pd.DataFrame(
+            [(user_id,
+              *[pd.Timestamp(v, unit="us") if v != -1 else pd.NaT
+                for v in cur],
+              depth)],
+            columns=[f.name for f in out_schema])
+    return fn
+
+
+def funnel_stream(events: DataFrame,
+                  steps: tuple = ("view", "click", "purchase")
+                  ) -> DataFrame:
+    """events(ts, user_id, event_type) stream -> per-user funnel
+    snapshots: after each micro-batch touching a user, the user's
+    current (step1_ts..stepk_ts, depth) row — take the latest row per
+    user for the funnel table (update semantics over an append sink).
+
+    State is k step timestamps per user, bounded and keyless-timeout
+    free (a funnel never closes). In-order contract (the sessionize
+    twin's): with event-time-ordered arrival the greedy state machine
+    equals the batch funnel exactly (the first qualifying event IS the
+    minimum); an event arriving BEFORE an already-consumed later step
+    cannot retroactively improve the funnel — replay from storage via
+    the batch operator when exact late-data repair is required."""
+    out_schema, state_schema = _funnel_schemas(steps)
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_fn(steps, out_schema), out_schema,
+                state_schema, "append",
+                GroupStateTimeout.NoTimeout))

@@ -63,3 +63,71 @@ def test_stream_sessions_match_batch(spark, tmp_path, time_batches):
     # every emitted session must be a true session; after the timeout
     # sweep the sets should match completely
     assert got == want, (len(got), len(want))
+
+
+@pytest.fixture(scope="module")
+def funnel_batches(tmp_path_factory):
+    """events with event_type, split into 3 arriving files by time —
+    a user's funnel steps span micro-batches."""
+    import duckdb
+    root = tmp_path_factory.mktemp("funnel_src")
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT min(ts), max(ts) FROM '{SF_DIR}/events.parquet'").fetchone()
+    span = (hi - lo) / 3
+    for i in range(3):
+        cond = (f"ts >= TIMESTAMP '{lo + i * span}' AND "
+                + (f"ts < TIMESTAMP '{lo + (i + 1) * span}'"
+                   if i < 2 else "TRUE"))
+        con.execute(
+            f"COPY (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+            f"event_type FROM '{SF_DIR}/events.parquet' WHERE {cond} "
+            f"ORDER BY ts) TO '{root}/b{i}.parquet' (FORMAT PARQUET)")
+    return str(root)
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path, funnel_batches):
+    """Per-user funnel snapshots streamed over event-time-ordered
+    micro-batches: the LATEST snapshot per user must equal the batch
+    funnel (shared semantics via operators.events.funnel_frame), with
+    steps genuinely completing across different micro-batches."""
+    from datavault4dbt_spark.context import DEFAULT
+    from datavault4dbt_spark.operators.events import (FunnelConfig,
+                                                      funnel_frame)
+    from datavault4dbt_spark.streaming.stateful import funnel_stream
+
+    schema = spark.read.parquet(funnel_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(funnel_batches))
+    q = (funnel_stream(stream)
+         .writeStream.format("memory").queryName("funnel_snaps")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckf"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+
+    # latest snapshot per user = max depth (depth is monotone) with
+    # the later emission winning ties (same user, same depth, later
+    # batch -> identical row by construction, so max() over stringified
+    # rows per (user, depth) is stable)
+    snaps = spark.table("funnel_snaps").collect()
+    latest = {}
+    for r in snaps:
+        cur = latest.get(r.user_id)
+        if cur is None or r.depth >= cur.depth:
+            latest[r.user_id] = r
+    got = {(r.user_id, str(r.step1_ts), str(r.step2_ts),
+            str(r.step3_ts), r.depth) for r in latest.values()}
+
+    batch = funnel_frame(spark.read.parquet(funnel_batches),
+                         FunnelConfig("f", source="unused"))
+    want = {(r.user_id, str(r.step1_ts), str(r.step2_ts),
+             str(r.step3_ts), r.depth) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    # the stream really advanced funnels incrementally: some user has
+    # snapshots at more than one depth
+    depths_per_user = {}
+    for r in snaps:
+        depths_per_user.setdefault(r.user_id, set()).add(r.depth)
+    assert any(len(d) > 1 for d in depths_per_user.values())
