@@ -425,9 +425,11 @@ def _rate_exprs(cfg: TemperatureMixConfig) -> tuple:
     return w_ppb, rate
 
 
-def build_temperature_mix(spark, reg: Registry, cfg: TemperatureMixConfig,
-                          g: GlobalConfig = DEFAULT) -> DataFrame:
-    df = reg.load(spark, cfg.source)
+def temperature_rates_frame(df: DataFrame,
+                            cfg: TemperatureMixConfig) -> DataFrame:
+    """Per-stratum ppm rate table from a corpus frame — the static
+    side the streaming gate broadcasts (streaming/curation.py),
+    shared with the batch builder so the two paths cannot drift."""
     stats = (df.groupBy(cfg.strata_col)
              .agg(F.count(F.lit(1)).alias("n_s")))
     tot = stats.agg(F.sum("n_s").alias("n_total"))
@@ -436,13 +438,27 @@ def build_temperature_mix(spark, reg: Registry, cfg: TemperatureMixConfig,
          .selectExpr(cfg.strata_col, "n_s", "n_total",
                      f"{w_ppb} AS w_ppb"))
     z = w.agg(F.sum("w_ppb").alias("z"))
-    rates = (w.crossJoin(F.broadcast(z))
-             .selectExpr(cfg.strata_col,
-                         f"{rate.format(idiv=' div ')} AS rate_ppm"))
+    return (w.crossJoin(F.broadcast(z))
+            .selectExpr(cfg.strata_col,
+                        f"{rate.format(idiv=' div ')} AS rate_ppm"))
+
+
+def temperature_gate_frame(docs: DataFrame, rates: DataFrame,
+                           cfg: TemperatureMixConfig) -> DataFrame:
+    """Keep decision against a precomputed rate table: broadcast join
+    + the scan-stage salted-md5 draw. Stateless, so it runs unchanged
+    inside a streaming micro-batch plan."""
     u = _u16(cfg.id_col, cfg.salt)
-    return (df.join(F.broadcast(rates), [cfg.strata_col])
+    return (docs.join(F.broadcast(rates), [cfg.strata_col])
             .filter(F.expr(f"({u}) * 1000000 < rate_ppm * 65536"))
             .selectExpr(cfg.id_col, cfg.strata_col, "rate_ppm"))
+
+
+def build_temperature_mix(spark, reg: Registry, cfg: TemperatureMixConfig,
+                          g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    return temperature_gate_frame(df, temperature_rates_frame(df, cfg),
+                                  cfg)
 
 
 def temperature_mix_oracle(b: SqlBuilder, reg: Registry,

@@ -170,3 +170,19 @@ def start_ccnet_gate(stream_docs: DataFrame, model: tuple,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_temperature_gate(stream_docs: DataFrame, rates: DataFrame,
+                               cfg) -> DataFrame:
+    """Alpha-sample an ARRIVING stream against a batch-computed
+    per-stratum rate table (``llm.sampling.temperature_rates_frame``
+    — the nightly job): stream-static broadcast join + the SAME
+    scan-stage salted-md5 keep decision the oracle-checked batch
+    builder uses (shared ``temperature_gate_frame``), so the two
+    paths cannot drift. The decision is per-document against static
+    rates, so micro-batch-local gating equals corpus-wide gating and
+    replays are idempotent; a refreshed rate table takes effect on
+    the next trigger (static side re-read per micro-batch plan)."""
+    from ..llm.sampling import temperature_gate_frame
+
+    return temperature_gate_frame(stream_docs, rates, cfg)

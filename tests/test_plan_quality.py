@@ -449,6 +449,56 @@ def test_ccnet_windows_run_over_histogram_not_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_temperature_mix_keeps_corpus_shuffle_free(spark, sf_dir):
+    """Temperature mix: every exchange belongs to the strata-sized
+    stats chain (map-side-combined aggs); the document-side keep
+    decision joins the rate table by BROADCAST (one BHJ, no
+    sort-merge), and the only nested-loop joins are the 1-row
+    total/normalizer riders."""
+    fixtures.ensure_session_conf(spark)
+    plan = _plan(fixtures.entity_query("temperature_mix")(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+
+
+def test_corpus_shuffle_is_one_exchange_one_window(spark, sf_dir):
+    """Corpus shuffle: the only shuffle IS the shuffle — one hash
+    exchange on the shard plus the per-shard rank window; the 48-bit
+    key derivation stays in the scan stage."""
+    fixtures.ensure_session_conf(spark)
+    plan = _plan(fixtures.entity_query("corpus_shuffle")(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cohort_retention_plan_shape(spark, sf_dir):
+    """Cohort retention: user-keyed aggs + a broadcast/equi cohort
+    join + the map-side (cohort, offset) rollup — no windows, no
+    nested loops, bounded exchanges."""
+    fixtures.ensure_session_conf(spark)
+    plan = _plan(fixtures.entity_query("event_cohort_retention")(
+        spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_grouped_quantiles_windows_run_over_histogram(spark, sf_dir):
+    """Grouped quantiles: two exchanges (histogram agg + window) and
+    two Window nodes over the BOUNDED histogram — never a per-group
+    percentile window over the raw corpus."""
+    fixtures.ensure_session_conf(spark)
+    plan = _plan(fixtures.entity_query("source_len_quantiles")(
+        spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     """Vocabulary top-k: ORDER BY + LIMIT must compile to
     TakeOrderedAndProject (per-partition heaps, no full vocabulary

@@ -636,3 +636,40 @@ def test_streaming_ccnet_gate_equals_batch(spark, doc_batches, tmp_path):
     q.awaitTermination(300)
     got = {tuple(map(str, r)) for r in got_rows}
     assert got == want
+
+
+def test_streaming_temperature_gate_equals_batch(spark, doc_batches,
+                                                 tmp_path):
+    """Alpha sampling on an arriving stream: streamed survivors gated
+    against a batch-computed rate table must equal the batch gate over
+    the full corpus (shared temperature_gate_frame), and the gate must
+    genuinely bite (budget < 1 drops documents in every stratum)."""
+    from datavault4dbt_spark.llm.sampling import (
+        TemperatureMixConfig, temperature_rates_frame,
+        temperature_gate_frame)
+    from datavault4dbt_spark.streaming.curation import (
+        streaming_temperature_gate)
+
+    fixtures.ensure_session_conf(spark)
+    strata_expr = "CASE WHEN doc_id % 10 < 7 THEN 'big' ELSE 'small' END"
+    batch = spark.read.parquet(doc_batches).selectExpr(
+        "doc_id", f"{strata_expr} AS stratum")
+    cfg = TemperatureMixConfig("tg", strata_col="stratum", alpha="0.5",
+                               budget_ppm=600_000)
+    rates = temperature_rates_frame(batch, cfg).localCheckpoint(eager=True)
+    want = {(r.doc_id, r.stratum, r.rate_ppm) for r in
+            temperature_gate_frame(batch, rates, cfg).collect()}
+    assert 0 < len(want) < batch.count()
+
+    schema = spark.read.parquet(doc_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches)
+              .selectExpr("doc_id", f"{strata_expr} AS stratum"))
+    out = streaming_temperature_gate(stream, rates, cfg)
+    q = (out.writeStream.format("memory").queryName("temp_gate")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_tg")).start())
+    q.awaitTermination(300)
+    got = {(r.doc_id, r.stratum, r.rate_ppm)
+           for r in spark.table("temp_gate").collect()}
+    assert got == want
