@@ -123,6 +123,8 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                CohortRetentionConfig,
                                build_cohort_retention,
                                cohort_retention_oracle)
+from .operators.diff import (TableDiffConfig, build_table_diff,
+                             table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
                                   interval_join_oracle)
 from .operators.checks import (Check, VaultChecksConfig,
@@ -774,6 +776,13 @@ BUNDLES = {
                      "CAST(n_users AS STRING)",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'cohort'"),
+        # round-8: curation-strategy diff — status and both digests
+        # fold in; NULL digests via the coalesce sentinel
+        BundleMember("curation_strategy_diff", "CAST(doc_id AS STRING)",
+                     "concat(status, ':', coalesce(left_md5, ''), "
+                     "':', coalesce(right_md5, ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'diff'"),
         # round-8: per-source length quartiles — every order
         # statistic and both extremes drive the driver hash
         BundleMember("source_len_quantiles", "source",
@@ -1138,6 +1147,19 @@ FUNNELS = {"event_funnel": FunnelConfig("event_funnel")}
 # full triangular (cohort x offset) matrix with varied counts
 COHORTS = {"event_cohort_retention":
            CohortRetentionConfig("event_cohort_retention")}
+# round-8: strategy diff — keep-lowest-id vs keep-best-quality
+# curation genuinely disagree on dup-group survivors (8 docs each way
+# at sf0.001), so both one-sided statuses carry real rows; common
+# survivors are byte-identical (same source), so the diff IS the
+# strategy delta. The changed branch is pinned by unit tests.
+DIFFS = {"curation_strategy_diff": TableDiffConfig(
+    "curation_strategy_diff",
+    left_entity="docs_curated", right_entity="docs_curated_best",
+    key_cols=("doc_id",),
+    # quality_score (DOUBLE) deliberately NOT folded: double->string
+    # rendering is engine-specific outside a narrow range (the
+    # dedup_report lesson); lang + token count pin the row identity
+    payload_cols=("predicted_lang", "n_tokens"))}
 HOPPING = {"event_hopping_agg": HoppingAggConfig(
     "event_hopping_agg", width_seconds=3600, hop_seconds=900)}
 # round-7 interval join (operators/rangejoin.py): events against the
@@ -1337,6 +1359,8 @@ _FAMILIES = [
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
     (FUNNELS, build_funnel, funnel_oracle, _NO_DEPS),
     (COHORTS, build_cohort_retention, cohort_retention_oracle, _NO_DEPS),
+    (DIFFS, build_table_diff, table_diff_oracle,
+     lambda c: [c.left_entity, c.right_entity]),
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,

@@ -149,6 +149,7 @@ def _llm_kinds() -> dict:
     from ..operators.events import (build_sessionize, build_hopping_agg,
                                     build_funnel, build_cohort_retention)
     from ..operators.rangejoin import build_interval_join
+    from ..operators.diff import build_table_diff
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -219,6 +220,8 @@ def _llm_kinds() -> dict:
         "sessionize": (build_sessionize, src),
         "funnel": (build_funnel, src),
         "cohort_retention": (build_cohort_retention, src),
+        "table_diff": (build_table_diff,
+                       lambda c: [c.left_entity, c.right_entity]),
         "hopping_agg": (build_hopping_agg, src),
         "interval_join": (build_interval_join,
                           lambda c: [c.points_entity, c.intervals_entity]),

@@ -438,6 +438,11 @@ def _cohort_config():
     return CohortRetentionConfig
 
 
+def _diff_config():
+    from .operators.diff import TableDiffConfig
+    return TableDiffConfig
+
+
 def _llm_parsers() -> dict:
     """kind -> parser for the beyond-reference training-data operators,
     so a project YAML can declare the full curation pipeline alongside
@@ -526,6 +531,7 @@ def _llm_parsers() -> dict:
         "sessionize": _dataclass_parser(_events_configs()[0]),
         "funnel": _dataclass_parser(_funnel_config()),
         "cohort_retention": _dataclass_parser(_cohort_config()),
+        "table_diff": _dataclass_parser(_diff_config()),
         "hopping_agg": _dataclass_parser(_events_configs()[1]),
         "interval_join": _dataclass_parser(_interval_config()),
     }

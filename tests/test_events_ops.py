@@ -185,3 +185,35 @@ def test_cohort_retention_matches_python_reference(spark):
     assert got == want
     # sanity on the shape: day-0 cells cover every cohort
     assert all((c, 0) in got for c, _o in got)
+
+
+def test_table_diff_three_statuses_and_equal_rows_omitted(spark):
+    """Diff semantics: left-only, right-only, changed — and rows equal
+    in both versions do NOT appear. NULL payloads use an injective
+    sentinel (a NULL column differs from the empty string and from a
+    chr(1) literal)."""
+    import pytest as _pytest
+    from datavault4dbt_spark.context import DEFAULT, Registry
+    from datavault4dbt_spark.operators.diff import (TableDiffConfig,
+                                                    build_table_diff)
+
+    left = [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, None, 50)]
+    right = [(1, "a", 10), (2, "b", 99), (4, "d", 40), (5, "", 50)]
+    reg = Registry()
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id LONG, lang STRING, n LONG")
+    reg.register("l", lambda s, d=mk(left): d, "l")
+    reg.register("r", lambda s, d=mk(right): d, "r")
+    cfg = TableDiffConfig("d", left_entity="l", right_entity="r",
+                          key_cols=("doc_id",),
+                          payload_cols=("lang", "n"))
+    got = {r.doc_id: r.status
+           for r in build_table_diff(spark, reg, cfg, DEFAULT).collect()}
+    # doc 1 equal -> omitted; 2 changed; 3 removed; 4 added;
+    # 5 NULL-vs-empty payload -> changed (injective sentinel)
+    assert got == {2: "changed", 3: "left_only", 4: "right_only",
+                   5: "changed"}
+    with _pytest.raises(ValueError, match="key_cols and payload"):
+        TableDiffConfig("bad", left_entity="l", right_entity="r",
+                        key_cols=("doc_id",),
+                        payload_cols=("doc_id", "n"))
