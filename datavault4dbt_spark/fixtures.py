@@ -1124,9 +1124,10 @@ ASOF = {"events_asof_click": AsofJoinConfig(
         # round-8: the tolerance (max-staleness) knob under the driver
         # gate — 24h against a ~19h median click staleness, so roughly
         # half the matches genuinely null out (merge_asof rule: a stale
-        # latest match is NO match, never an older fallback). events.ts
-        # reads as BIGINT nanos in Spark (nanosAsLong) and
-        # TIMESTAMP(NANOS) in DuckDB (epoch_ns), both exact.
+        # latest match is NO match, never an older fallback). The
+        # registry normalizes events.ts to a micros TIMESTAMP in BOTH
+        # engines (context.py), satisfying the operator's timestamp
+        # contract; whole-second tolerances compare exactly.
         "events_asof_click_tol": AsofJoinConfig(
             "events_asof_click_tol", strict=False,
             tolerance_nanos=24 * 3600 * 10**9,

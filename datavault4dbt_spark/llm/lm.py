@@ -117,7 +117,12 @@ def lm_score_frame(docs: DataFrame, cbi: DataFrame, cpre: DataFrame,
     """Score an arbitrary document frame against trained model frames —
     the single implementation batch and streaming share. ``carry``:
     extra columns passed through (e.g. a stream's language or
-    event-time column). Documents with < 2 tokens keep a NULL score."""
+    event-time column) — PLAIN column names, not expressions (each
+    item is re-projected after the join, where an alias expression's
+    source column no longer exists). Documents with < 2 tokens keep a
+    NULL score."""
+    for c in carry:
+        ensure_identifier(c, "carry column", cfg.name)
     toks = docs.selectExpr(cfg.id_col,
                            f"{spark_tokens(cfg.text_col)} AS w")
     bi = toks.selectExpr(

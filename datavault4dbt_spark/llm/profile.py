@@ -143,13 +143,9 @@ class GroupedQuantilesConfig:
     value_col: str = "n_chars"
 
     def __post_init__(self):
-        import re as _re
+        from ..context import ensure_identifier
         for c in (self.group_col, self.value_col):
-            if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
-                raise ValueError(
-                    f"{self.name}: column {c!r} must be a plain "
-                    f"identifier — it is interpolated into both "
-                    f"dialects' SQL")
+            ensure_identifier(c, "column", self.name)
 
 
 _QUARTILE_AGGS = (

@@ -386,14 +386,24 @@ class TemperatureMixConfig:
     alpha: str = "0.5"
     budget_ppm: int = 1_000_000
     salt: str = "temp"
+    # rate for documents whose stratum has NO row in the rate table —
+    # only reachable on the STREAMING path (a stratum newer than the
+    # nightly rate refresh, or a NULL stratum; the batch builder
+    # derives rates from the same corpus it gates, so every stratum is
+    # covered). Default keeps everything from unknown strata (the
+    # conservative choice: tomorrow's rates resample them) rather than
+    # silently dropping a brand-new source.
+    unknown_rate_ppm: int = 1_000_000
 
     def __post_init__(self):
         if self.alpha not in _ALPHA_EXPRS:
             raise ValueError(
                 f"{self.name}: alpha must be one of "
                 f"{sorted(_ALPHA_EXPRS)} (exactly-computable surface)")
-        if not 0 <= self.budget_ppm <= 1_000_000:
-            raise ValueError(f"{self.name}: budget_ppm must be 0..1e6")
+        for v, what in ((self.budget_ppm, "budget_ppm"),
+                        (self.unknown_rate_ppm, "unknown_rate_ppm")):
+            if not 0 <= v <= 1_000_000:
+                raise ValueError(f"{self.name}: {what} must be 0..1e6")
         if "'" in self.salt or "\\" in self.salt:
             raise ValueError(f"{self.name}: salt must not contain "
                              f"quotes/backslashes (SQL literal)")
@@ -447,11 +457,15 @@ def temperature_gate_frame(docs: DataFrame, rates: DataFrame,
                            cfg: TemperatureMixConfig) -> DataFrame:
     """Keep decision against a precomputed rate table: broadcast join
     + the scan-stage salted-md5 draw. Stateless, so it runs unchanged
-    inside a streaming micro-batch plan."""
+    inside a streaming micro-batch plan. LEFT join: a stratum with no
+    rate row (streaming only — new source since the last rate refresh)
+    gates at ``unknown_rate_ppm`` instead of silently vanishing."""
     u = _u16(cfg.id_col, cfg.salt)
-    return (docs.join(F.broadcast(rates), [cfg.strata_col])
-            .filter(F.expr(f"({u}) * 1000000 < rate_ppm * 65536"))
-            .selectExpr(cfg.id_col, cfg.strata_col, "rate_ppm"))
+    return (docs.join(F.broadcast(rates), [cfg.strata_col], "left")
+            .selectExpr(cfg.id_col, cfg.strata_col,
+                        f"coalesce(rate_ppm, {cfg.unknown_rate_ppm}) "
+                        f"AS rate_ppm")
+            .filter(F.expr(f"({u}) * 1000000 < rate_ppm * 65536")))
 
 
 def build_temperature_mix(spark, reg: Registry, cfg: TemperatureMixConfig,
@@ -483,8 +497,14 @@ def temperature_mix_oracle(b: SqlBuilder, reg: Registry,
         f"SELECT {cfg.strata_col}, "
         f"{rate.format(idiv=' // ')} AS rate_ppm FROM {w}, {z}")
     u = _u16(f"d.{cfg.id_col}", cfg.salt)
+    # LEFT + coalesce mirrors temperature_gate_frame: a NULL stratum
+    # never equality-matches its rate row, so it gates at
+    # unknown_rate_ppm in both engines
     return b.cte(
         cfg.name,
-        f"SELECT d.{cfg.id_col}, d.{cfg.strata_col}, r.rate_ppm "
-        f"FROM {src} d JOIN {rates} r USING ({cfg.strata_col}) "
-        f"WHERE ({u}) * 1000000 < r.rate_ppm * 65536")
+        f"SELECT d.{cfg.id_col}, d.{cfg.strata_col}, "
+        f"coalesce(r.rate_ppm, {cfg.unknown_rate_ppm}) AS rate_ppm "
+        f"FROM {src} d LEFT JOIN {rates} r "
+        f"ON d.{cfg.strata_col} = r.{cfg.strata_col} "
+        f"WHERE ({u}) * 1000000 < "
+        f"coalesce(r.rate_ppm, {cfg.unknown_rate_ppm}) * 65536")

@@ -68,9 +68,10 @@ class AsofJoinConfig:
     # max staleness in NANOSECONDS (pandas merge_asof's `tolerance`):
     # a latest-eligible right row older than this yields NO match
     # (NULL asof_* columns), never a fallback to an even older row.
-    # 0 = unbounded. Unit contract: a BIGINT ts column is treated as
-    # epoch-nanos (this repo's nanosAsLong convention); a TIMESTAMP
-    # column compares at microsecond precision (tolerance truncates).
+    # 0 = unbounded. ts_col must be a TIMESTAMP (cast numeric epochs
+    # upstream — the registry's events loader already does); the gate
+    # compares at microsecond precision, so tolerances truncate to
+    # whole microseconds.
     tolerance_nanos: int = 0
 
     def __post_init__(self):
@@ -151,12 +152,9 @@ def asof_join_frames(left: DataFrame, right: DataFrame,
         # never a fallback to an older row (pandas merge_asof rule).
         # Scan-stage predicate; the window/shuffle shape is unchanged.
         ats = f"__latest.asof_{cfg.ts_col}"
-        if dict(u.dtypes)[cfg.ts_col] in ("bigint", "int", "long"):
-            fresh = (f"{cfg.ts_col} - {ats} <= {cfg.tolerance_nanos}")
-        else:
-            fresh = (f"unix_micros(CAST({cfg.ts_col} AS TIMESTAMP)) - "
-                     f"unix_micros(CAST({ats} AS TIMESTAMP)) <= "
-                     f"{cfg.tolerance_nanos // 1000}")
+        fresh = (f"unix_micros(CAST({cfg.ts_col} AS TIMESTAMP)) - "
+                 f"unix_micros(CAST({ats} AS TIMESTAMP)) <= "
+                 f"{cfg.tolerance_nanos // 1000}")
         matched = matched.withColumn(
             "__latest",
             F.expr(f"CASE WHEN __latest IS NOT NULL AND {fresh} "
@@ -198,8 +196,8 @@ def asof_join_oracle(b: SqlBuilder, reg: Registry, cfg: AsofJoinConfig,
         return raw
     # DuckDB's ASOF ON clause admits exactly one inequality, so the
     # staleness gate wraps the result: NULL out matches older than the
-    # tolerance (assumes a timestamp ts column on the DuckDB side —
-    # epoch_ns; the fixture's TIMESTAMP(NANOS) satisfies it exactly)
+    # tolerance. epoch_ns requires the TIMESTAMP ts the config
+    # contract demands (numeric epochs cast upstream, both engines).
     fresh = (f"asof_{cfg.ts_col} IS NOT NULL AND "
              f"epoch_ns({cfg.ts_col}) - epoch_ns(asof_{cfg.ts_col}) "
              f"<= {cfg.tolerance_nanos}")

@@ -54,10 +54,15 @@ class TableDiffConfig:
 
 
 def _digest(payload_cols: tuple) -> str:
-    """Fixed-width injective payload digest, identical text in both
-    dialects (md5/concat/coalesce/CAST agree)."""
+    """Injective payload digest, identical text in both dialects
+    (md5/concat/coalesce/CAST agree). Hash-then-sentinel: each
+    component is the value's 32-hex md5, or chr(1) for NULL — chr(1)
+    is not a hex character, so the concatenation decodes left-to-right
+    unambiguously and NULL can never collide with ANY real value
+    (including a literal \\x01 string, whose md5 is still 32 hex
+    chars)."""
     parts = ", ".join(
-        f"md5(coalesce(CAST({c} AS STRING), chr(1)))"
+        f"coalesce(md5(CAST({c} AS STRING)), chr(1))"
         for c in payload_cols)
     return f"md5(concat({parts}))"
 

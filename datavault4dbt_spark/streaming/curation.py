@@ -160,8 +160,13 @@ def start_ccnet_gate(stream_docs: DataFrame, model: tuple,
     cbi, cpre, vocab = model
 
     def gate_batch(batch_df: DataFrame, _batch_id: int):
-        scored = lm_score_frame(batch_df, cbi, cpre, vocab, lm_cfg,
-                                carry=(f"{lang_col} AS lang",))
+        # rename FIRST: lm_score_frame carries plain column names (its
+        # projections re-reference them after the join, where an alias
+        # expression's source column no longer exists)
+        docs = (batch_df if lang_col == "lang"
+                else batch_df.withColumnRenamed(lang_col, "lang"))
+        scored = lm_score_frame(docs, cbi, cpre, vocab, lm_cfg,
+                                carry=("lang",))
         out = ccnet_assign_frame(scored, cuts, lm_cfg.id_col)
         sink(out.filter(F.col("keep")))
 

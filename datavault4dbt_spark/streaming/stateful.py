@@ -161,8 +161,12 @@ def _funnel_fn(steps: tuple, out_schema):
         user_id = key[0]
         ev = []
         for pdf in pdfs:
+            # skip NULL event times: the batch twin's conditional MIN
+            # ignores them; NaT here would otherwise sort first
+            # (NaT.value = INT64_MIN) and poison the funnel state
             ev.extend((int(t.value // 1000), str(y))
-                      for t, y in zip(pdf["ts"], pdf["event_type"]))
+                      for t, y in zip(pdf["ts"], pdf["event_type"])
+                      if not pd.isna(t))
         cur = list(state.get) if state.exists else [-1] * k
         for t, ty in sorted(ev):
             for i in range(k):

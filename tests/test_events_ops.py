@@ -217,3 +217,22 @@ def test_table_diff_three_statuses_and_equal_rows_omitted(spark):
         TableDiffConfig("bad", left_entity="l", right_entity="r",
                         key_cols=("doc_id",),
                         payload_cols=("doc_id", "n"))
+
+
+def test_table_diff_null_never_collides_with_real_values(spark):
+    """Injectivity of the NULL sentinel: NULL vs a literal '\\x01'
+    value is a CHANGED row, not an omitted equal row."""
+    from datavault4dbt_spark.context import DEFAULT, Registry
+    from datavault4dbt_spark.operators.diff import (TableDiffConfig,
+                                                    build_table_diff)
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id LONG, lang STRING")
+    reg = Registry()
+    reg.register("l", lambda s, d=mk([(1, None), (2, "\x01")]): d, "l")
+    reg.register("r", lambda s, d=mk([(1, "\x01"), (2, "\x01")]): d, "r")
+    cfg = TableDiffConfig("d", left_entity="l", right_entity="r",
+                          key_cols=("doc_id",), payload_cols=("lang",))
+    got = {r.doc_id: r.status
+           for r in build_table_diff(spark, reg, cfg, DEFAULT).collect()}
+    assert got == {1: "changed"}   # doc 2 equal -> omitted

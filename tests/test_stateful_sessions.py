@@ -131,3 +131,33 @@ def test_stream_funnel_matches_batch(spark, tmp_path, funnel_batches):
     for r in snaps:
         depths_per_user.setdefault(r.user_id, set()).add(r.depth)
     assert any(len(d) > 1 for d in depths_per_user.values())
+
+
+def test_stream_funnel_ignores_null_event_times(spark, tmp_path):
+    """A NULL ts row must be skipped exactly like the batch twin's
+    conditional MIN skips it (regression: NaT.value used to sort first
+    and poison the state)."""
+    import datetime
+    from datavault4dbt_spark.streaming.stateful import funnel_stream
+
+    TS = datetime.datetime.fromisoformat
+    rows = [(1, None, "view"),
+            (1, TS("2024-01-01 10:00:00"), "view"),
+            (1, TS("2024-01-01 11:00:00"), "click")]
+    src = str(tmp_path / "nullts_src")
+    spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_type STRING") \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (funnel_stream(stream)
+         .writeStream.format("memory").queryName("funnel_null_ts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckn"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows_out = spark.table("funnel_null_ts").collect()
+    last = max(rows_out, key=lambda r: r.depth)
+    assert (last.step1_ts, last.step2_ts, last.depth) == (
+        TS("2024-01-01 10:00:00"), TS("2024-01-01 11:00:00"), 2)

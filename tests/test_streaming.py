@@ -673,3 +673,41 @@ def test_streaming_temperature_gate_equals_batch(spark, doc_batches,
     got = {(r.doc_id, r.stratum, r.rate_ppm)
            for r in spark.table("temp_gate").collect()}
     assert got == want
+
+
+def test_streaming_ccnet_gate_nondefault_lang_col(spark, doc_batches,
+                                                  tmp_path):
+    """The gate must work for ANY language column name, not just
+    'lang' (regression: the carry expression used to be re-evaluated
+    after the first projection had already renamed the column)."""
+    from datavault4dbt_spark.llm.lm import (
+        BigramLmConfig, lm_model_frames, lm_score_frame,
+        ccnet_cutoffs_frame, ccnet_assign_frame)
+    from datavault4dbt_spark.streaming.curation import start_ccnet_gate
+
+    fixtures.ensure_session_conf(spark)
+    lang_expr = "CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END"
+    batch = spark.read.parquet(doc_batches).selectExpr(
+        "doc_id", "text", f"{lang_expr} AS language")
+    cfg = BigramLmConfig("ccg2")
+    model = tuple(f.localCheckpoint(eager=True)
+                  for f in lm_model_frames(batch, cfg))
+    scored = lm_score_frame(
+        batch.withColumnRenamed("language", "lang"), *model, cfg,
+        carry=("lang",))
+    cuts = ccnet_cutoffs_frame(scored).localCheckpoint(eager=True)
+    want = {tuple(map(str, r)) for r in
+            ccnet_assign_frame(scored, cuts, cfg.id_col)
+            .filter("keep").collect()}
+
+    got_rows = []
+    schema = spark.read.parquet(doc_batches).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches)
+              .selectExpr("doc_id", "text", f"{lang_expr} AS language"))
+    q = start_ccnet_gate(
+        stream, model, cuts, cfg, lang_col="language",
+        sink=lambda df: got_rows.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_ccg2"))
+    q.awaitTermination(300)
+    assert {tuple(map(str, r)) for r in got_rows} == want and want
