@@ -34,7 +34,13 @@ def test_stream_sessions_match_batch(spark, tmp_path, time_batches):
     schema = spark.read.parquet(time_batches).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(time_batches))
-    q = (sessionize_stream(stream, GAP, timeout_ms=5000)
+    # timeout well above worst-case drain time: a processing-time
+    # timeout that fires while input batches are still queued closes a
+    # user's open session EARLY and splits it (observed once on a
+    # loaded host at 5s — the suite's only flake); 45s never fires
+    # mid-stream yet sweeps the final open sessions well inside the
+    # 300s poll deadline
+    q = (sessionize_stream(stream, GAP, timeout_ms=45_000)
          .writeStream.format("memory").queryName("sessions")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck"))
