@@ -13,6 +13,7 @@ from datavault4dbt_spark.streaming.stateful import (
 
 @pytest.fixture(scope="module")
 def time_batches(tmp_path_factory):
+    import os
     import duckdb
     root = tmp_path_factory.mktemp("sess_src")
     con = duckdb.connect()
@@ -26,6 +27,14 @@ def time_batches(tmp_path_factory):
             f"COPY (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value "
             f"FROM '{SF_DIR}/events.parquet' WHERE {cond} ORDER BY ts) "
             f"TO '{root}/b{i}.parquet' (FORMAT PARQUET)")
+        # explicit strictly-increasing mtimes: Spark's file source
+        # orders micro-batches by modification time, and back-to-back
+        # COPYs can land inside one clock tick — a tie makes arrival
+        # order arbitrary, i.e. OUT-OF-ORDER input, which the operator
+        # legitimately answers with split singletons (observed flake:
+        # 721 vs 585 sessions). In-order arrival is this test's
+        # contract, so pin it.
+        os.utime(f"{root}/b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
     return str(root)
 
 
@@ -89,6 +98,10 @@ def funnel_batches(tmp_path_factory):
             f"COPY (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
             f"event_type FROM '{SF_DIR}/events.parquet' WHERE {cond} "
             f"ORDER BY ts) TO '{root}/b{i}.parquet' (FORMAT PARQUET)")
+        # strictly-increasing mtimes pin in-order arrival (see
+        # time_batches)
+        import os
+        os.utime(f"{root}/b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
     return str(root)
 
 
@@ -151,9 +164,13 @@ def test_stream_funnel_ignores_null_event_times(spark, tmp_path):
             (1, TS("2024-01-01 10:00:00"), "view"),
             (1, TS("2024-01-01 11:00:00"), "click")]
     src = str(tmp_path / "nullts_src")
+    # ONE file: the funnel's contract is event-time-ordered ARRIVAL
+    # (stateful.py docstring); multiple part files would arrive in
+    # listing order and could deliver the click before the view,
+    # which is out-of-order input, not what this test pins
     spark.createDataFrame(
         rows, "user_id LONG, ts TIMESTAMP, event_type STRING") \
-        .write.parquet(src)
+        .coalesce(1).write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(src))

@@ -36,6 +36,11 @@ def event_batches(tmp_path_factory):
             f"COPY (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) "
             f"FROM '{SF_DIR}/events.parquet' WHERE {cond}) "
             f"TO '{root}/batch_{i}.parquet' (FORMAT PARQUET)")
+        # strictly-increasing mtimes: a tie makes the file source's
+        # arrival order arbitrary (the test_stateful_sessions lesson)
+        import os
+        os.utime(f"{root}/batch_{i}.parquet",
+                 (1_700_000_000 + i * 10,) * 2)
     return str(root)
 
 
