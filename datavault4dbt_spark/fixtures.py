@@ -82,7 +82,9 @@ from .llm.substring import (SubstringDupConfig, build_substring_dup,
 from .llm.tfidf import TfidfConfig, build_tfidf, tfidf_oracle
 from .llm.sources import (SourceStatsConfig, SourceGateConfig,
                           build_source_stats, build_source_gate,
-                          source_stats_oracle, source_gate_oracle)
+                          source_stats_oracle, source_gate_oracle,
+                          TokenBudgetConfig, build_token_budget,
+                          token_budget_oracle)
 from .llm.chunking import (ChunkConfig, ChunkDedupConfig, ChunkScrubConfig,
                            build_doc_chunks, build_chunk_dedup,
                            build_chunk_scrub, doc_chunks_oracle,
@@ -783,6 +785,13 @@ BUNDLES = {
                      "':', coalesce(right_md5, ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'diff'"),
+        # round-8: per-source token budget
+        BundleMember("source_token_budget", "source",
+                     "concat(CAST(n_docs AS STRING), ':', "
+                     "CAST(n_tokens AS STRING), ':', "
+                     "CAST(token_share_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'token_budget'"),
         # round-8: per-source length quartiles — every order
         # statistic and both extremes drive the driver hash
         BundleMember("source_len_quantiles", "source",
@@ -1094,6 +1103,10 @@ PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
 # varied n_chars, so every quartile column carries real variance
 QUANTILES = {"source_len_quantiles": GroupedQuantilesConfig(
     "source_len_quantiles")}
+# round-8: per-source token accounting — counts, token sums and the
+# ppm share all fold into the bundle hd
+TOKEN_BUDGET = {"source_token_budget":
+                TokenBudgetConfig("source_token_budget")}
 # C4-style line cleaning: the synthetic corpus is single-line word
 # soup, so the fixture plants a deterministic line structure (a period
 # + newline before each 'window' occurrence — the literal newline
@@ -1347,6 +1360,7 @@ _FAMILIES = [
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
     (QUANTILES, build_grouped_quantiles, grouped_quantiles_oracle,
      _NO_DEPS),
+    (TOKEN_BUDGET, build_token_budget, token_budget_oracle, _NO_DEPS),
     (LINECLEAN, build_line_clean, line_clean_oracle, _NO_DEPS),
     (CANONICAL, build_canonical_selection, canonical_selection_oracle,
      lambda c: [c.groups_entity, c.quality_entity]),

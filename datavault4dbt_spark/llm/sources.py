@@ -23,7 +23,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import (GlobalConfig, DEFAULT, Registry,
+                       ensure_identifier)
 from ..plans.sqlbuild import SqlBuilder
 from .textprep import spark_tokens, duck_tokens
 
@@ -155,3 +156,67 @@ def source_gate_oracle(b: SqlBuilder, reg: Registry, cfg: SourceGateConfig,
         f"SELECT {cfg.id_col}, {cfg.source_col} FROM {src} d "
         f"WHERE NOT EXISTS (SELECT 1 FROM {bad} x "
         f"WHERE x.{cfg.source_col} = d.{cfg.source_col})")
+
+
+# ------------------------------------------------------- token_budget --
+
+@dataclass(frozen=True)
+class TokenBudgetConfig:
+    """Per-source token accounting: documents, tokens, and each
+    source's share of the corpus in ppm — the table every mixing /
+    budget decision starts from ("how many tokens do I actually have
+    per source?"; the input to temperature_mix-style rate planning).
+    The share is integer fixed-point (tokens * 1e6 div total), so both
+    engines agree bit-for-bit; shares sum to <= 1e6 with the remainder
+    lost to flooring (documented — consumers needing exact totals use
+    n_tokens).
+
+    Scale design (100 TB): tokenization + size() in the scan stage,
+    ONE map-side-combined groupBy on the source key, and the 1-row
+    corpus total rides back as a broadcast cross join — the
+    tfidf/lm vocabulary pattern, never a driver collect."""
+
+    name: str
+    source: str = "documents"
+    source_col: str = "source"
+    text_col: str = "text"
+
+    def __post_init__(self):
+        for c in (self.source_col, self.text_col):
+            ensure_identifier(c, "column", self.name)
+
+
+def build_token_budget(spark, reg: Registry, cfg: TokenBudgetConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = reg.load(spark, cfg.source).selectExpr(
+        cfg.source_col,
+        f"size({spark_tokens(cfg.text_col)}) AS n_tok")
+    per_src = (docs.groupBy(cfg.source_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tok").alias("n_tokens")))
+    total = per_src.agg(F.sum("n_tokens").alias("t"))
+    return (per_src.crossJoin(F.broadcast(total))
+            .selectExpr(cfg.source_col, "n_docs", "n_tokens",
+                        "CASE WHEN t = 0 THEN 0 ELSE "
+                        "(n_tokens * 1000000) div t END "
+                        "AS token_share_ppm"))
+
+
+def token_budget_oracle(b: SqlBuilder, reg: Registry,
+                        cfg: TokenBudgetConfig,
+                        g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    per = b.cte(
+        f"{cfg.name}__p",
+        f"SELECT {cfg.source_col}, count(*) AS n_docs, "
+        f"CAST(sum(len({duck_tokens(cfg.text_col)})) AS BIGINT) "
+        f"AS n_tokens FROM {src} GROUP BY {cfg.source_col}")
+    tot = b.cte(f"{cfg.name}__t",
+                f"SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM {per}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.source_col}, n_docs, n_tokens, "
+        f"CASE WHEN t = 0 THEN 0 ELSE (n_tokens * 1000000) // t END "
+        f"AS token_share_ppm FROM {per}, {tot}")

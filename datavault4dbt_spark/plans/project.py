@@ -131,7 +131,8 @@ def _llm_kinds() -> dict:
     from ..llm.quantize import build_scalar_quantize
     from ..llm.substring import build_substring_dup
     from ..llm.tfidf import build_tfidf
-    from ..llm.sources import build_source_stats, build_source_gate
+    from ..llm.sources import (build_source_stats, build_source_gate,
+                               build_token_budget)
     from ..llm.chunking import (build_doc_chunks, build_chunk_dedup,
                                 build_chunk_scrub)
     from ..llm.lm import build_lm_score, build_ccnet_buckets
@@ -188,6 +189,7 @@ def _llm_kinds() -> dict:
                          lambda c: [c.langid_entity, c.quality_entity,
                                     c.groups_entity]),
         "source_stats": (build_source_stats, src),
+        "token_budget": (build_token_budget, src),
         "source_gate": (build_source_gate,
                         lambda c: [c.stats_entity]),
         "doc_chunks": (build_doc_chunks, src),

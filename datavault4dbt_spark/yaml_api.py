@@ -464,7 +464,8 @@ def _llm_parsers() -> dict:
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
     from .llm.tfidf import TfidfConfig
-    from .llm.sources import SourceStatsConfig, SourceGateConfig
+    from .llm.sources import (SourceStatsConfig, SourceGateConfig,
+                              TokenBudgetConfig)
     from .llm.chunking import (ChunkConfig, ChunkDedupConfig,
                                ChunkScrubConfig)
     from .llm.lm import BigramLmConfig, CcnetBucketsConfig
@@ -509,6 +510,7 @@ def _llm_parsers() -> dict:
         "dedup_report": _dataclass_parser(DedupReportConfig),
         "source_stats": _dataclass_parser(SourceStatsConfig),
         "source_gate": _dataclass_parser(SourceGateConfig),
+        "token_budget": _dataclass_parser(TokenBudgetConfig),
         "doc_chunks": _dataclass_parser(ChunkConfig),
         "chunk_dedup": _dataclass_parser(ChunkDedupConfig),
         "chunk_scrub": _dataclass_parser(ChunkScrubConfig),

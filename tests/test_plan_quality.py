@@ -590,6 +590,10 @@ _BUNDLE_CLOSURE = frozenset([
     # 0.67s warm standalone at sf0.1 (min-of-4, idle; measured
     # before adding)
     "event_cohort_retention",
+    # round-8 deliberate widening: per-source token budget — one
+    # map-side-combined groupBy + broadcast 1-row total; 0.61s warm
+    # standalone at sf0.1 (min-of-4; measured before adding)
+    "source_token_budget",
     # round-8 deliberate widening: curation-strategy diff — one
     # full-outer join over the two ALREADY-BUILT curation members
     # (both become _multi_consumed and persist). Measured as an

@@ -166,7 +166,8 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                            "docs_ccnet_buckets", "text_vocab_topk",
                            "corpus_shuffle", "temperature_mix",
                            "source_len_quantiles", "docs_curated_best",
-                           "curation_strategy_diff"}
+                           "curation_strategy_diff",
+                           "source_token_budget"}
     for name in ("dedup_groups", "docs_curated", "contamination_ngrams",
                  "text_repetition", "dataset_mix", "sequence_packing",
                  "semdedup_embeddings", "quantize_embeddings",
@@ -180,7 +181,7 @@ def test_run_project_llm_curation_pipeline(spark, sf_dir, tmp_path):
                  "docs_ccnet_buckets", "text_vocab_topk",
                  "corpus_shuffle", "temperature_mix",
                  "source_len_quantiles", "docs_curated_best",
-                 "curation_strategy_diff"):
+                 "curation_strategy_diff", "source_token_budget"):
         want = _rows(fixtures.entity_query(name)(spark, sf_dir))
         assert _rows(store.read(name)) == want, name
 

@@ -437,3 +437,22 @@ def test_grouped_quantiles_match_python_order_statistics(spark):
         q = lambda k: s[math.ceil(k * n / 4) - 1]  # noqa: E731
         want[g] = (n, s[0], q(1), q(2), q(3), s[-1])
     assert got == want
+
+
+def test_token_budget_counts_and_shares(spark):
+    """Hand-computed token accounting: shares are integer ppm floors
+    of each source's token fraction; empty/whitespace docs count 0."""
+    from datavault4dbt_spark.llm.sources import (TokenBudgetConfig,
+                                                 build_token_budget)
+
+    rows = [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f", "s2"),
+            (4, "", "s2"), (5, "  ", "s2")]
+    reg = Registry()
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING")
+    reg.spark_loaders["documents"] = lambda _s: df
+    got = {r.source: (r.n_docs, r.n_tokens, r.token_share_ppm)
+           for r in build_token_budget(
+               spark, reg, TokenBudgetConfig("tb"), DEFAULT).collect()}
+    assert got == {"s1": (2, 5, 5 * 1_000_000 // 6),
+                   "s2": (3, 1, 1_000_000 // 6)}
