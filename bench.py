@@ -62,7 +62,7 @@ def main():
     # min approximates the uncontended plan cost, which is what the
     # benchmark is meant to measure. Each trial still executes the full
     # plan (caches cleared between runs).
-    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
     # Bound the retry cost so a contended first pass cannot double an
     # already-slow run: re-trials only apply to queries whose first run
     # exceeded MIN_RETRY_SEC (sub-second queries sit on the fixed job
@@ -70,12 +70,16 @@ def main():
     # once the retry passes have spent RETRY_BUDGET_SEC.
     MIN_RETRY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_MIN", "0.75"))
     RETRY_BUDGET_SEC = float(
-        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "300"))
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "600"))
     # One extra settle trial when the first `trials` runs DISAGREE by
-    # more than 2x on a multi-second query: that spread is the neighbor-
-    # burst signature (same plan, same data), and a single extra sample
-    # usually lands near the true cost. Still budget-bounded.
-    SETTLE_SPREAD = 1.0   # (max-min)/min above this -> one extra trial
+    # more than 1.5x on a multi-second query: that spread is the
+    # neighbor-burst signature (same plan, same data), and a single
+    # extra sample usually lands near the true cost. Still budget-
+    # bounded. (Round-8 postmortem: min-of-2 with a 1.0 spread did not
+    # filter a sustained burst that inflated the driver run +35% on code
+    # that re-measured at-or-below the prior round; min-of-3 with a
+    # tighter settle trigger is the fix.)
+    SETTLE_SPREAD = 0.5   # (max-min)/min above this -> one extra trial
     names = fixtures.all_entity_names()
     timings = {}
     t0 = time.time()
