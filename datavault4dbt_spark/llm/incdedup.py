@@ -44,15 +44,12 @@ brief's training-data-pipeline surface.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
-from ..plans.incremental import ParquetStore
+from ..plans.incremental import ParquetStore, scratch_store
 from ..plans.sqlbuild import SqlBuilder
 from .dedup import MinHashLshConfig, minhash_bucket_frame, minhash_lsh_oracle
 
@@ -83,19 +80,12 @@ class IncrementalDedupConfig:
             num_perm=self.num_perm, bands=self.bands)
 
 
-# one scratch store per config name, reused across invocations (tables
-# cleared per run) and removed at exit — the replay pattern
-# (plans/replay.py _scratch_store)
-_SCRATCH_DIRS: dict = {}
+# one scratch store per config name — the shared process-lifetime
+# registry in plans/incremental.py (tables cleared per run)
 
 
 def _store(spark, name: str) -> ParquetStore:
-    root = _SCRATCH_DIRS.get(name)
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"dv4dbt_incdedup_{name}_")
-        _SCRATCH_DIRS[name] = root
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return ParquetStore(spark, root)
+    return scratch_store(spark, name, prefix="dv4dbt_incdedup")
 
 
 def _batch_expr(cfg: IncrementalDedupConfig, bound: int, dialect: str) -> str:

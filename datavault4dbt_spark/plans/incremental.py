@@ -439,3 +439,39 @@ class ParquetStore:
         df = self.read(name).filter(keep)
         self.overwrite(name, df)
         return None
+
+
+# ------------------------------------------------------- scratch stores --
+#
+# Entities that materialize through a store round-trip (the replay
+# loads, the incremental-dedup index loop, the streaming twin's driver
+# entry) need a scratch warehouse whose lifetime OUTLIVES the builder
+# call: the returned DataFrame lazily scans the store, so the directory
+# must survive until the caller's action runs. One directory per key,
+# reused across invocations (each run clears its own tables) and
+# removed at process exit — the single registry below replaces the
+# per-module `_SCRATCH_DIRS` globals that used to live in
+# plans/replay.py and llm/incdedup.py (round-8 advice #6).
+
+_SCRATCH_ROOTS: dict = {}
+
+
+def scratch_store(spark, key: str, prefix: str = "dv4dbt_scratch") -> ParquetStore:
+    """ParquetStore over a per-key temp directory with process lifetime.
+
+    The directory is created on first use, REUSED on every later call
+    with the same key (callers clear the tables they own per run —
+    repeated bench/correctness invocations must not accumulate a new
+    warehouse per call), and deleted at interpreter exit. Do NOT use
+    for data that must survive the process; that is what a real
+    warehouse root is for."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _SCRATCH_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"{prefix}_{key}_")
+        _SCRATCH_ROOTS[key] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return ParquetStore(spark, root)

@@ -26,9 +26,7 @@ branches end-to-end.
 
 from __future__ import annotations
 
-import atexit
 import shutil
-import tempfile
 from dataclasses import dataclass
 from functools import reduce
 
@@ -38,7 +36,7 @@ from ..context import GlobalConfig, DEFAULT, Registry
 from ..operators.bundle import (BundleMember, BundleConfig, bundle_oracle,
                                 _member_exprs)
 from ..plans.sqlbuild import SqlBuilder
-from .incremental import ParquetStore, hwm_probe_scope
+from .incremental import ParquetStore, hwm_probe_scope, scratch_store
 
 # The replay result rows use the same (entity, hk, hd, ldts, rsrc)
 # projection as the bundle operator — share its member shape and
@@ -58,20 +56,14 @@ class ReplayConfig:
                 f"replay {self.name}: needs >= 1 member entity")
 
 
-# One scratch warehouse per replay name, reused across invocations
-# (member tables are cleared before each run) and removed at process
-# exit — repeated bench/correctness runs must not accumulate a new
-# materialized warehouse per call.
-_SCRATCH_DIRS: dict = {}
+# One scratch warehouse per replay name — the shared process-lifetime
+# registry in plans/incremental.py (member tables are cleared before
+# each run; repeated bench/correctness runs must not accumulate a new
+# materialized warehouse per call).
 
 
 def _scratch_store(spark, name: str) -> ParquetStore:
-    root = _SCRATCH_DIRS.get(name)
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"dv4dbt_replay_{name}_")
-        _SCRATCH_DIRS[name] = root
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return ParquetStore(spark, root)
+    return scratch_store(spark, name, prefix="dv4dbt_replay")
 
 
 def _probe_keys(mcfg) -> tuple:
