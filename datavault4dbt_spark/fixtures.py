@@ -111,6 +111,9 @@ from .llm.curation import (CurationConfig, DedupReportConfig,
                            curation_oracle, dedup_report_oracle)
 from .llm.incdedup import (IncrementalDedupConfig, build_incremental_dedup,
                            incremental_dedup_oracle)
+from .streaming.incdedup import (StreamingDedupEntityConfig,
+                                 build_streaming_incremental_dedup,
+                                 streaming_incremental_dedup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             SourceCapConfig, build_canonical_selection,
                             build_stratified_split, build_source_cap,
@@ -785,6 +788,15 @@ BUNDLES = {
                      "':', coalesce(right_md5, ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'diff'"),
+        # round-9: winnowing fingerprint rides the bundle (its direct
+        # slot freed for dedup_incremental_stream — the exposed surface
+        # stays at 50); both the set size and the primary fingerprint
+        # drive the driver hash
+        BundleMember("text_fingerprint", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_fingerprints AS STRING), ':', "
+                     "fingerprint)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'fingerprint'"),
         # round-8: per-source token budget
         BundleMember("source_token_budget", "source",
                      "concat(CAST(n_docs AS STRING), ':', "
@@ -1248,6 +1260,15 @@ SOURCE_CAP = {"docs_source_capped": SourceCapConfig(
 # first-occurrence-wins SQL
 INC_DEDUP = {"dedup_incremental":
              IncrementalDedupConfig("dedup_incremental")}
+# round-9: the structured-streaming twin under the driver gate (r8
+# advice #3) — the corpus arrives as 3 mtime-pinned files, readStream ->
+# foreachBatch(process_dedup_batch) with a fresh checkpoint processes
+# them as epochs 0..2, and the persisted verdict table is hash-compared
+# against the same one-shot SQL that certifies the batch loop. Green =
+# an actual streaming execution verified externally, not just its
+# batch core.
+INC_DEDUP_STREAM = {"dedup_incremental_stream":
+                    StreamingDedupEntityConfig("dedup_incremental_stream")}
 
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
@@ -1369,6 +1390,8 @@ _FAMILIES = [
      lambda c: [c.quality_entity]),
     (INC_DEDUP, build_incremental_dedup, incremental_dedup_oracle,
      _NO_DEPS),
+    (INC_DEDUP_STREAM, build_streaming_incremental_dedup,
+     streaming_incremental_dedup_oracle, _NO_DEPS),
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),

@@ -36,9 +36,13 @@ from pyspark.sql import DataFrame
 
 from pyspark.sql import functions as F
 
+from ..context import GlobalConfig, DEFAULT, Registry
 from ..llm.dedup import MinHashLshConfig, minhash_bucket_frame
-from ..llm.incdedup import append_batch_index, process_dedup_batch
-from ..plans.incremental import ParquetStore
+from ..llm.incdedup import (IncrementalDedupConfig, append_batch_index,
+                            incremental_dedup_oracle, process_dedup_batch,
+                            _batch_expr)
+from ..plans.incremental import ParquetStore, scratch_store
+from ..plans.sqlbuild import SqlBuilder
 
 
 @dataclass(frozen=True)
@@ -115,3 +119,121 @@ def start_dedup_stream(spark, cfg: StreamingDedupConfig,
             .foreachBatch(micro_batch_dedup(cfg, store))
             .trigger(availableNow=True)
             .start())
+
+
+# ----------------------------------------------- driver-gated entity --
+#
+# The entity below runs the REAL structured-streaming path end-to-end
+# under the driver's oracle gate (round-8 advice #3): the corpus is
+# staged as n_batches arriving files, the file stream delivers them as
+# micro-batch epochs 0..n-1 through the foreachBatch core above, and
+# the persisted verdict table is returned for the hash compare against
+# the ONE-SHOT first-occurrence-wins SQL (llm/incdedup.py's oracle).
+# What this certifies that the pytest twin tests cannot: a green row in
+# CORRECTNESS_r{N}.json produced by an actual readStream ->
+# foreachBatch -> checkpointed availableNow execution.
+
+@dataclass(frozen=True)
+class StreamingDedupEntityConfig:
+    """Same knobs as IncrementalDedupConfig — the oracle IS that
+    config's oracle (same batch split rule, same one-shot semantics),
+    so the two entities certify the shared per-batch core through both
+    execution engines (batch loop / structured streaming)."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    shingle_n: int = 3
+    num_perm: int = 16
+    bands: int = 4
+    n_batches: int = 3
+
+    def as_batch(self) -> IncrementalDedupConfig:
+        return IncrementalDedupConfig(
+            self.name, source=self.source, id_col=self.id_col,
+            text_col=self.text_col, shingle_n=self.shingle_n,
+            num_perm=self.num_perm, bands=self.bands,
+            n_batches=self.n_batches)
+
+
+def _stage_arrival_files(spark, docs: DataFrame,
+                         cfg: StreamingDedupEntityConfig, bound: int,
+                         src_dir: str) -> None:
+    """Write the corpus as n_batches single-file parquet arrivals with
+    strictly increasing mtimes, so the file stream (ordered by mtime,
+    then path — batch_<k> names also sort lexicographically) delivers
+    them as epochs 0..n-1. Each batch is written DISTRIBUTED to a
+    sibling dir, then its single output file is renamed into the
+    watched dir — the driver never holds row data. Staging exists only
+    because the driver entity must simulate arrival; a production
+    stream watches a directory someone else fills."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    batch_of = F.expr(_batch_expr(cfg.as_batch(), bound, "spark"))
+    base = time.time()
+    for k in range(cfg.n_batches):
+        tmp = f"{src_dir}.__stage{k}__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (docs.select(cfg.id_col, cfg.text_col).filter(batch_of == k)
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = glob.glob(f"{tmp}/part-*.parquet")
+        if len(part) != 1:
+            raise RuntimeError(
+                f"{cfg.name}: expected one staged file, got {part}")
+        dst = f"{src_dir}/batch_{k}.parquet"
+        os.replace(part[0], dst)
+        # pin arrival order explicitly — equal mtimes would still order
+        # correctly by path, but the contract should not rest on names
+        os.utime(dst, (base + 100 * k, base + 100 * k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def build_streaming_incremental_dedup(spark, reg: Registry,
+                                      cfg: StreamingDedupEntityConfig,
+                                      g: GlobalConfig = DEFAULT
+                                      ) -> DataFrame:
+    """Stage -> stream -> return the persisted verdicts. Scratch dirs
+    (arrival files, checkpoint, store) live in the shared process-
+    lifetime registry and are cleared per run, so repeated driver/bench
+    invocations re-execute the full streaming load instead of replaying
+    a stale checkpoint."""
+    import os
+    import shutil
+
+    docs = reg.load(spark, cfg.source)
+    max_id = docs.agg(F.max(cfg.id_col)).collect()[0][0]
+    if max_id is None:
+        return docs.selectExpr(cfg.id_col, "CAST(true AS BOOLEAN) AS is_kept",
+                               "CAST(0 AS INT) AS batch_id")
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamdedup")
+    src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
+    for p in (src_dir, ckpt_dir, store.path("result"), store.path("index")):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    _stage_arrival_files(spark, docs, cfg, int(max_id) + 1, src_dir)
+    scfg = StreamingDedupConfig(
+        source_dir=src_dir, id_col=cfg.id_col, text_col=cfg.text_col,
+        shingle_n=cfg.shingle_n, num_perm=cfg.num_perm, bands=cfg.bands,
+        max_files_per_trigger=1)
+    schema = docs.select(cfg.id_col, cfg.text_col).schema
+    q = start_dedup_stream(spark, scfg, store, schema, ckpt_dir)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return store.read("result")
+
+
+def streaming_incremental_dedup_oracle(b: SqlBuilder, reg: Registry,
+                                       cfg: StreamingDedupEntityConfig,
+                                       g: GlobalConfig = DEFAULT) -> str:
+    """Epoch k receives exactly id-range batch k (one file per trigger,
+    mtime-pinned arrival order, fresh checkpoint), so the streamed
+    verdict table equals the batch loop's — one oracle serves both."""
+    return incremental_dedup_oracle(b, reg, cfg.as_batch(), g)

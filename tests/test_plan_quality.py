@@ -602,6 +602,13 @@ _BUNDLE_CLOSURE = frozenset([
     # band ±20s on this host). Accepted: the official pair holds
     # ~1.3x with wide margin to the 2x gate.
     "curation_strategy_diff",
+    # round-9 deliberate widening: winnowing fingerprint moved from its
+    # direct slot (freed for dedup_incremental_stream) — posexplode +
+    # one doc_id window + one groupBy, 1.05s standalone in the r8
+    # driver bench (a contaminated run; idle is lower). The direct
+    # line leaves the bench as this member joins the bundle, so the
+    # total is a wash.
+    "text_fingerprint",
 ])
 
 

@@ -13,9 +13,10 @@ from datavault4dbt_spark.llm.dedup import minhash_bucket_frame
 from datavault4dbt_spark.llm.incdedup import (IncrementalDedupConfig,
                                               build_incremental_dedup)
 from datavault4dbt_spark.plans.incremental import ParquetStore
-from datavault4dbt_spark.streaming.incdedup import (StreamingDedupConfig,
-                                                    micro_batch_dedup,
-                                                    start_dedup_stream)
+from datavault4dbt_spark.streaming.incdedup import (
+    StreamingDedupConfig, StreamingDedupEntityConfig,
+    build_streaming_incremental_dedup, micro_batch_dedup,
+    start_dedup_stream)
 
 UNIQUE = [
     "alpha beta gamma delta epsilon zeta",
@@ -124,3 +125,27 @@ def test_partial_failure_repairs_index_only(spark, tmp_path,
             .drop("batch_id").collect()))
     assert got_idx == want_idx
     assert sorted(map(tuple, store.read("result").collect())) == before
+
+
+def test_entity_matches_batch_loop(spark, tmp_path, doc_id_batches):
+    """The driver-gated entity (stage -> readStream -> foreachBatch ->
+    persisted verdicts) must equal the batch replay loop on the same
+    corpus, and a SECOND invocation (scratch reuse + fresh checkpoint,
+    the driver/bench repeat pattern) must reproduce it."""
+    fixtures.ensure_session_conf(spark)
+    reg = _batch_registry(spark, doc_id_batches)
+    cfg = StreamingDedupEntityConfig("t_stream_entity", source="docs",
+                                     n_batches=3)
+    got = {(r.doc_id, r.batch_id, r.is_kept)
+           for r in build_streaming_incremental_dedup(spark, reg,
+                                                      cfg).collect()}
+    want = {(r.doc_id, r.batch_id, r.is_kept)
+            for r in build_incremental_dedup(
+                spark, reg,
+                IncrementalDedupConfig("t_b", source="docs",
+                                       n_batches=3)).collect()}
+    assert got == want and len(got) == 9
+    again = {(r.doc_id, r.batch_id, r.is_kept)
+             for r in build_streaming_incremental_dedup(spark, reg,
+                                                        cfg).collect()}
+    assert again == want
