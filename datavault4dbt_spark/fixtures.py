@@ -73,7 +73,10 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            packing_manifest_oracle, CorpusShuffleConfig,
                            build_corpus_shuffle, corpus_shuffle_oracle,
                            TemperatureMixConfig, build_temperature_mix,
-                           temperature_mix_oracle)
+                           temperature_mix_oracle,
+                           TemperatureResampleConfig,
+                           build_temperature_resample,
+                           temperature_resample_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
@@ -764,6 +767,15 @@ BUNDLES = {
                      "concat(lang, ':', CAST(rate_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'temperature_mix'"),
+        # round-9: repeat-expansion resampler — the per-copy grain
+        # (doc, repeat_idx) is the hk, so the exact copy COUNT per
+        # document drives the driver hash along with the stratum rate
+        BundleMember("temperature_resample",
+                     "concat(CAST(doc_id AS STRING), ':', "
+                     "CAST(repeat_idx AS STRING))",
+                     "concat(lang, ':', CAST(rate_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'temperature_resample'"),
         # round-8: first-touch funnel — each step's first-completion
         # timestamp and the depth fold in (timestamps render
         # identically: the registry normalizes events.ts to micros)
@@ -1039,6 +1051,17 @@ CORPUS_SHUFFLE = {"corpus_shuffle": CorpusShuffleConfig("corpus_shuffle")}
 TEMPERATURE_MIX = {"temperature_mix": TemperatureMixConfig(
     "temperature_mix", strata_col="lang", alpha="0.5",
     budget_ppm=800_000)}
+# round-9: the up-sampling resampler (r8 advice #2) — full budget +
+# alpha 0.5 over the skewed lang column puts every tail language's
+# rate above 1e6 ppm (real repeats: floor copies + fractional draw)
+# while en stays below it (pure sampling), so the whole-copy explode,
+# the fractional branch and the downsample branch ALL carry rows under
+# the driver hash; max_repeats=4 is the "max epochs" cap real recipes
+# use (and the fixture's rates sit below it, so the cap never masks
+# the arithmetic — the cap branch itself is unit-pinned)
+TEMPERATURE_RESAMPLE = {"temperature_resample": TemperatureResampleConfig(
+    "temperature_resample", strata_col="lang", alpha="0.5",
+    budget_ppm=1_000_000, max_repeats=4)}
 PACKING = {"sequence_packing": SequencePackingConfig("sequence_packing")}
 PACK_MANIFEST = {"packing_manifest":
                  PackingManifestConfig("packing_manifest")}
@@ -1354,6 +1377,8 @@ _FAMILIES = [
      _NO_DEPS),
     (TEMPERATURE_MIX, build_temperature_mix, temperature_mix_oracle,
      _NO_DEPS),
+    (TEMPERATURE_RESAMPLE, build_temperature_resample,
+     temperature_resample_oracle, _NO_DEPS),
     (PACKING, build_sequence_packing, sequence_packing_oracle, _NO_DEPS),
     (SEMDEDUP, build_semdedup, semdedup_oracle, _NO_DEPS),
     (QUANTIZE, build_scalar_quantize, scalar_quantize_oracle, _NO_DEPS),

@@ -365,8 +365,10 @@ class TemperatureMixConfig:
     follow ``p_s^alpha`` (normalized) instead of the natural ``p_s`` —
     the standard fix for high-resource strata drowning out the tail.
     ``budget_ppm`` is the overall keep fraction; a stratum whose
-    boosted rate exceeds 1 is capped (documented deviation: true
-    alpha-sampling would up-REPEAT it; a sampling gate can only keep).
+    boosted rate exceeds 1 is capped — a sampling gate can only keep.
+    When the boosted strata must genuinely GAIN mass, use the
+    repeat-expansion twin ``TemperatureResampleConfig`` below, which
+    emits full copies instead of capping.
 
     Fixed-point contract: stratum weights are floored to parts-per-1e9
     immediately after the sqrt chain, so normalization, the rate
@@ -420,16 +422,22 @@ def _u16(id_col: str, salt: str) -> str:
     return u16
 
 
-def _rate_exprs(cfg: TemperatureMixConfig) -> tuple:
+def _rate_exprs(cfg) -> tuple:
     """(w_ppb expr over (n_s, n_total), rate_ppm expr over
-    (w_ppb, z, n_s, n_total)) — valid verbatim in both dialects."""
+    (w_ppb, z, n_s, n_total)) — valid verbatim in both dialects.
+
+    The rate cap is ``max_repeats * 1e6`` ppm: 1e6 for the sampling
+    gate (TemperatureMixConfig has no max_repeats — a gate can only
+    keep), higher for the repeat-expansion resampler, whose rate > 1e6
+    means "emit full copies"."""
+    cap = int(getattr(cfg, "max_repeats", 1)) * 1_000_000
     p = f"(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE))"
     w = _ALPHA_EXPRS[cfg.alpha].format(p=p)
     w_ppb = (f"CAST(floor({w} * 1000000000) AS BIGINT)")
     # q_ppm = normalized weight; rate = budget * q / p, all integer:
     # ((q_ppm * budget_ppm) div 1e6) <= 1e6, * n_total stays in BIGINT
     # for corpora under ~9e12 tiles of the ppm grid
-    rate = (f"least(CAST(1000000 AS BIGINT), "
+    rate = (f"least(CAST({cap} AS BIGINT), "
             f"((((w_ppb * 1000000) {{idiv}} z) * {cfg.budget_ppm}) "
             f"{{idiv}} 1000000) * n_total {{idiv}} n_s)")
     return w_ppb, rate
@@ -508,3 +516,121 @@ def temperature_mix_oracle(b: SqlBuilder, reg: Registry,
         f"ON d.{cfg.strata_col} = r.{cfg.strata_col} "
         f"WHERE ({u}) * 1000000 < "
         f"coalesce(r.rate_ppm, {cfg.unknown_rate_ppm}) * 65536")
+
+
+# ------------------------------------------------ temperature_resample --
+
+@dataclass(frozen=True)
+class TemperatureResampleConfig:
+    """Temperature rebalancing WITH up-sampling (the real XLM-R / mT5
+    alpha sampler): a stratum whose boosted rate exceeds 1 is not
+    capped — its documents are REPEATED. Each document emits
+    ``floor(rate)`` full copies plus one more with probability
+    ``frac(rate)`` (the salted-md5 draw), so the expected stratum sizes
+    follow ``p_s^alpha`` exactly and low-resource strata genuinely gain
+    epochs — the operator a multilingual 100 TB mix needs where the
+    sampling gate (TemperatureMixConfig) can only keep (its docstring
+    documents that deviation; this closes it, round-8 advice #2).
+
+    Output grain: one row per EMITTED COPY — (id, stratum, rate_ppm,
+    repeat_idx 1..copies). Documents whose stratum rate rounds below
+    their draw emit nothing. ``max_repeats`` bounds the full copies per
+    document (the "max epochs per source" cap real recipes carry —
+    Muennighoff 2023 finds ~4 repeat epochs retain most value), and
+    caps the explode fan-out so no scan row can amplify unboundedly.
+
+    Fixed-point contract: same ppm/ppb integer pipeline as the gate
+    (shared ``_rate_exprs``), so both engines agree bit-for-bit.
+
+    Scale design (100 TB): rates come from the same strata-sized
+    map-side-combined census + broadcast as the gate; the copy count is
+    scan-stage integer arithmetic; the explode multiplies rows AT THE
+    SCAN with bounded fan-out (<= max_repeats + 1) and no shuffle —
+    the output streams straight to the shard writer."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    strata_col: str = "source"
+    alpha: str = "0.5"
+    budget_ppm: int = 1_000_000
+    salt: str = "tempr"
+    max_repeats: int = 8
+
+    def __post_init__(self):
+        if self.alpha not in _ALPHA_EXPRS:
+            raise ValueError(
+                f"{self.name}: alpha must be one of "
+                f"{sorted(_ALPHA_EXPRS)} (exactly-computable surface)")
+        if not 0 <= self.budget_ppm <= 1_000_000:
+            raise ValueError(f"{self.name}: budget_ppm must be 0..1e6")
+        if self.max_repeats < 1:
+            raise ValueError(f"{self.name}: max_repeats must be >= 1")
+        if "'" in self.salt or "\\" in self.salt:
+            raise ValueError(f"{self.name}: salt must not contain "
+                             f"quotes/backslashes (SQL literal)")
+
+
+def _copies_expr(cfg: TemperatureResampleConfig, id_col: str,
+                 idiv: str) -> str:
+    """Emitted-copy count over a joined ``rate_ppm`` column: the whole
+    part plus a fractional salted draw — pure BIGINT, identical text in
+    both dialects (modulo the integer-division spelling)."""
+    u = _u16(id_col, cfg.salt)
+    return (f"CAST((rate_ppm{idiv}1000000) + "
+            f"(CASE WHEN ({u}) * 1000000 < (rate_ppm % 1000000) * 65536 "
+            f"THEN 1 ELSE 0 END) AS BIGINT)")
+
+
+def build_temperature_resample(spark, reg: Registry,
+                               cfg: TemperatureResampleConfig,
+                               g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    rates = temperature_rates_frame(df, cfg)
+    # inner join: the rates derive from the same corpus being expanded,
+    # so every stratum (incl. NULL-free by groupBy semantics) has a row;
+    # a NULL stratum draws no rate and emits nothing in BOTH engines
+    # (equality join drops NULL keys either way)
+    t = (df.join(F.broadcast(rates), [cfg.strata_col], "inner")
+         .selectExpr(cfg.id_col, cfg.strata_col, "rate_ppm",
+                     f"{_copies_expr(cfg, cfg.id_col, ' div ')} AS copies"))
+    return (t.filter("copies >= 1")
+            .selectExpr(cfg.id_col, cfg.strata_col, "rate_ppm",
+                        "explode(sequence(CAST(1 AS BIGINT), copies)) "
+                        "AS repeat_idx"))
+
+
+def temperature_resample_oracle(b: SqlBuilder, reg: Registry,
+                                cfg: TemperatureResampleConfig,
+                                g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    w_ppb, rate = _rate_exprs(cfg)
+    stats = b.cte(f"{cfg.name}__s",
+                  f"SELECT {cfg.strata_col}, count(*) AS n_s "
+                  f"FROM {src} GROUP BY {cfg.strata_col}")
+    tot = b.cte(f"{cfg.name}__t",
+                f"SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM {stats}")
+    w = b.cte(f"{cfg.name}__w",
+              f"SELECT {cfg.strata_col}, n_s, n_total, {w_ppb} AS w_ppb "
+              f"FROM {stats}, {tot}")
+    z = b.cte(f"{cfg.name}__z",
+              f"SELECT CAST(sum(w_ppb) AS BIGINT) AS z FROM {w}")
+    rates = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT {cfg.strata_col}, "
+        f"{rate.format(idiv=' // ')} AS rate_ppm FROM {w}, {z}")
+    joined = b.cte(
+        f"{cfg.name}__j",
+        f"SELECT d.{cfg.id_col}, d.{cfg.strata_col}, r.rate_ppm, "
+        f"{_copies_expr(cfg, f'd.{cfg.id_col}', ' // ')} AS copies "
+        f"FROM {src} d JOIN {rates} r "
+        f"ON d.{cfg.strata_col} = r.{cfg.strata_col}")
+    # generate_series(1, copies) is the explode(sequence(...)) twin —
+    # empty for copies = 0, so the filter only mirrors the Spark plan
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, {cfg.strata_col}, rate_ppm, "
+        f"CAST(u.repeat_idx AS BIGINT) AS repeat_idx "
+        f"FROM {joined}, "
+        f"UNNEST(generate_series(CAST(1 AS BIGINT), copies)) "
+        f"AS u(repeat_idx) WHERE copies >= 1")

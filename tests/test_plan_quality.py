@@ -463,6 +463,22 @@ def test_temperature_mix_keeps_corpus_shuffle_free(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
 
 
+def test_temperature_resample_explodes_at_the_scan(spark, sf_dir):
+    """Repeat-expansion resampler: same strata-census + broadcast
+    rate-join shape as the gate (one BHJ, no sort-merge, 1-row riders
+    only), plus exactly ONE bounded Generate (the copy explode) and no
+    document-side exchange — copies multiply at the scan and stream
+    out."""
+    fixtures.ensure_session_conf(spark)
+    plan = _plan(fixtures.entity_query("temperature_resample")(
+        spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert plan.count("Generate") == 1, plan
+
+
 def test_corpus_shuffle_is_one_exchange_one_window(spark, sf_dir):
     """Corpus shuffle: the only shuffle IS the shuffle — one hash
     exchange on the shard plus the per-shard rank window; the 48-bit
@@ -602,6 +618,10 @@ _BUNDLE_CLOSURE = frozenset([
     # band ±20s on this host). Accepted: the official pair holds
     # ~1.3x with wide margin to the 2x gate.
     "curation_strategy_diff",
+    # round-9 deliberate widening: repeat-expansion resampler — the
+    # gate's census/broadcast shape + one bounded explode; 0.62s warm
+    # standalone at sf0.1 (min-of-4, idle; measured before adding)
+    "temperature_resample",
     # round-9 deliberate widening: winnowing fingerprint moved from its
     # direct slot (freed for dedup_incremental_stream) — posexplode +
     # one doc_id window + one groupBy, 1.05s standalone in the r8

@@ -66,6 +66,52 @@ def test_fuzz_mix_equals_python_md5_decision(spark, rows):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(rows=_docs,
+       budget_ppm=st.integers(min_value=0, max_value=1_000_000),
+       max_repeats=st.integers(min_value=1, max_value=3))
+def test_fuzz_resample_equals_python_fixed_point_replay(spark, rows,
+                                                        budget_ppm,
+                                                        max_repeats):
+    """Random corpora/budgets/caps: the repeat-expansion output (exact
+    copy multiset per document) must equal a pure-Python replay of the
+    ppb/ppm integer pipeline — floor(sqrt(p)*1e9) weights, integer
+    normalization, the max_repeats cap, the md5 fractional draw."""
+    import math
+
+    from datavault4dbt_spark.llm.sampling import (
+        TemperatureResampleConfig, build_temperature_resample)
+
+    cfg = TemperatureResampleConfig(
+        "tr", strata_col="lang", budget_ppm=budget_ppm,
+        max_repeats=max_repeats)
+    got = sorted((r["doc_id"], r["repeat_idx"], r["rate_ppm"])
+                 for r in build_temperature_resample(
+                     spark, _reg(spark, rows), cfg).collect())
+
+    n_s: dict = {}
+    for doc_id, _n in rows:
+        lang = "en" if doc_id % 2 else "de"
+        n_s[lang] = n_s.get(lang, 0) + 1
+    n_total = sum(n_s.values())
+    w_ppb = {s: math.floor(math.sqrt(n / n_total) * 1_000_000_000)
+             for s, n in n_s.items()}
+    z = sum(w_ppb.values())
+    rate = {s: min(max_repeats * 1_000_000,
+                   ((((w_ppb[s] * 1_000_000) // z) * budget_ppm)
+                    // 1_000_000) * n_total // n_s[s])
+            for s in n_s}
+    want = []
+    for doc_id, _n in rows:
+        r = rate["en" if doc_id % 2 else "de"]
+        h = hashlib.md5(f"{cfg.salt}:{doc_id}".encode()).hexdigest()
+        u16 = int(h[:4], 16)
+        copies = r // 1_000_000 + (1 if u16 * 1_000_000
+                                   < (r % 1_000_000) * 65536 else 0)
+        want += [(doc_id, k, r) for k in range(1, copies + 1)]
+    assert got == sorted(want)
+
+
 # chunk grammar reference: pure-Python replay of the window rule
 def _py_chunks(text, chunk, stride):
     if text is None:
