@@ -103,6 +103,9 @@ from .llm.boilerplate import (BoilerplateConfig,
                               build_boilerplate_removal,
                               boilerplate_removal_oracle)
 from .llm.dsir import DsirConfig, build_dsir_score, dsir_score_oracle
+from .llm.classifier import (QualityClassifierConfig,
+                             build_quality_classifier,
+                             quality_classifier_oracle)
 from .llm.profile import (ProfileConfig, build_dataset_profile,
                           dataset_profile_oracle,
                           GroupedQuantilesConfig, build_grouped_quantiles,
@@ -710,6 +713,15 @@ BUNDLES = {
                      "coalesce(CAST(selected AS STRING), ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'dsir'"),
+        # round-9: learned quality classifier — token count, integer
+        # score and the selection verdict all drive the driver hash
+        # (the dsir_score member shape)
+        BundleMember("quality_classifier", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_tokens AS STRING), ':', "
+                     "coalesce(CAST(score_ppm AS STRING), ''), ':', "
+                     "coalesce(CAST(selected AS STRING), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'quality_clf'"),
         # round-8: Gopher rule table — every integer measure and every
         # boolean verdict folds into the hd (booleans CAST to the same
         # 'true'/'false' rendering in both engines)
@@ -1131,6 +1143,14 @@ GOPHER = {"gopher_rules": GopherRulesConfig("gopher_rules")}
 # threshold sits between the target slice's score mode (~110k ppm at
 # sf0.01) and the raw complement's (~79k), so the flag genuinely splits
 DSIR = {"dsir_score": DsirConfig("dsir_score", threshold_ppm=95_000)}
+# round-9: FineWeb-edu-shape learned quality classifier (r8 advice #4)
+# — Gopher-keep teacher labels on the even-id half (the LM's train
+# split pattern), 512 hashed features, scored over every doc. The
+# word-soup corpus separates weakly (observed sf0.01 score band
+# 673k..717k ppm), so the threshold sits at the band's median — the
+# selection flag genuinely splits under the driver hash
+QUALITY_CLF = {"quality_classifier": QualityClassifierConfig(
+    "quality_classifier", threshold_ppm=702_000)}
 # data-card profile of the documents table (exact counts, one scan)
 PROFILE = {"dataset_profile": ProfileConfig("dataset_profile")}
 # round-8: exact per-source length quartiles (type-1 order statistics
@@ -1403,6 +1423,8 @@ _FAMILIES = [
     (BOILERPLATE, build_boilerplate_removal, boilerplate_removal_oracle,
      _NO_DEPS),
     (DSIR, build_dsir_score, dsir_score_oracle, _NO_DEPS),
+    (QUALITY_CLF, build_quality_classifier, quality_classifier_oracle,
+     _NO_DEPS),
     (PROFILE, build_dataset_profile, dataset_profile_oracle, _NO_DEPS),
     (QUANTILES, build_grouped_quantiles, grouped_quantiles_oracle,
      _NO_DEPS),

@@ -434,6 +434,20 @@ def test_dsir_single_pass_census(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_quality_classifier_census_is_bounded_and_broadcast(spark, sf_dir):
+    """Learned quality classifier: exactly two exchanges — the
+    map-side-combined feature census (onto n_features keys) and the
+    per-doc reduce; the weight table and the final doc join-back are
+    broadcast; never a cartesian or a corpus-vs-corpus sort-merge
+    (the DSIR plan contract, llm/classifier.py)."""
+    fixtures.ensure_session_conf(spark)
+    plan = _plan(fixtures.entity_query("quality_classifier")(
+        spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_ccnet_windows_run_over_histogram_not_corpus(spark, sf_dir):
     """CCNet buckets: the only windows in the plan are the cumulative
     count over the BOUNDED (lang, score) histogram — two Window nodes
@@ -618,6 +632,11 @@ _BUNDLE_CLOSURE = frozenset([
     # band ±20s on this host). Accepted: the official pair holds
     # ~1.3x with wide margin to the 2x gate.
     "curation_strategy_diff",
+    # round-9 deliberate widening: learned quality classifier — two
+    # exchanges (bounded feature census + per-doc reduce), broadcast
+    # weights; 1.13s warm standalone at sf0.1 (min-of-4, idle;
+    # measured before adding)
+    "quality_classifier",
     # round-9 deliberate widening: repeat-expansion resampler — the
     # gate's census/broadcast shape + one bounded explode; 0.62s warm
     # standalone at sf0.1 (min-of-4, idle; measured before adding)
