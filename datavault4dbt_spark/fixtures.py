@@ -120,6 +120,8 @@ from .llm.incdedup import (IncrementalDedupConfig, build_incremental_dedup,
 from .streaming.incdedup import (StreamingDedupEntityConfig,
                                  build_streaming_incremental_dedup,
                                  streaming_incremental_dedup_oracle)
+from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
+                                    pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             SourceCapConfig, build_canonical_selection,
                             build_stratified_split, build_source_cap,
@@ -812,6 +814,21 @@ BUNDLES = {
                      "':', coalesce(right_md5, ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'diff'"),
+        # round-9: nation PIT + its clean_up_pit survivors — the fresh
+        # PIT's full row set and the post-DELETE row set both fold
+        # (dimension_key is the row grain; every satellite pointer and
+        # both timestamps drive the hash), so the hook's DELETE
+        # semantics are externally certified (r8 advice #5)
+        BundleMember("pit_nation", "dimension_key",
+                     "concat(hk_nation_h, ':', CAST(sdts AS STRING), "
+                     "':', hk_sat_nation_s, ':', "
+                     "CAST(ldts_sat_nation_s AS STRING))",
+                     ldts="sdts", rsrc="'pit_nation'"),
+        BundleMember("pit_nation_cleaned", "dimension_key",
+                     "concat(hk_nation_h, ':', CAST(sdts AS STRING), "
+                     "':', hk_sat_nation_s, ':', "
+                     "CAST(ldts_sat_nation_s AS STRING))",
+                     ldts="sdts", rsrc="'pit_cleaned'"),
         # round-9: winnowing fingerprint rides the bundle (its direct
         # slot freed for dedup_incremental_stream — the exposed surface
         # stays at 50); both the set size and the primary fingerprint
@@ -943,7 +960,27 @@ PITS = {
         ("sat_customer_n0_s", "sat_customer_p0_s"), "control_snap_v1",
         "dimension_key", snapshot_trigger_column="is_active",
         refer_to_ghost_records=True),
+    # round-9: a nation-grain PIT whose subtree (hub_nation,
+    # sat_nation_s, control_snap_v1) the bundle already builds — the
+    # substrate for the driver-gated clean_up_pit certification below.
+    # Rides the bundle (not an exposed slot).
+    "pit_nation": PitConfig(
+        "pit_nation", "hub_nation", "hk_nation_h",
+        ("sat_nation_s",), "control_snap_v1",
+        "dimension_key", snapshot_trigger_column="is_active",
+        refer_to_ghost_records=True),
 }
+
+# round-9: clean_up_pit under the driver gate (r8 advice #5) — the PIT
+# is materialized sdts-partitioned, the snapshot table thinned to
+# weekly actives, the hook DELETEs through the metadata-only
+# partition-drop fast path, and the SURVIVORS are hash-compared with
+# the oracle's declarative `sdts IN (thinned actives)`. At sf0.01 the
+# 31-day spine keeps 5 weekly actives, so ~84% of rows genuinely
+# delete. clean_up_bridge shares the same _clean_up_by_snapshot core.
+PIT_CLEANUPS = {"pit_nation_cleaned": PitCleanupConfig(
+    "pit_nation_cleaned", pit_entity="pit_nation",
+    snapshot_relation="control_snap_v1")}
 
 # Bridge: the link-traversal snapshot structure the reference lacks
 # (operators/bridge.py docstring). The single-leg customer->nation
@@ -1354,6 +1391,8 @@ _FAMILIES = [
      lambda c: [c.snap_v0]),
     (PITS, build_pit, pit_oracle,
      lambda c: [c.tracked_entity, c.snapshot_relation] + list(c.sat_names)),
+    (PIT_CLEANUPS, build_pit_cleanup, pit_cleanup_oracle,
+     lambda c: [c.pit_entity, c.snapshot_relation]),
     (BRIDGES, build_bridge, bridge_oracle,
      lambda c: [c.base_entity, c.snapshot_relation]
                + [leg.link_entity for leg in c.legs]

@@ -198,6 +198,65 @@ def _ts_partition_str(v) -> str:
     return s
 
 
+# ------------------------------------------- driver-gated cleanup entity --
+
+@dataclass(frozen=True)
+class PitCleanupConfig:
+    """Run the clean_up_pit hook END-TO-END under the driver's oracle
+    gate (round-8 advice #5): materialize a PIT hive-partitioned on
+    sdts, thin the snapshot control table with ``keep_predicate``,
+    DELETE through the hook's metadata-only partition-drop fast path,
+    and emit the SURVIVING rows — which the oracle computes
+    declaratively (``pit WHERE sdts IN (thinned actives)``,
+    reference macros/hooks/clean_up_pits.sql:27-49). A green hash
+    certifies exactly which rows the DELETE kept; clean_up_bridge
+    funnels through the same ``_clean_up_by_snapshot`` core, so the
+    certification covers both hooks' shared semantics."""
+
+    name: str
+    pit_entity: str
+    snapshot_relation: str
+    # portable SQL predicate over the snapshot columns: which ACTIVE
+    # snapshots survive the thinning (the log_logic retention shape)
+    keep_predicate: str = "is_active AND is_beginning_of_week"
+    trigger_column: str = "is_active"
+
+
+def build_pit_cleanup(spark, reg, cfg: PitCleanupConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    import shutil
+
+    from ..plans.incremental import scratch_store
+
+    pit = reg.load(spark, cfg.pit_entity)
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_pitclean")
+    shutil.rmtree(store.path("pit"), ignore_errors=True)
+    # sdts-partitioned layout: the DELETE below exercises the
+    # metadata-only whole-partition drop — the 100 TB path
+    store.append("pit", pit, partition_by=(g.sdts_alias,))
+    thinned = (reg.load(spark, cfg.snapshot_relation)
+               .withColumn(cfg.trigger_column, F.expr(cfg.keep_predicate)))
+    clean_up_pit(store, "pit", thinned, g,
+                 snapshot_trigger_column=cfg.trigger_column)
+    # canonical projection: the hive read appends the partition column
+    # last and re-infers its type — restore the PIT's column order and
+    # the exact timestamp type
+    return store.read("pit").selectExpr(
+        *[c if c != g.sdts_alias
+          else f"CAST({g.sdts_alias} AS TIMESTAMP) AS {g.sdts_alias}"
+          for c in pit.columns])
+
+
+def pit_cleanup_oracle(b, reg, cfg: PitCleanupConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    pit = reg.duckdb_relation(cfg.pit_entity)
+    snap = reg.duckdb_relation(cfg.snapshot_relation)
+    return b.cte(
+        cfg.name,
+        f"SELECT * FROM {pit} WHERE {g.sdts_alias} IN "
+        f"(SELECT {g.sdts_alias} FROM {snap} WHERE {cfg.keep_predicate})")
+
+
 # ------------------------------------------------------ YAML rehash-all --
 
 _DEPRECATED = "_deprecated"

@@ -632,6 +632,13 @@ _BUNDLE_CLOSURE = frozenset([
     # band ±20s on this host). Accepted: the official pair holds
     # ~1.3x with wide margin to the 2x gate.
     "curation_strategy_diff",
+    # round-9 deliberate widening: nation PIT + clean_up_pit survivors
+    # — the PIT's subtree (hub_nation, sat_nation_s, control_snap_v1)
+    # was already in this closure; the 27-key PIT itself plus the
+    # store round-trip + DELETE cost 1.5s standalone at sf0.1
+    # (min-of-4, idle; measured before adding)
+    "pit_nation",
+    "pit_nation_cleaned",
     # round-9 deliberate widening: learned quality classifier — two
     # exchanges (bounded feature census + per-doc reduce), broadcast
     # weights; 1.13s warm standalone at sf0.1 (min-of-4, idle;
