@@ -142,6 +142,8 @@ from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
                                   interval_join_oracle)
 from .operators.checks import (Check, VaultChecksConfig,
                                build_vault_checks, vault_checks_oracle)
+from .operators.rollup import (GroupingSetsConfig, build_grouping_sets,
+                               grouping_sets_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -864,6 +866,29 @@ BUNDLES = {
                      "':', coalesce(CAST(CAST(round(asof_value * 100) "
                      "AS BIGINT) AS STRING), ''))",
                      ldts="ts", rsrc="'asof_tol'"),
+        # round-9: grouping-sets censuses — the GROUPING() flags fold
+        # into the hk (subtotal identity: a rolled-up column vs a
+        # genuine NULL group value are different rows), counts and
+        # exact-cents sums into the hd
+        BundleMember("lineitem_rollup_census",
+                     "concat(coalesce(l_returnflag, ''), ':', "
+                     "coalesce(l_linestatus, ''), ':', "
+                     "CAST(g_l_returnflag AS STRING), ':', "
+                     "CAST(g_l_linestatus AS STRING))",
+                     "concat(CAST(n_rows AS STRING), ':', "
+                     "CAST(sum_qty_cents AS STRING), ':', "
+                     "CAST(sum_price_cents AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'rollup_census'"),
+        BundleMember("docs_cube_census",
+                     "concat(coalesce(lang, ''), ':', "
+                     "coalesce(source, ''), ':', "
+                     "CAST(g_lang AS STRING), ':', "
+                     "CAST(g_source AS STRING))",
+                     "concat(CAST(n_rows AS STRING), ':', "
+                     "CAST(sum_chars_cents AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'cube_census'"),
     )),
 }
 
@@ -1350,6 +1375,23 @@ INC_DEDUP = {"dedup_incremental":
 INC_DEDUP_STREAM = {"dedup_incremental_stream":
                     StreamingDedupEntityConfig("dedup_incremental_stream")}
 
+# round-9: SQL-standard grouping-sets census (operators/rollup.py) —
+# ROLLUP over lineitem's (returnflag, linestatus) exercises subtotal +
+# grand-total rows (10 grouping combinations at any sf), CUBE over
+# documents' (lang, source) exercises the 2^n fan-out incl. the
+# source-only marginals; GROUPING() flags fold into the bundle hk so
+# subtotal identity (not just value) is driver-pinned
+ROLLUPS = {
+    "lineitem_rollup_census": GroupingSetsConfig(
+        "lineitem_rollup_census", "lineitem",
+        ("l_returnflag", "l_linestatus"), mode="rollup",
+        sum_cents=(("sum_qty_cents", "l_quantity"),
+                   ("sum_price_cents", "l_extendedprice"))),
+    "docs_cube_census": GroupingSetsConfig(
+        "docs_cube_census", "documents", ("lang", "source"), mode="cube",
+        sum_cents=(("sum_chars_cents", "n_chars"),)),
+}
+
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
 
@@ -1487,6 +1529,7 @@ _FAMILIES = [
      lambda c: [c.left_entity, c.right_entity]),
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
+    (ROLLUPS, build_grouping_sets, grouping_sets_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -49,11 +49,12 @@ def _snap_v0_sql(cfg: SnapV0Config, g: GlobalConfig, dialect: str) -> str:
                  f"CAST(CAST({end} AS DATE) + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND, "
                  f"INTERVAL 1 DAY)) AS {sdts}")
         isodow = f"isodow({sdts})"
-    return f"""WITH cte AS ({spine}),
-initial_timestamps AS (
-    SELECT * FROM cte WHERE {sdts} < CAST(CAST({end} AS DATE) + 1 AS TIMESTAMP)
-)
-SELECT
+    # no WITH clause: a CTERelationDef inside a DataFrame subtree that
+    # later rides a wide union trips Catalyst's
+    # PushdownPredicatesAndPruneColumnsForCTEDef ("key not found" on the
+    # cte id) in Spark 4.1 — single-use CTEs inline to plain subqueries
+    # with identical semantics in both dialects
+    return f"""SELECT
     {sdts},
     TRUE AS force_active,
     {sdts} AS replacement_sdts,
@@ -74,7 +75,10 @@ SELECT
     (LAST_DAY(CAST({sdts} AS DATE)) = CAST({sdts} AS DATE)
         AND EXTRACT(MONTH FROM {sdts}) = 12) AS is_end_of_year,
     CAST(NULL AS STRING) AS comment
-FROM initial_timestamps"""
+FROM (
+    SELECT * FROM ({spine}) AS cte
+    WHERE {sdts} < CAST(CAST({end} AS DATE) + 1 AS TIMESTAMP)
+) AS initial_timestamps"""
 
 
 def build_snap_v0(spark, cfg: SnapV0Config, g: GlobalConfig = DEFAULT):
@@ -142,10 +146,9 @@ def _snap_v1_sql(cfg: SnapV1Config, v0_rel: str, g: GlobalConfig) -> str:
                    "is_beginning_of_month, is_end_of_month, is_beginning_of_quarter, "
                    "is_end_of_quarter, is_beginning_of_year, is_end_of_year")
     trig = ",\n    ".join(trigger_cols)
-    return f"""WITH latest_row AS (
-    SELECT {sdts} FROM {v0_rel} ORDER BY {sdts} DESC LIMIT 1
-)
-SELECT
+    # latest_row inlined into the join (no WITH clause — see the
+    # CTERelationDef note in _snap_v0_sql)
+    return f"""SELECT
     c.{sdts},
     c.replacement_sdts,
     {trig},
@@ -158,7 +161,9 @@ SELECT
         AS is_last_rolling_year,
     c.comment
 FROM {v0_rel} c
-LEFT JOIN latest_row l ON c.{sdts} = l.{sdts}"""
+LEFT JOIN (
+    SELECT {sdts} FROM {v0_rel} ORDER BY {sdts} DESC LIMIT 1
+) l ON c.{sdts} = l.{sdts}"""
 
 
 def build_snap_v1(spark, reg, cfg: SnapV1Config, g: GlobalConfig = DEFAULT):

@@ -7,6 +7,8 @@ from conftest import compare_spark_duck
 
 from datavault4dbt_spark import fixtures
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", fixtures.declared_entity_names())
 def test_entity_matches_oracle(spark, sf_dir, name):

@@ -529,6 +529,20 @@ def test_grouped_quantiles_windows_run_over_histogram(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_grouping_sets_census_is_one_expand_one_shuffle(spark, sf_dir):
+    """ROLLUP/CUBE census: Spark must plan ONE Expand feeding ONE
+    hash-aggregate pair (map-side partials + a single exchange on the
+    expanded grouping key) — no per-grouping-set rescans of the input,
+    and the cents projection sits below the Expand so the replicated
+    rows are narrow."""
+    fixtures.ensure_session_conf(spark)
+    for name in ("lineitem_rollup_census", "docs_cube_census"):
+        plan = _plan(fixtures.entity_query(name)(spark, sf_dir))
+        assert plan.count("Expand") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Scan parquet") == 1, plan
+
+
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     """Vocabulary top-k: ORDER BY + LIMIT must compile to
     TakeOrderedAndProject (per-partition heaps, no full vocabulary
@@ -655,6 +669,12 @@ _BUNDLE_CLOSURE = frozenset([
     # line leaves the bench as this member joins the bundle, so the
     # total is a wash.
     "text_fingerprint",
+    # round-9 deliberate widening: grouping-sets censuses — one Expand
+    # + one map-side-combined aggregate each (single shuffle); 1.21s
+    # (lineitem rollup) + 0.53s (documents cube) warm standalone at
+    # sf0.1 (min-of-4, idle; measured before adding)
+    "lineitem_rollup_census",
+    "docs_cube_census",
 ])
 
 

@@ -10,6 +10,8 @@ from conftest import SF_DIR
 from datavault4dbt_spark.streaming.stateful import (
     sessionize_stream, sessionize_batch)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def time_batches(tmp_path_factory):

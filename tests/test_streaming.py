@@ -18,6 +18,8 @@ from datavault4dbt_spark.streaming.ingest import (
     StreamIngestConfig, start_ingest, micro_batch_loader,
     windowed_event_counts)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def event_batches(tmp_path_factory):

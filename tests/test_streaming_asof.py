@@ -12,6 +12,8 @@ from datavault4dbt_spark.operators.asof import (
     AsofJoinConfig, asof_join_frames)
 from datavault4dbt_spark.streaming.asof import start_asof_state_join
 
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
                         "/root/testdata/sf0.001")
 

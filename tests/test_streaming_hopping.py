@@ -14,6 +14,8 @@ from datavault4dbt_spark.context import DEFAULT, Registry
 from datavault4dbt_spark.operators.events import (
     HoppingAggConfig, build_hopping_agg)
 
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
                         "/root/testdata/sf0.001")
 

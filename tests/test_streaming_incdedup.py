@@ -18,6 +18,8 @@ from datavault4dbt_spark.streaming.incdedup import (
     build_streaming_incremental_dedup, micro_batch_dedup,
     start_dedup_stream)
 
+pytestmark = pytest.mark.slow
+
 UNIQUE = [
     "alpha beta gamma delta epsilon zeta",
     "one two three four five six seven",
