@@ -109,7 +109,9 @@ from .llm.classifier import (QualityClassifierConfig,
 from .llm.profile import (ProfileConfig, build_dataset_profile,
                           dataset_profile_oracle,
                           GroupedQuantilesConfig, build_grouped_quantiles,
-                          grouped_quantiles_oracle)
+                          grouped_quantiles_oracle,
+                          HeavyHittersConfig, build_heavy_hitters,
+                          heavy_hitters_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
                             line_clean_oracle)
 from .llm.curation import (CurationConfig, DedupReportConfig,
@@ -135,7 +137,10 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                FunnelConfig, build_funnel, funnel_oracle,
                                CohortRetentionConfig,
                                build_cohort_retention,
-                               cohort_retention_oracle)
+                               cohort_retention_oracle,
+                               TransitionMatrixConfig,
+                               build_transition_matrix,
+                               transition_matrix_oracle)
 from .operators.diff import (TableDiffConfig, build_table_diff,
                              table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
@@ -889,6 +894,24 @@ BUNDLES = {
                      "CAST(sum_chars_cents AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'cube_census'"),
+        # round-9: key-skew card — count, ppm share and the
+        # deterministic rank all drive the driver hash
+        BundleMember("events_skew_profile",
+                     "concat(col_name, ':', value)",
+                     "concat(CAST(cnt AS STRING), ':', "
+                     "CAST(share_ppm AS STRING), ':', "
+                     "CAST(rnk AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'skew_profile'"),
+        # round-9: transition matrix — the census, the per-from total
+        # and the row-normalized ppm all drive the driver hash
+        BundleMember("event_transitions",
+                     "concat(from_event, ':', to_event)",
+                     "concat(CAST(n_transitions AS STRING), ':', "
+                     "CAST(from_total AS STRING), ':', "
+                     "CAST(p_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'transitions'"),
     )),
 }
 
@@ -1375,6 +1398,20 @@ INC_DEDUP = {"dedup_incremental":
 INC_DEDUP_STREAM = {"dedup_incremental_stream":
                     StreamingDedupEntityConfig("dedup_incremental_stream")}
 
+# round-9: key-skew heavy-hitter card (llm/profile.py) — top-8 values
+# per column with ppm share over events (event_type is 5 hot values,
+# user_id ~150 near-uniform keys, so both the "dominant key" and the
+# "flat tail truncated at k" shapes are driver-verified; the NULL
+# sentinel ranks via props which carries no NULLs — NULL folding is
+# unit-tested instead)
+HEAVY_HITTERS = {"events_skew_profile": HeavyHittersConfig(
+    "events_skew_profile", "events", ("event_type", "user_id"), k=8)}
+# round-9: first-order transition matrix over the event stream —
+# 5 event types + the '<END>' absorbing state give a dense 5x6 census
+# with genuinely varied ppm rows; the (ts, id) tie-break is exercised
+# by construction (the synthetic stream has duplicate user-ts pairs)
+TRANSITIONS = {"event_transitions":
+               TransitionMatrixConfig("event_transitions")}
 # round-9: SQL-standard grouping-sets census (operators/rollup.py) —
 # ROLLUP over lineitem's (returnflag, linestatus) exercises subtotal +
 # grand-total rows (10 grouping combinations at any sf), CUBE over
@@ -1530,6 +1567,9 @@ _FAMILIES = [
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
     (ROLLUPS, build_grouping_sets, grouping_sets_oracle, _NO_DEPS),
+    (HEAVY_HITTERS, build_heavy_hitters, heavy_hitters_oracle, _NO_DEPS),
+    (TRANSITIONS, build_transition_matrix, transition_matrix_oracle,
+     _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -116,6 +116,98 @@ def dataset_profile_oracle(b: SqlBuilder, reg: Registry,
     return b.cte(cfg.name, "\nUNION ALL\n".join(selects))
 
 
+# --------------------------------------------------------- heavy_hitters --
+
+@dataclass(frozen=True)
+class HeavyHittersConfig:
+    """Top-k values per column by frequency with ppm share — the
+    key-skew card. At cluster scale this is the table an operator reads
+    BEFORE keying a join or aggregation: a value holding >> 1/parallelism
+    of the rows is the shuffle straggler, and NULL-as-hot-key is the
+    classic cause (folded in as the '<NULL>' sentinel so it ranks like
+    any other value).
+
+    Scale design (100 TB): one branch per column, each a
+    column-pruned scan (parquet reads ONLY that column) into a
+    map-side-combined groupBy and an ``ORDER BY cnt LIMIT k`` that
+    Catalyst compiles to TakeOrderedAndProject — per-partition bounded
+    heaps, no full sort of the census (pinned in
+    tests/test_plan_quality.py). The corpus-wide row total is a 1-row
+    broadcast; the rank window runs over the (n_cols x k)-row result.
+    A single-scan stack/explode variant was rejected: it widens every
+    scan to all profiled columns and forces one (col, value) shuffle of
+    the fattest census instead of n prunable ones.
+
+    ``columns`` must be portably-rendered types (strings/integers —
+    the ProfileConfig contract): values surface as strings in both
+    engines."""
+
+    name: str
+    source: str
+    columns: tuple
+    k: int = 10
+
+    def __post_init__(self):
+        if not self.columns:
+            raise ValueError(f"{self.name}: columns must be non-empty")
+        if self.k < 1:
+            raise ValueError(f"{self.name}: k must be >= 1")
+        from ..context import ensure_identifier
+        for c in self.columns:
+            ensure_identifier(c, "column", self.name)
+
+
+_NULL_SENTINEL = "<NULL>"
+
+
+def build_heavy_hitters(spark, reg: Registry, cfg: HeavyHittersConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    from functools import reduce
+    from pyspark.sql import Window
+
+    src = reg.load(spark, cfg.source)
+    total = src.agg(F.count(F.lit(1)).alias("__total"))
+    parts = []
+    for c in cfg.columns:
+        census = (src.select(
+            F.coalesce(F.col(c).cast("string"),
+                       F.lit(_NULL_SENTINEL)).alias("value"))
+            .groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value")).limit(cfg.k)
+            .select(F.lit(c).alias("col_name"), "value", "cnt"))
+        parts.append(census)
+    un = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy("col_name").orderBy(F.desc("cnt"),
+                                               F.asc("value"))
+    return (un.crossJoin(F.broadcast(total))
+            .select("col_name", "value", "cnt",
+                    F.expr("(cnt * 1000000) div __total").alias("share_ppm"),
+                    F.row_number().over(w).cast("int").alias("rnk")))
+
+
+def heavy_hitters_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: HeavyHittersConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    tot = b.cte(f"{cfg.name}__t",
+                f"SELECT count(*) AS __total FROM {src}")
+    selects = []
+    for c in cfg.columns:
+        cen = b.cte(
+            f"{cfg.name}__c_{c}",
+            f"SELECT coalesce(CAST({c} AS VARCHAR), '{_NULL_SENTINEL}') "
+            f"AS value, count(*) AS cnt FROM {src} GROUP BY 1 "
+            f"ORDER BY cnt DESC, value LIMIT {cfg.k}")
+        selects.append(f"SELECT '{c}' AS col_name, value, cnt FROM {cen}")
+    un = b.cte(f"{cfg.name}__u", "\nUNION ALL\n".join(selects))
+    return b.cte(
+        cfg.name,
+        f"SELECT col_name, value, cnt, "
+        f"(cnt * 1000000) // __total AS share_ppm, "
+        f"CAST(row_number() OVER (PARTITION BY col_name "
+        f"ORDER BY cnt DESC, value) AS INT) AS rnk FROM {un}, {tot}")
+
+
 # ------------------------------------------------------ grouped_quantiles --
 
 @dataclass(frozen=True)

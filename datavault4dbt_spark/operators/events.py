@@ -351,3 +351,85 @@ def cohort_retention_oracle(b: SqlBuilder, reg: Registry,
         f"count(DISTINCT a.{u}) AS n_users "
         f"FROM {active} a JOIN {cohort} c USING ({u}) "
         f"GROUP BY c.cohort_day, a.day - c.cohort_day")
+
+
+# -------------------------------------------------------- transitions --
+
+@dataclass(frozen=True)
+class TransitionMatrixConfig:
+    """First-order event transition census (the Markov chain table):
+    for each user's time-ordered stream, count (event, next event)
+    pairs and row-normalize per from-state in ppm — the navigation /
+    behavior-flow matrix product analytics derives funnels and
+    anomaly baselines from. A user's final event transitions to the
+    '<END>' absorbing state, so every event contributes exactly one
+    transition and the per-from totals equal the event-type census.
+
+    Determinism: the stream orders by (ts, id) — the id tie-break
+    makes simultaneous events (duplicate timestamps are routine in
+    real streams) order identically in both engines.
+
+    Scale design (100 TB): ONE user-keyed exchange feeds the LEAD
+    window (pinned in tests/test_plan_quality.py); the pair census is
+    a map-side-combined groupBy on (from, to) — at most n_types^2 + 1
+    rows out; the per-from normalization windows over that bounded
+    census, never the corpus.
+    """
+
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    type_col: str = "event_type"
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col, self.id_col, self.type_col):
+            _ident(c, "column", self.name)
+
+
+_END_STATE = "<END>"
+
+
+def build_transition_matrix(spark, reg: Registry,
+                            cfg: TransitionMatrixConfig,
+                            g: GlobalConfig = DEFAULT) -> DataFrame:
+    u, t, i, e = cfg.user_col, cfg.ts_col, cfg.id_col, cfg.type_col
+    ev = reg.load(spark, cfg.source).select(u, t, i, e)
+    w = Window.partitionBy(u).orderBy(F.asc(t), F.asc(i))
+    pairs = ev.select(
+        F.col(e).alias("from_event"),
+        F.coalesce(F.lead(e).over(w), F.lit(_END_STATE)).alias("to_event"))
+    census = (pairs.groupBy("from_event", "to_event")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    wf = Window.partitionBy("from_event")
+    return census.select(
+        "from_event", "to_event", "n_transitions",
+        F.sum("n_transitions").over(wf).alias("from_total"),
+        F.expr("(n_transitions * 1000000) div "
+               "sum(n_transitions) OVER (PARTITION BY from_event)")
+        .alias("p_ppm"))
+
+
+def transition_matrix_oracle(b: SqlBuilder, reg: Registry,
+                             cfg: TransitionMatrixConfig,
+                             g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t, i, e = cfg.user_col, cfg.ts_col, cfg.id_col, cfg.type_col
+    pairs = b.cte(
+        f"{cfg.name}__p",
+        f"SELECT {e} AS from_event, "
+        f"coalesce(lead({e}) OVER (PARTITION BY {u} "
+        f"ORDER BY {t}, {i}), '{_END_STATE}') AS to_event FROM {src}")
+    census = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT from_event, to_event, count(*) AS n_transitions "
+        f"FROM {pairs} GROUP BY from_event, to_event")
+    return b.cte(
+        cfg.name,
+        f"SELECT from_event, to_event, n_transitions, "
+        f"CAST(sum(n_transitions) OVER (PARTITION BY from_event) "
+        f"AS BIGINT) AS from_total, "
+        f"(n_transitions * 1000000) // "
+        f"sum(n_transitions) OVER (PARTITION BY from_event) AS p_ppm "
+        f"FROM {census}")

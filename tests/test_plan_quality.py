@@ -543,6 +543,37 @@ def test_grouping_sets_census_is_one_expand_one_shuffle(spark, sf_dir):
         assert plan.count("Scan parquet") == 1, plan
 
 
+def test_heavy_hitters_branches_are_pruned_bounded_heaps(spark, sf_dir):
+    """Key-skew card: each column branch is a TakeOrderedAndProject
+    (bounded per-partition heap, no full census sort) over a scan that
+    reads ONLY that column; the corpus total joins as a 1-row
+    broadcast, never a shuffle of the union."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("events_skew_profile")(spark, sf_dir)
+    plan = _plan(df)
+    n_cols = len(fixtures.HEAVY_HITTERS["events_skew_profile"].columns)
+    assert plan.count("TakeOrderedAndProject") == n_cols, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row total join
+    assert "CartesianProduct" not in plan, plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<event_type:string>" in fmt, fmt
+    assert "ReadSchema: struct<user_id:bigint>" in fmt, fmt
+
+
+def test_transition_matrix_single_user_exchange(spark, sf_dir):
+    """Transition matrix: ONE exchange on the user key feeds the LEAD
+    window; the pair census is map-side combined and the normalization
+    windows over the bounded census (its exchange moves at most
+    n_types^2+1 rows — visible as the from_event repartition)."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("event_transitions")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    # user window + census agg + census window = 3 hash exchanges total
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Window") == 2, plan
+
+
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     """Vocabulary top-k: ORDER BY + LIMIT must compile to
     TakeOrderedAndProject (per-partition heaps, no full vocabulary
@@ -675,6 +706,13 @@ _BUNDLE_CLOSURE = frozenset([
     # sf0.1 (min-of-4, idle; measured before adding)
     "lineitem_rollup_census",
     "docs_cube_census",
+    # round-9 deliberate widening: key-skew heavy-hitter card (two
+    # column-pruned TakeOrderedAndProject branches + a 1-row broadcast
+    # total) and the first-order transition matrix (one user exchange
+    # + bounded census window); 0.63s + 0.58s warm standalone at
+    # sf0.1 (min-of-4, idle; measured before adding)
+    "events_skew_profile",
+    "event_transitions",
 ])
 
 
