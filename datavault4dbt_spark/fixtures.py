@@ -111,7 +111,9 @@ from .llm.profile import (ProfileConfig, build_dataset_profile,
                           GroupedQuantilesConfig, build_grouped_quantiles,
                           grouped_quantiles_oracle,
                           HeavyHittersConfig, build_heavy_hitters,
-                          heavy_hitters_oracle)
+                          heavy_hitters_oracle,
+                          HistogramConfig, build_histogram,
+                          histogram_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
                             line_clean_oracle)
 from .llm.curation import (CurationConfig, DedupReportConfig,
@@ -149,6 +151,8 @@ from .operators.checks import (Check, VaultChecksConfig,
                                build_vault_checks, vault_checks_oracle)
 from .operators.rollup import (GroupingSetsConfig, build_grouping_sets,
                                grouping_sets_oracle)
+from .operators.merge import (Scd1MergeConfig, build_scd1_merge,
+                              scd1_merge_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -903,6 +907,29 @@ BUNDLES = {
                      "CAST(rnk AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'skew_profile'"),
+        # round-9: SCD1 merge current-state — the winning version, the
+        # tie-break line number and every payload cell (quantity as
+        # exact cents) drive the driver hash, so a wrong upsert (stale
+        # row surviving, new key dropped, tie mis-break) fails the gate
+        BundleMember("lineitem_scd1_current",
+                     "CAST(l_orderkey AS STRING)",
+                     "concat(CAST(version_seq AS STRING), ':', "
+                     "CAST(l_linenumber AS STRING), ':', "
+                     "CAST(l_partkey AS STRING), ':', "
+                     "CAST(l_suppkey AS STRING), ':', "
+                     "CAST(CAST(round(l_quantity * 100) AS BIGINT) "
+                     "AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'scd1_merge'"),
+        # round-9: length histogram — every bin bound, count and ppm
+        # share drives the driver hash
+        BundleMember("docs_length_histogram", "CAST(bin AS STRING)",
+                     "concat(CAST(bin_lo AS STRING), ':', "
+                     "CAST(bin_hi AS STRING), ':', "
+                     "CAST(cnt AS STRING), ':', "
+                     "CAST(share_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'length_histogram'"),
         # round-9: transition matrix — the census, the per-from total
         # and the row-normalized ppm all drive the driver hash
         BundleMember("event_transitions",
@@ -1412,6 +1439,20 @@ HEAVY_HITTERS = {"events_skew_profile": HeavyHittersConfig(
 # by construction (the synthetic stream has duplicate user-ts pairs)
 TRANSITIONS = {"event_transitions":
                TransitionMatrixConfig("event_transitions")}
+# round-9: fixed-width length histogram — 12 integer bins over
+# n_chars (10..99-word docs spread across every bin at sf0.01), counts
+# + ppm shares all driver-hashed
+HISTOGRAMS = {"docs_length_histogram": HistogramConfig(
+    "docs_length_histogram", "documents", "n_chars", n_bins=12)}
+# round-9: SCD1 latest-wins merge (operators/merge.py) — lineitem
+# versioned on l_linenumber % 3 (orders hold up to 7 lines, so most
+# keys recur across all 3 batches and the replay genuinely UPDATES
+# existing keys, not just inserts); the in-batch tie-break is
+# exercised too (several lines of one order share a version)
+SCD1_MERGES = {"lineitem_scd1_current": Scd1MergeConfig(
+    "lineitem_scd1_current", "lineitem", key_cols=("l_orderkey",),
+    version_expr="l_linenumber % 3", tie_cols=("l_linenumber",),
+    payload_cols=("l_partkey", "l_suppkey", "l_quantity"))}
 # round-9: SQL-standard grouping-sets census (operators/rollup.py) —
 # ROLLUP over lineitem's (returnflag, linestatus) exercises subtotal +
 # grand-total rows (10 grouping combinations at any sf), CUBE over
@@ -1567,6 +1608,8 @@ _FAMILIES = [
     (INTERVAL_JOINS, build_interval_join, interval_join_oracle,
      lambda c: [c.points_entity, c.intervals_entity]),
     (ROLLUPS, build_grouping_sets, grouping_sets_oracle, _NO_DEPS),
+    (SCD1_MERGES, build_scd1_merge, scd1_merge_oracle, _NO_DEPS),
+    (HISTOGRAMS, build_histogram, histogram_oracle, _NO_DEPS),
     (HEAVY_HITTERS, build_heavy_hitters, heavy_hitters_oracle, _NO_DEPS),
     (TRANSITIONS, build_transition_matrix, transition_matrix_oracle,
      _NO_DEPS),

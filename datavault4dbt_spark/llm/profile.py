@@ -208,6 +208,83 @@ def heavy_hitters_oracle(b: SqlBuilder, reg: Registry,
         f"ORDER BY cnt DESC, value) AS INT) AS rnk FROM {un}, {tot}")
 
 
+# ------------------------------------------------------------- histogram --
+
+@dataclass(frozen=True)
+class HistogramConfig:
+    """Fixed-width integer histogram of a column — the distribution
+    card (document-length / token-count shape, the first plot of any
+    corpus report). Bin bounds derive from the observed [min, max] via
+    exact integer arithmetic (width = (hi - lo) div n_bins + 1), so
+    both engines bucket identically — no DOUBLE bin edges, no
+    width_bucket dialect drift. NULLs are excluded (the data card's
+    n_nulls already counts them).
+
+    Scale design (100 TB): the [min, max] probe is one scalar
+    aggregation (driver-side literal, the HWM-probe pattern —
+    parquet footer min/max statistics answer it without a full scan
+    when the column is sorted); the histogram itself is a scan-stage
+    integer projection into ONE map-side-combined groupBy of at most
+    n_bins rows. share_ppm divides by the broadcast 1-row total."""
+
+    name: str
+    source: str
+    value_col: str
+    n_bins: int = 10
+
+    def __post_init__(self):
+        if self.n_bins < 1:
+            raise ValueError(f"{self.name}: n_bins must be >= 1")
+        from ..context import ensure_identifier
+        ensure_identifier(self.value_col, "column", self.name)
+
+
+def build_histogram(spark, reg: Registry, cfg: HistogramConfig,
+                    g: GlobalConfig = DEFAULT) -> DataFrame:
+    src = reg.load(spark, cfg.source)
+    v = cfg.value_col
+    vals = src.filter(F.col(v).isNotNull())
+    lo, hi = vals.agg(F.min(v), F.max(v)).collect()[0]
+    if lo is None:
+        return spark.createDataFrame(
+            [], "bin int, bin_lo bigint, bin_hi bigint, cnt bigint, "
+                "share_ppm bigint")
+    lo, hi = int(lo), int(hi)
+    width = (hi - lo) // cfg.n_bins + 1
+    total = vals.agg(F.count(F.lit(1)).alias("__total"))
+    hist = (vals.selectExpr(f"CAST(({v} - {lo}) div {width} AS INT) AS bin")
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
+    return (hist.crossJoin(F.broadcast(total))
+            .selectExpr("bin",
+                        f"CAST({lo} + bin * {width} AS BIGINT) AS bin_lo",
+                        f"CAST({lo} + (bin + 1) * {width} - 1 AS BIGINT) "
+                        f"AS bin_hi",
+                        "cnt",
+                        "(cnt * 1000000) div __total AS share_ppm"))
+
+
+def histogram_oracle(b: SqlBuilder, reg: Registry, cfg: HistogramConfig,
+                     g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    v = cfg.value_col
+    bounds = b.cte(
+        f"{cfg.name}__b",
+        f"SELECT CAST(min({v}) AS BIGINT) AS lo, "
+        f"(CAST(max({v}) AS BIGINT) - CAST(min({v}) AS BIGINT)) "
+        f"// {cfg.n_bins} + 1 AS width, "
+        f"count({v}) AS __total FROM {src} WHERE {v} IS NOT NULL")
+    hist = b.cte(
+        f"{cfg.name}__h",
+        f"SELECT CAST(({v} - lo) // width AS INT) AS bin, "
+        f"count(*) AS cnt FROM {src}, {bounds} "
+        f"WHERE {v} IS NOT NULL GROUP BY 1")
+    return b.cte(
+        cfg.name,
+        f"SELECT bin, CAST(lo + bin * width AS BIGINT) AS bin_lo, "
+        f"CAST(lo + (bin + 1) * width - 1 AS BIGINT) AS bin_hi, cnt, "
+        f"(cnt * 1000000) // __total AS share_ppm FROM {hist}, {bounds}")
+
+
 # ------------------------------------------------------ grouped_quantiles --
 
 @dataclass(frozen=True)

@@ -713,6 +713,18 @@ _BUNDLE_CLOSURE = frozenset([
     # sf0.1 (min-of-4, idle; measured before adding)
     "events_skew_profile",
     "event_transitions",
+    # round-9 deliberate widening: SCD1 merge current-state — the cost
+    # IS the certified incremental work (3 versioned upserts through
+    # the store: per batch one latest-per-key window + one key anti
+    # join + a read-modify-write swap, the dedup_incremental
+    # adjudication); 3.35s warm standalone at sf0.1 (min-of-4, idle;
+    # measured before adding)
+    "lineitem_scd1_current",
+    # round-9 deliberate widening: fixed-width length histogram — a
+    # scalar bounds probe + one scan-stage groupBy of n_bins rows;
+    # 0.76s warm standalone at sf0.1 (min-of-4, idle; measured before
+    # adding)
+    "docs_length_histogram",
 ])
 
 
