@@ -96,7 +96,9 @@ from .llm.lm import (BigramLmConfig, build_lm_score, lm_score_oracle,
                      CcnetBucketsConfig, build_ccnet_buckets,
                      ccnet_buckets_oracle)
 from .llm.vocab import (VocabTopkConfig, build_vocab_topk,
-                        vocab_topk_oracle)
+                        vocab_topk_oracle,
+                        GroupedVocabConfig, build_grouped_vocab,
+                        grouped_vocab_oracle)
 from .llm.gopher import (GopherRulesConfig, build_gopher_rules,
                          gopher_rules_oracle)
 from .llm.boilerplate import (BoilerplateConfig,
@@ -142,7 +144,8 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                cohort_retention_oracle,
                                TransitionMatrixConfig,
                                build_transition_matrix,
-                               transition_matrix_oracle)
+                               transition_matrix_oracle,
+                               LocfConfig, build_locf, locf_oracle)
 from .operators.diff import (TableDiffConfig, build_table_diff,
                              table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
@@ -153,6 +156,8 @@ from .operators.rollup import (GroupingSetsConfig, build_grouping_sets,
                                grouping_sets_oracle)
 from .operators.merge import (Scd1MergeConfig, build_scd1_merge,
                               scd1_merge_oracle)
+from .operators.jsonx import (JsonExtractConfig, build_json_extract,
+                              json_extract_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -930,6 +935,32 @@ BUNDLES = {
                      "CAST(share_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'length_histogram'"),
+        # round-9: JSON extraction — the typed value, the missing-path
+        # NULL and the TRY_CAST NULL all drive the driver hash via
+        # coalesce sentinels
+        BundleMember("events_props_extracted",
+                     "CAST(event_id AS STRING)",
+                     "concat(coalesce(CAST(k_value AS STRING), ''), "
+                     "':', coalesce(missing_field, ''), ':', "
+                     "coalesce(CAST(bad_cast AS STRING), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'json_extract'"),
+        # round-9: LOCF gap fill — the filled value (exact cents), the
+        # leading-NULL sentinel and the is_filled flag drive the hash
+        BundleMember("events_value_locf",
+                     "CAST(event_id AS STRING)",
+                     "concat(coalesce(CAST(CAST(round(value_filled "
+                     "* 100) AS BIGINT) AS STRING), ''), ':', "
+                     "CAST(is_filled AS STRING))",
+                     ldts="ts", rsrc="'locf'"),
+        # round-9: per-language vocabulary — token, counts and rank per
+        # language all drive the hash
+        BundleMember("vocab_topk_by_lang",
+                     "concat(lang, ':', token)",
+                     "concat(CAST(tf AS STRING), ':', "
+                     "CAST(df AS STRING), ':', CAST(rnk AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'vocab_by_lang'"),
         # round-9: transition matrix — the census, the per-from total
         # and the row-normalized ppm all drive the driver hash
         BundleMember("event_transitions",
@@ -1439,6 +1470,27 @@ HEAVY_HITTERS = {"events_skew_profile": HeavyHittersConfig(
 # by construction (the synthetic stream has duplicate user-ts pairs)
 TRANSITIONS = {"event_transitions":
                TransitionMatrixConfig("event_transitions")}
+# round-9: semi-structured JSON extraction — the existing '$.k' path
+# carries real integers, '$.missing' drives the NULL branch, and an
+# intentionally non-numeric extraction of the whole document ('$')
+# exercises the TRY_CAST-to-NULL contract in both engines
+JSON_EXTRACTS = {"events_props_extracted": JsonExtractConfig(
+    "events_props_extracted", "events", "props",
+    fields=(("k_value", "$.k", "bigint"),
+            ("missing_field", "$.missing", "string"),
+            ("bad_cast", "$", "int")),
+    keep_cols=("event_id",))}
+# round-9: LOCF gap fill — error events' values are deterministically
+# NULLed (~1/5 of the stream), so the carry-forward branch, the
+# leading-NULL branch (users whose first event errors) and the
+# is_filled flag all run under the driver gate
+LOCFS = {"events_value_locf": LocfConfig(
+    "events_value_locf",
+    value_expr="CASE WHEN event_type = 'error' THEN NULL ELSE value END")}
+# round-9: per-language vocabulary top-k — 5 langs x 20 ranks with the
+# corpus-wide variant's tie-break contract
+GROUPED_VOCABS = {"vocab_topk_by_lang":
+                  GroupedVocabConfig("vocab_topk_by_lang")}
 # round-9: fixed-width length histogram — 12 integer bins over
 # n_chars (10..99-word docs spread across every bin at sf0.01), counts
 # + ppm shares all driver-hashed
@@ -1610,6 +1662,9 @@ _FAMILIES = [
     (ROLLUPS, build_grouping_sets, grouping_sets_oracle, _NO_DEPS),
     (SCD1_MERGES, build_scd1_merge, scd1_merge_oracle, _NO_DEPS),
     (HISTOGRAMS, build_histogram, histogram_oracle, _NO_DEPS),
+    (JSON_EXTRACTS, build_json_extract, json_extract_oracle, _NO_DEPS),
+    (LOCFS, build_locf, locf_oracle, _NO_DEPS),
+    (GROUPED_VOCABS, build_grouped_vocab, grouped_vocab_oracle, _NO_DEPS),
     (HEAVY_HITTERS, build_heavy_hitters, heavy_hitters_oracle, _NO_DEPS),
     (TRANSITIONS, build_transition_matrix, transition_matrix_oracle,
      _NO_DEPS),

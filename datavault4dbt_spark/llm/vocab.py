@@ -85,3 +85,74 @@ def vocab_topk_oracle(b: SqlBuilder, reg: Registry, cfg: VocabTopkConfig,
         cfg.name,
         f"SELECT token, tf, df, CAST(row_number() OVER "
         f"(ORDER BY tf DESC, token) AS INT) AS rnk FROM {topk}")
+
+
+# ------------------------------------------------------ grouped top-k --
+
+@dataclass(frozen=True)
+class GroupedVocabConfig:
+    """Top-k tokens per group (language/source) — the per-stratum
+    vocabulary card beside the corpus-wide one above (stopword lists
+    and tokenizer coverage are per-language decisions).
+
+    Scale design (100 TB): same scan-stage tokenization; the census is
+    ONE (group, token) groupBy with map-side partials; the per-group
+    top-k is a rank window over the AGGREGATED census (one row per
+    distinct (group, token) — the reduced domain, never the corpus),
+    so no per-group corpus sort and no TakeOrdered-per-group driver
+    loop. tf-descending, token-ascending total order, the corpus-wide
+    variant's contract."""
+
+    name: str
+    source: str = "documents"
+    group_col: str = "lang"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    k: int = 20
+
+    def __post_init__(self):
+        for c in (self.group_col, self.id_col, self.text_col):
+            ensure_identifier(c, "column", self.name)
+        if self.k < 1:
+            raise ValueError(f"{self.name}: k must be >= 1")
+
+
+def build_grouped_vocab(spark, reg: Registry, cfg: GroupedVocabConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = reg.load(spark, cfg.source)
+    toks = docs.selectExpr(
+        cfg.group_col, cfg.id_col,
+        f"explode({spark_tokens(cfg.text_col)}) AS token")
+    census = (toks.groupBy(cfg.group_col, "token")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.countDistinct(cfg.id_col).alias("df")))
+    w = (Window.partitionBy(cfg.group_col)
+         .orderBy(F.desc("tf"), F.asc("token")))
+    return (census
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= cfg.k)
+            .select(cfg.group_col, "token", "tf", "df", "rnk"))
+
+
+def grouped_vocab_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: GroupedVocabConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    grp = cfg.group_col
+    w = b.cte(f"{cfg.name}__w",
+              f"SELECT {grp}, {cfg.id_col}, "
+              f"{duck_tokens(cfg.text_col)} AS w FROM {src}")
+    census = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT {grp}, t.t AS token, count(*) AS tf, "
+        f"count(DISTINCT {cfg.id_col}) AS df "
+        f"FROM {w}, UNNEST(w) AS t(t) GROUP BY {grp}, t.t")
+    ranked = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT {grp}, token, tf, df, "
+        f"CAST(row_number() OVER (PARTITION BY {grp} "
+        f"ORDER BY tf DESC, token) AS INT) AS rnk FROM {census}")
+    return b.cte(cfg.name,
+                 f"SELECT * FROM {ranked} WHERE rnk <= {cfg.k}")

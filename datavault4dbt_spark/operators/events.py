@@ -433,3 +433,66 @@ def transition_matrix_oracle(b: SqlBuilder, reg: Registry,
         f"(n_transitions * 1000000) // "
         f"sum(n_transitions) OVER (PARTITION BY from_event) AS p_ppm "
         f"FROM {census}")
+
+
+# ------------------------------------------------------------- gap fill --
+
+@dataclass(frozen=True)
+class LocfConfig:
+    """Last-observation-carried-forward gap fill: per key in time
+    order, a NULL observation takes the latest earlier non-NULL value
+    (the sensor/price-series repair every time-series mart runs before
+    aggregating; TimescaleDB calls it locf()). Leading NULLs (no
+    earlier observation) stay NULL. ``value_expr`` is a SQL expression
+    valid in both dialects — the observed value, NULL where missing.
+
+    Determinism: (ts, id) ordering, the transition-matrix contract.
+
+    Scale design (100 TB): ONE key-partitioned exchange; the fill is a
+    single ``last(value, ignorenulls) OVER (... ROWS UNBOUNDED
+    PRECEDING)`` running frame — no self-join, no per-gap probing. The
+    is_filled flag is a scan-stage comparison on the same window
+    output."""
+
+    name: str
+    source: str = "events"
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    value_expr: str = "value"
+    out_col: str = "value_filled"
+
+    def __post_init__(self):
+        for c in (self.key_col, self.ts_col, self.id_col, self.out_col):
+            _ident(c, "column", self.name)
+
+
+def build_locf(spark, reg: Registry, cfg: LocfConfig,
+               g: GlobalConfig = DEFAULT) -> DataFrame:
+    k, t, i = cfg.key_col, cfg.ts_col, cfg.id_col
+    src = reg.load(spark, cfg.source).selectExpr(
+        k, t, i, f"({cfg.value_expr}) AS __obs")
+    w = (Window.partitionBy(k).orderBy(F.asc(t), F.asc(i))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = F.last("__obs", ignorenulls=True).over(w)
+    return src.select(
+        k, t, i,
+        filled.alias(cfg.out_col),
+        (F.col("__obs").isNull() & filled.isNotNull()).alias("is_filled"))
+
+
+def locf_oracle(b: SqlBuilder, reg: Registry, cfg: LocfConfig,
+                g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    k, t, i = cfg.key_col, cfg.ts_col, cfg.id_col
+    obs = b.cte(f"{cfg.name}__o",
+                f"SELECT {k}, {t}, {i}, ({cfg.value_expr}) AS __obs "
+                f"FROM {src}")
+    win = (f"OVER (PARTITION BY {k} ORDER BY {t}, {i} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return b.cte(
+        cfg.name,
+        f"SELECT {k}, {t}, {i}, "
+        f"last_value(__obs IGNORE NULLS) {win} AS {cfg.out_col}, "
+        f"(__obs IS NULL AND last_value(__obs IGNORE NULLS) {win} "
+        f"IS NOT NULL) AS is_filled FROM {obs}")

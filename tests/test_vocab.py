@@ -46,3 +46,22 @@ def test_empty_and_multispace_text(spark):
     rows = [(0, ""), (1, "  a   a "), (2, "a")]
     got = _run(spark, rows)
     assert [(r.token, r.tf, r.df) for r in got] == [("a", 3, 2)]
+
+
+def test_grouped_vocab_ranks_within_each_group(spark):
+    from datavault4dbt_spark.llm.vocab import (GroupedVocabConfig,
+                                               build_grouped_vocab)
+    from datavault4dbt_spark.context import Registry
+
+    rows = [(0, "en", "a a b"), (1, "en", "b c"), (2, "de", "x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, "
+                                     "text string")
+    reg = Registry()
+    reg.spark_loaders["t"] = lambda _s: df
+    cfg = GroupedVocabConfig("gv", source="t", k=2)
+    got = {(r["lang"], r["rnk"]): (r["token"], r["tf"], r["df"])
+           for r in build_grouped_vocab(spark, reg, cfg).collect()}
+    # en: a(tf2) and b(tf2) tie -> token asc; c truncated at k=2.
+    # de ranks independently.
+    assert got == {("en", 1): ("a", 2, 1), ("en", 2): ("b", 2, 2),
+                   ("de", 1): ("x", 1, 1)}
