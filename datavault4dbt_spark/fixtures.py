@@ -76,7 +76,9 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            temperature_mix_oracle,
                            TemperatureResampleConfig,
                            build_temperature_resample,
-                           temperature_resample_oracle)
+                           temperature_resample_oracle,
+                           ExactSampleConfig, build_exact_sample,
+                           exact_sample_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
@@ -145,7 +147,9 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                TransitionMatrixConfig,
                                build_transition_matrix,
                                transition_matrix_oracle,
-                               LocfConfig, build_locf, locf_oracle)
+                               LocfConfig, build_locf, locf_oracle,
+                               RollingAggConfig, build_rolling_agg,
+                               rolling_agg_oracle)
 from .operators.diff import (TableDiffConfig, build_table_diff,
                              table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
@@ -158,6 +162,7 @@ from .operators.merge import (Scd1MergeConfig, build_scd1_merge,
                               scd1_merge_oracle)
 from .operators.jsonx import (JsonExtractConfig, build_json_extract,
                               json_extract_oracle)
+from .operators.pivot import (PivotConfig, build_pivot, pivot_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -935,6 +940,30 @@ BUNDLES = {
                      "CAST(share_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'length_histogram'"),
+        # round-9: pivot crosstab — every wide cell (count + cents sum
+        # per declared lang) folds into the hd, so a dropped value
+        # column or a NULL-vs-0 divergence fails the gate
+        BundleMember("docs_source_lang_pivot", "source",
+                     "concat(" + ", ':', ".join(
+                         f"CAST(n_{v} AS STRING), ':', "
+                         f"CAST(sum_{v}_cents AS STRING)"
+                         for v in ("de", "en", "es", "fr", "zh")) + ")",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'pivot'"),
+        # round-9: exact-size sample — membership AND rank fold in
+        BundleMember("docs_exact_sample",
+                     "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(sample_rank AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'exact_sample'"),
+        # round-9: rolling block — all four frame aggregates fold in
+        BundleMember("events_rolling_value",
+                     "CAST(event_id AS STRING)",
+                     "concat(CAST(roll_n AS STRING), ':', "
+                     "CAST(roll_sum_cents AS STRING), ':', "
+                     "CAST(roll_min_cents AS STRING), ':', "
+                     "CAST(roll_max_cents AS STRING))",
+                     ldts="ts", rsrc="'rolling'"),
         # round-9: JSON extraction — the typed value, the missing-path
         # NULL and the TRY_CAST NULL all drive the driver hash via
         # coalesce sentinels
@@ -1470,6 +1499,21 @@ HEAVY_HITTERS = {"events_skew_profile": HeavyHittersConfig(
 # by construction (the synthetic stream has duplicate user-ts pairs)
 TRANSITIONS = {"event_transitions":
                TransitionMatrixConfig("event_transitions")}
+# round-9: pivot crosstab — docs per (source x lang) with exact-cents
+# character sums; 20 sources x 5 declared langs, every cell non-trivial
+# and a few zero cells exercise the coalesce-total contract
+PIVOTS = {"docs_source_lang_pivot": PivotConfig(
+    "docs_source_lang_pivot", "documents", group_col="source",
+    pivot_col="lang", values=("de", "en", "es", "fr", "zh"),
+    sum_expr="n_chars")}
+# round-9: exactly-n-per-stratum sample — 25 docs/lang at sf0.01 with
+# n=10 keeps the cut genuinely selective in every stratum
+EXACT_SAMPLES = {"docs_exact_sample": ExactSampleConfig(
+    "docs_exact_sample", n_per_stratum=10)}
+# round-9: trailing 5-event rolling block per user — sparse synthetic
+# streams give every frame size 1..5 real membership
+ROLLING = {"events_rolling_value": RollingAggConfig(
+    "events_rolling_value")}
 # round-9: semi-structured JSON extraction — the existing '$.k' path
 # carries real integers, '$.missing' drives the NULL branch, and an
 # intentionally non-numeric extraction of the whole document ('$')
@@ -1663,6 +1707,9 @@ _FAMILIES = [
     (SCD1_MERGES, build_scd1_merge, scd1_merge_oracle, _NO_DEPS),
     (HISTOGRAMS, build_histogram, histogram_oracle, _NO_DEPS),
     (JSON_EXTRACTS, build_json_extract, json_extract_oracle, _NO_DEPS),
+    (PIVOTS, build_pivot, pivot_oracle, _NO_DEPS),
+    (EXACT_SAMPLES, build_exact_sample, exact_sample_oracle, _NO_DEPS),
+    (ROLLING, build_rolling_agg, rolling_agg_oracle, _NO_DEPS),
     (LOCFS, build_locf, locf_oracle, _NO_DEPS),
     (GROUPED_VOCABS, build_grouped_vocab, grouped_vocab_oracle, _NO_DEPS),
     (HEAVY_HITTERS, build_heavy_hitters, heavy_hitters_oracle, _NO_DEPS),

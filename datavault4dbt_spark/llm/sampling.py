@@ -26,11 +26,12 @@ ever sees the whole corpus, and the final per-bin aggregation keys on
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..context import GlobalConfig, DEFAULT, Registry
+from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
 from ..plans.sqlbuild import SqlBuilder
 from .textprep import spark_tokens, duck_tokens, spark_nibble
 
@@ -634,3 +635,74 @@ def temperature_resample_oracle(b: SqlBuilder, reg: Registry,
         f"FROM {joined}, "
         f"UNNEST(generate_series(CAST(1 AS BIGINT), copies)) "
         f"AS u(repeat_idx) WHERE copies >= 1")
+
+
+# ------------------------------------------------- exact-size sample --
+
+@dataclass(frozen=True)
+class ExactSampleConfig:
+    """Exactly-n-per-stratum deterministic sample: rank each stratum's
+    rows by a salted 48-bit hash key and keep the first n — the
+    fixed-BUDGET counterpart of the rate-based gates above (an eval
+    slice of exactly 10k docs per language; a labeling batch of
+    exactly n per source). Changing the salt draws an independent
+    sample; growing the corpus only perturbs ranks near the cut.
+
+    Scale design (100 TB): the rank-and-cut compiles to a
+    partial+final WindowGroupLimit pair (per-partition bounded heaps
+    of n rows BEFORE the stratum exchange — Spark's grouped
+    TakeOrdered, pinned in tests/test_plan_quality.py), so the
+    stratum shuffle moves at most n rows per input partition, never
+    the corpus. The hash key is the corpus-shuffle key: exact integer
+    md5 nibbles, no rand(), bit-identical across engines and reruns."""
+
+    name: str
+    source: str = "documents"
+    stratum_col: str = "lang"
+    id_col: str = "doc_id"
+    n_per_stratum: int = 100
+    salt: str = "exact_sample"
+
+    def __post_init__(self):
+        for c in (self.stratum_col, self.id_col):
+            ensure_identifier(c, "column", self.name)
+        if self.n_per_stratum < 1:
+            raise ValueError(f"{self.name}: n_per_stratum must be >= 1")
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", self.salt):
+            raise ValueError(f"{self.name}: salt must be a plain token")
+
+
+def build_exact_sample(spark, reg: Registry, cfg: ExactSampleConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = reg.load(spark, cfg.source)
+    keyed = df.selectExpr(
+        cfg.id_col, cfg.stratum_col,
+        f"{_shuffle_key(cfg.id_col, cfg.salt)} AS __k")
+    w = (Window.partitionBy(cfg.stratum_col)
+         .orderBy(F.asc("__k"), F.asc(cfg.id_col)))
+    return (keyed
+            .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("sample_rank") <= cfg.n_per_stratum)
+            .select(cfg.id_col, cfg.stratum_col, "sample_rank"))
+
+
+def exact_sample_oracle(b: SqlBuilder, reg: Registry,
+                        cfg: ExactSampleConfig,
+                        g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    keyed = b.cte(
+        f"{cfg.name}__k",
+        f"SELECT {cfg.id_col}, {cfg.stratum_col}, "
+        f"{_shuffle_key(cfg.id_col, cfg.salt)} AS __k FROM {src}")
+    ranked = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT {cfg.id_col}, {cfg.stratum_col}, "
+        f"CAST(row_number() OVER (PARTITION BY {cfg.stratum_col} "
+        f"ORDER BY __k, {cfg.id_col}) AS INT) AS sample_rank "
+        f"FROM {keyed}")
+    return b.cte(
+        cfg.name,
+        f"SELECT * FROM {ranked} "
+        f"WHERE sample_rank <= {cfg.n_per_stratum}")

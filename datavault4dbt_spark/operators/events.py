@@ -496,3 +496,77 @@ def locf_oracle(b: SqlBuilder, reg: Registry, cfg: LocfConfig,
         f"last_value(__obs IGNORE NULLS) {win} AS {cfg.out_col}, "
         f"(__obs IS NULL AND last_value(__obs IGNORE NULLS) {win} "
         f"IS NOT NULL) AS is_filled FROM {obs}")
+
+
+# ---------------------------------------------------------- rolling agg --
+
+@dataclass(frozen=True)
+class RollingAggConfig:
+    """Per-key rolling aggregates over the last ``n_rows`` observations
+    (current row inclusive): running count, exact-cents sum, min and
+    max — the trailing-window feature block (moving averages, burst
+    detection, rate limits) every event/time-series pipeline computes.
+    Row-count frames, not time frames: deterministic under duplicate
+    timestamps via the (ts, id) tie-break, and both engines implement
+    ROWS BETWEEN identically (RANGE frames over timestamps differ in
+    type coercion across dialects).
+
+    The mean stays OUT of the output: cents-sum and count are exact
+    integers (the engine's cross-verification convention) and the mean
+    is their pure function downstream.
+
+    Scale design (100 TB): ONE key-partitioned exchange feeds all four
+    frame aggregates (same window spec -> one Window operator, pinned
+    in tests/test_plan_quality.py); a bounded ROWS frame holds at most
+    n_rows values per evaluation, so memory is O(n_rows) regardless of
+    key history length."""
+
+    name: str
+    source: str = "events"
+    key_col: str = "user_id"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    value_expr: str = "value"
+    n_rows: int = 5
+
+    def __post_init__(self):
+        for c in (self.key_col, self.ts_col, self.id_col):
+            _ident(c, "column", self.name)
+        if self.n_rows < 1:
+            raise ValueError(f"{self.name}: n_rows must be >= 1")
+
+
+def build_rolling_agg(spark, reg: Registry, cfg: RollingAggConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    k, t, i = cfg.key_col, cfg.ts_col, cfg.id_col
+    src = reg.load(spark, cfg.source).selectExpr(
+        k, t, i,
+        f"CAST(round(({cfg.value_expr}) * 100) AS BIGINT) AS __cents")
+    w = (Window.partitionBy(k).orderBy(F.asc(t), F.asc(i))
+         .rowsBetween(-(cfg.n_rows - 1), Window.currentRow))
+    return src.select(
+        k, t, i,
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum("__cents").over(w).alias("roll_sum_cents"),
+        F.min("__cents").over(w).alias("roll_min_cents"),
+        F.max("__cents").over(w).alias("roll_max_cents"))
+
+
+def rolling_agg_oracle(b: SqlBuilder, reg: Registry, cfg: RollingAggConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    k, t, i = cfg.key_col, cfg.ts_col, cfg.id_col
+    obs = b.cte(
+        f"{cfg.name}__o",
+        f"SELECT {k}, {t}, {i}, "
+        f"CAST(round(({cfg.value_expr}) * 100) AS BIGINT) AS __cents "
+        f"FROM {src}")
+    win = (f"OVER (PARTITION BY {k} ORDER BY {t}, {i} ROWS BETWEEN "
+           f"{cfg.n_rows - 1} PRECEDING AND CURRENT ROW)")
+    return b.cte(
+        cfg.name,
+        f"SELECT {k}, {t}, {i}, "
+        f"count(*) {win} AS roll_n, "
+        f"CAST(sum(__cents) {win} AS BIGINT) AS roll_sum_cents, "
+        f"min(__cents) {win} AS roll_min_cents, "
+        f"max(__cents) {win} AS roll_max_cents FROM {obs}")

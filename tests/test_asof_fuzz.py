@@ -11,6 +11,9 @@ from hypothesis import given, settings, strategies as st
 from datavault4dbt_spark.context import DEFAULT, Registry
 from datavault4dbt_spark.operators.asof import (
     AsofJoinConfig, build_asof_join)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 G = DEFAULT
 BASE = datetime.datetime(2024, 1, 1)

@@ -11,6 +11,8 @@ from datavault4dbt_spark.llm.dedup import DupGroupsConfig, build_dup_groups
 from datavault4dbt_spark.llm.contamination import (ContaminationConfig,
                                                    build_contamination)
 
+pytestmark = pytest.mark.slow
+
 
 def _pairs_reg(spark, rows):
     reg = Registry()

@@ -16,6 +16,9 @@ from datavault4dbt_spark.operators.events import (
     build_cohort_retention)
 from datavault4dbt_spark.llm.profile import (GroupedQuantilesConfig,
                                              build_grouped_quantiles)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 _EPOCH = datetime.datetime(2024, 1, 1)
 

@@ -9,6 +9,9 @@ from hypothesis import given, settings, strategies as st
 from datavault4dbt_spark.context import DEFAULT
 from datavault4dbt_spark.functions.hashing import (
     HashSpec, hash_expr_sql, SPARK, DUCKDB)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 # printable unicode incl. the pipeline's structural tokens; surrogates
 # excluded (not representable in UTF-8 parquet/arrow transfer)

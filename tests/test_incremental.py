@@ -12,6 +12,8 @@ from datavault4dbt_spark.operators.sat import build_sat_v0
 from datavault4dbt_spark.operators.link import build_link
 from datavault4dbt_spark.plans.incremental import ParquetStore, max_ldts
 
+pytestmark = pytest.mark.slow
+
 G = DEFAULT
 
 

@@ -13,6 +13,8 @@ from datavault4dbt_spark.operators.maintenance import (
     clean_up_bridge)
 from datavault4dbt_spark.plans.incremental import ParquetStore
 
+pytestmark = pytest.mark.slow
+
 
 def test_rehash_hub_to_sha256(spark, sf_dir, tmp_path):
     store = ParquetStore(spark, str(tmp_path))

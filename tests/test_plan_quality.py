@@ -610,6 +610,42 @@ def test_grouped_vocab_ranks_over_reduced_census(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_pivot_is_single_conditional_aggregate(spark, sf_dir):
+    """Pivot with declared values: Spark's two-level plan — a
+    map-side-combined (group, pivot) census, then the __pivot_*
+    transpose on the group key (2 exchanges, the second moving only
+    census rows) — over ONE scan, no per-value rescans, no Expand."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_source_lang_pivot")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "__pivot_" in plan, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_exact_sample_uses_window_group_limit(spark, sf_dir):
+    """Exactly-n-per-stratum sample: the rank-and-cut must compile to
+    a partial+final WindowGroupLimit pair — per-partition heaps of n
+    rows BEFORE the stratum exchange, so the shuffle never moves the
+    corpus."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_exact_sample")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rolling_agg_one_exchange_one_window(spark, sf_dir):
+    """Rolling block: all four frame aggregates share ONE window spec
+    (one Window operator) over ONE key exchange."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("events_rolling_value")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     """Vocabulary top-k: ORDER BY + LIMIT must compile to
     TakeOrderedAndProject (per-partition heaps, no full vocabulary
@@ -764,14 +800,20 @@ _BUNDLE_CLOSURE = frozenset([
     # round-9 deliberate widening: JSON extraction (scan-stage only,
     # zero exchanges), LOCF gap fill (one key exchange + one running
     # window) and per-language vocabulary (census aggs + a
-    # WindowGroupLimit-bounded rank); measured 3.9s / 2.2s / 2.6s
-    # minima at sf0.1 under HEAVY contention (full suite running
-    # beside the measurement — the scan-stage JSON number alone shows
-    # the inflation); re-measured idle after the suite: see BENCH.md
-    # round-9 section
+    # WindowGroupLimit-bounded rank); 1.59s / 0.33s / 0.86s warm
+    # standalone at sf0.1 (min-of-4, idle; re-measured after the full
+    # suite vacated the host)
     "events_props_extracted",
     "events_value_locf",
     "vocab_topk_by_lang",
+    # round-9 deliberate widening: pivot crosstab (one conditional
+    # aggregate), exactly-n-per-stratum sample (WindowGroupLimit
+    # bounded heaps) and trailing rolling block (one key exchange, one
+    # bounded ROWS frame); 0.65s / 0.45s / 0.36s warm standalone at
+    # sf0.1 (min-of-4, idle; measured before adding)
+    "docs_source_lang_pivot",
+    "docs_exact_sample",
+    "events_rolling_value",
 ])
 
 

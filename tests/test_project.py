@@ -8,6 +8,8 @@ from datavault4dbt_spark.context import testdata_registry as make_registry
 from datavault4dbt_spark.plans.incremental import ParquetStore
 from datavault4dbt_spark.plans.project import load_project, run_project
 
+pytestmark = pytest.mark.slow
+
 
 FILES = {
     "stage_customer.yml": """

@@ -13,6 +13,9 @@ from datavault4dbt_spark.llm.sampling import (DatasetMixConfig,
                                               SequencePackingConfig,
                                               build_dataset_mix,
                                               build_sequence_packing)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 # word-soup documents: token counts 0..80, ids sparse and unordered
 _docs = st.lists(

@@ -11,6 +11,9 @@ from datavault4dbt_spark.llm.boilerplate import (BoilerplateConfig,
                                                  build_boilerplate_removal)
 from datavault4dbt_spark.llm.chunking import (ChunkScrubConfig,
                                               build_chunk_scrub)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 G = DEFAULT
 
