@@ -117,7 +117,9 @@ from .llm.profile import (ProfileConfig, build_dataset_profile,
                           HeavyHittersConfig, build_heavy_hitters,
                           heavy_hitters_oracle,
                           HistogramConfig, build_histogram,
-                          histogram_oracle)
+                          histogram_oracle,
+                          SufficientStatsConfig, build_sufficient_stats,
+                          sufficient_stats_oracle)
 from .llm.lineclean import (LineCleanConfig, build_line_clean,
                             line_clean_oracle)
 from .llm.curation import (CurationConfig, DedupReportConfig,
@@ -134,7 +136,9 @@ from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             SourceCapConfig, build_canonical_selection,
                             build_stratified_split, build_source_cap,
                             canonical_selection_oracle,
-                            stratified_split_oracle, source_cap_oracle)
+                            stratified_split_oracle, source_cap_oracle,
+                            QuantileGateConfig, build_quantile_gate,
+                            quantile_gate_oracle)
 from .operators.asof import (AsofJoinConfig, build_asof_join,
                              asof_join_oracle)
 from .operators.events import (SessionizeConfig, HoppingAggConfig,
@@ -163,6 +167,8 @@ from .operators.merge import (Scd1MergeConfig, build_scd1_merge,
 from .operators.jsonx import (JsonExtractConfig, build_json_extract,
                               json_extract_oracle)
 from .operators.pivot import (PivotConfig, build_pivot, pivot_oracle)
+from .operators.quarantine import (QuarantineConfig, build_quarantine,
+                                   quarantine_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -940,6 +946,32 @@ BUNDLES = {
                      "CAST(share_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'length_histogram'"),
+        # round-9: percentile trim gate — value, both bounds and the
+        # verdict fold in
+        BundleMember("docs_length_gate", "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(n_chars AS STRING), ':', "
+                     "CAST(q_lo AS STRING), ':', CAST(q_hi AS STRING), "
+                     "':', CAST(is_outlier AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'length_gate'"),
+        # round-9: quarantine lane — membership and the ordered
+        # failed-rule reasons fold in (payload flag pins row identity)
+        BundleMember("lineitem_quarantine",
+                     "concat(CAST(l_orderkey AS STRING), ':', "
+                     "CAST(l_linenumber AS STRING))",
+                     "concat(failed_rules, ':', l_returnflag)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'quarantine'"),
+        # round-9: second-moment census — all six exact moments fold in
+        BundleMember("lineitem_qty_price_stats", "l_returnflag",
+                     "concat(CAST(n AS STRING), ':', "
+                     "CAST(sum_x AS STRING), ':', "
+                     "CAST(sum_y AS STRING), ':', "
+                     "CAST(sum_xx AS STRING), ':', "
+                     "CAST(sum_yy AS STRING), ':', "
+                     "CAST(sum_xy AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'moments'"),
         # round-9: pivot crosstab — every wide cell (count + cents sum
         # per declared lang) folds into the hd, so a dropped value
         # column or a NULL-vs-0 divergence fails the gate
@@ -1499,6 +1531,30 @@ HEAVY_HITTERS = {"events_skew_profile": HeavyHittersConfig(
 # by construction (the synthetic stream has duplicate user-ts pairs)
 TRANSITIONS = {"event_transitions":
                TransitionMatrixConfig("event_transitions")}
+# round-9: per-language percentile trim gate — [p10, p90] bounds on
+# n_chars flag ~1/5 of every stratum, so both gate polarities carry
+# real rows per language
+QUANTILE_GATES = {"docs_length_gate": QuantileGateConfig(
+    "docs_length_gate", p_lo=10, p_hi=90)}
+# round-9: schema-contract quarantine lane — qty=50 rows fail the
+# range rule (~2% of lineitem), discount > 0.08 fails independently
+# (~15%), and rows failing BOTH exercise the multi-reason concat;
+# the two always-true rules pin the non-firing branch
+QUARANTINES = {"lineitem_quarantine": QuarantineConfig(
+    "lineitem_quarantine", "lineitem",
+    rules=(("qty_range", "l_quantity BETWEEN 1 AND 49"),
+           ("discount_cap", "l_discount <= 0.08"),
+           ("positive_price", "l_extendedprice > 0"),
+           ("tax_known", "l_tax IS NOT NULL")),
+    id_cols=("l_orderkey", "l_linenumber"),
+    payload_cols=("l_returnflag",))}
+# round-9: exact second-moment census — integer units sized to the
+# BIGINT contract (quantity 1..50, price rounded to dollars <= ~1e5);
+# 3 returnflag groups with all six moments varying
+SUFFICIENT_STATS = {"lineitem_qty_price_stats": SufficientStatsConfig(
+    "lineitem_qty_price_stats", "lineitem", group_col="l_returnflag",
+    x_expr="CAST(round(l_quantity) AS BIGINT)",
+    y_expr="CAST(round(l_extendedprice) AS BIGINT)")}
 # round-9: pivot crosstab — docs per (source x lang) with exact-cents
 # character sums; 20 sources x 5 declared langs, every cell non-trivial
 # and a few zero cells exercise the coalesce-total contract
@@ -1708,6 +1764,11 @@ _FAMILIES = [
     (HISTOGRAMS, build_histogram, histogram_oracle, _NO_DEPS),
     (JSON_EXTRACTS, build_json_extract, json_extract_oracle, _NO_DEPS),
     (PIVOTS, build_pivot, pivot_oracle, _NO_DEPS),
+    (QUARANTINES, build_quarantine, quarantine_oracle, _NO_DEPS),
+    (QUANTILE_GATES, build_quantile_gate, quantile_gate_oracle,
+     _NO_DEPS),
+    (SUFFICIENT_STATS, build_sufficient_stats, sufficient_stats_oracle,
+     _NO_DEPS),
     (EXACT_SAMPLES, build_exact_sample, exact_sample_oracle, _NO_DEPS),
     (ROLLING, build_rolling_agg, rolling_agg_oracle, _NO_DEPS),
     (LOCFS, build_locf, locf_oracle, _NO_DEPS),

@@ -374,3 +374,73 @@ def grouped_quantiles_oracle(b: SqlBuilder, reg: Registry,
         f"SELECT {grp}, CAST(max(n) AS BIGINT) AS n_rows, "
         f"min({val}) AS v_min, {qsel}, max({val}) AS v_max "
         f"FROM {cum} GROUP BY {grp}")
+
+
+# ------------------------------------------------- sufficient stats --
+
+@dataclass(frozen=True)
+class SufficientStatsConfig:
+    """Per-group sufficient statistics for (x, y): n, sum(x), sum(y),
+    sum(x^2), sum(y^2), sum(x*y) — the exact integer census from which
+    mean, variance, covariance, correlation and an OLS fit are all
+    pure downstream arithmetic. The engine's contract (profile.py
+    header) forbids DOUBLE aggregates in verified outputs — this is
+    the verifiable way to ship second-moment statistics: the moments
+    are exact integers, the floating-point division happens once,
+    client-side, deterministically.
+
+    Unit contract: ``x_expr``/``y_expr`` must be integer-valued SQL
+    (the caller picks units — cents, counts, rounded dollars) sized so
+    every sum fits BIGINT (|expr| <= ~1e6 over ~1e6-row groups keeps
+    sum(x^2) under 2^63). Under Spark's ANSI mode an overflow fails
+    the job loudly instead of wrapping; the DuckDB oracle sums in
+    HUGEINT and casts back, so a silent Spark wrap would hash-mismatch
+    anyway — two independent overflow nets.
+
+    Scale design (100 TB): scan-stage integer projection into ONE
+    map-side-combined groupBy; six aggregates share the single
+    exchange."""
+
+    name: str
+    source: str
+    group_col: str
+    x_expr: str
+    y_expr: str
+
+    def __post_init__(self):
+        from ..context import ensure_identifier
+        ensure_identifier(self.group_col, "column", self.name)
+
+
+_MOMENTS = (("n", "count(*)"),
+            ("sum_x", "sum(__x)"), ("sum_y", "sum(__y)"),
+            ("sum_xx", "sum(__x * __x)"), ("sum_yy", "sum(__y * __y)"),
+            ("sum_xy", "sum(__x * __y)"))
+
+
+def build_sufficient_stats(spark, reg: Registry,
+                           cfg: SufficientStatsConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    src = reg.load(spark, cfg.source)
+    proj = src.selectExpr(
+        cfg.group_col,
+        f"CAST(({cfg.x_expr}) AS BIGINT) AS __x",
+        f"CAST(({cfg.y_expr}) AS BIGINT) AS __y")
+    return proj.groupBy(cfg.group_col).agg(
+        *[F.expr(sql).alias(a) for a, sql in _MOMENTS])
+
+
+def sufficient_stats_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: SufficientStatsConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    proj = b.cte(
+        f"{cfg.name}__p",
+        f"SELECT {cfg.group_col}, "
+        f"CAST(({cfg.x_expr}) AS BIGINT) AS __x, "
+        f"CAST(({cfg.y_expr}) AS BIGINT) AS __y FROM {src}")
+    moments = ", ".join(f"CAST({sql} AS BIGINT) AS {a}"
+                        for a, sql in _MOMENTS)
+    return b.cte(cfg.name,
+                 f"SELECT {cfg.group_col}, {moments} FROM {proj} "
+                 f"GROUP BY {cfg.group_col}")

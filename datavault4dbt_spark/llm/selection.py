@@ -222,3 +222,98 @@ def source_cap_oracle(b: SqlBuilder, reg: Registry, cfg: SourceCapConfig,
         cfg.name,
         f"SELECT {cfg.id_col}, {cfg.source_col}, quality_score, cap_rank "
         f"FROM {ranked} WHERE cap_rank <= {cfg.cap}")
+
+
+# ---------------------------------------------------- quantile gate --
+
+@dataclass(frozen=True)
+class QuantileGateConfig:
+    """Per-stratum percentile outlier gate: flag rows whose integer
+    value falls outside the stratum's [p_lo, p_hi] percentile bounds —
+    the winsorization/trim step every corpus runs on document length
+    before mixing (a 2-character doc and a 10 MB doc are both noise,
+    but "too long" is a per-language property, so the bounds are
+    per-stratum). Type-1 (lower) order statistics over exact integer
+    comparisons — the GroupedQuantilesConfig contract — so both
+    engines agree bit-for-bit.
+
+    Scale design (100 TB): ONE map-side-combined (stratum, value)
+    histogram groupBy; cumulative + conditional-min windows over the
+    BOUNDED histogram (distinct values per stratum, never the corpus);
+    the per-stratum bounds table (one row per stratum) joins back
+    broadcast. The corpus is scanned twice (histogram + gate) — fusing
+    to one scan would need the corpus through the quantile window,
+    which is exactly the shape this operator exists to avoid."""
+
+    name: str
+    source: str = "documents"
+    stratum_col: str = "lang"
+    id_col: str = "doc_id"
+    value_col: str = "n_chars"
+    p_lo: int = 5               # percentile, 0..100
+    p_hi: int = 95
+
+    def __post_init__(self):
+        for c in (self.stratum_col, self.id_col, self.value_col):
+            ensure_identifier(c, "column", self.name)
+        if not (0 <= self.p_lo < self.p_hi <= 100):
+            raise ValueError(
+                f"{self.name}: need 0 <= p_lo < p_hi <= 100")
+
+
+def _bounds_frame(df: DataFrame, cfg: QuantileGateConfig) -> DataFrame:
+    grp, val = cfg.stratum_col, cfg.value_col
+    hist = (df.filter(F.col(val).isNotNull())
+            .groupBy(grp, val).agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy(grp).orderBy(F.asc(val))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        grp, val,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(grp)).alias("n"))
+    return cum.groupBy(grp).agg(
+        F.min(F.expr(f"CASE WHEN cum * 100 >= {cfg.p_lo} * n "
+                     f"THEN {val} END")).alias("q_lo"),
+        F.min(F.expr(f"CASE WHEN cum * 100 >= {cfg.p_hi} * n "
+                     f"THEN {val} END")).alias("q_hi"))
+
+
+def build_quantile_gate(spark, reg: Registry, cfg: QuantileGateConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    bounds = _bounds_frame(df, cfg)
+    grp, val = cfg.stratum_col, cfg.value_col
+    return (df.select(cfg.id_col, grp, val)
+            .join(F.broadcast(bounds), [grp])
+            .select(cfg.id_col, grp, F.col(val),
+                    "q_lo", "q_hi",
+                    (~F.col(val).between(F.col("q_lo"), F.col("q_hi")))
+                    .alias("is_outlier")))
+
+
+def quantile_gate_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: QuantileGateConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    grp, val = cfg.stratum_col, cfg.value_col
+    hist = b.cte(f"{cfg.name}__h",
+                 f"SELECT {grp}, {val}, count(*) AS c FROM {src} "
+                 f"WHERE {val} IS NOT NULL GROUP BY {grp}, {val}")
+    cum = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT {grp}, {val}, "
+        f"sum(c) OVER (PARTITION BY {grp} ORDER BY {val} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        f"sum(c) OVER (PARTITION BY {grp}) AS n FROM {hist}")
+    bounds = b.cte(
+        f"{cfg.name}__b",
+        f"SELECT {grp}, "
+        f"min(CASE WHEN cum * 100 >= {cfg.p_lo} * n THEN {val} END) "
+        f"AS q_lo, "
+        f"min(CASE WHEN cum * 100 >= {cfg.p_hi} * n THEN {val} END) "
+        f"AS q_hi FROM {cum} GROUP BY {grp}")
+    return b.cte(
+        cfg.name,
+        f"SELECT s.{cfg.id_col}, s.{grp}, s.{val}, b.q_lo, b.q_hi, "
+        f"NOT (s.{val} BETWEEN b.q_lo AND b.q_hi) AS is_outlier "
+        f"FROM {src} s JOIN {bounds} b USING ({grp})")

@@ -151,6 +151,18 @@ def _llm_kinds() -> dict:
                                     build_funnel, build_cohort_retention)
     from ..operators.rangejoin import build_interval_join
     from ..operators.diff import build_table_diff
+    from ..operators.rollup import build_grouping_sets
+    from ..operators.merge import build_scd1_merge
+    from ..operators.jsonx import build_json_extract
+    from ..operators.pivot import build_pivot
+    from ..operators.quarantine import build_quarantine
+    from ..llm.profile import (build_heavy_hitters, build_histogram,
+                               build_sufficient_stats)
+    from ..llm.vocab import build_grouped_vocab
+    from ..llm.sampling import build_exact_sample
+    from ..llm.selection import build_quantile_gate
+    from ..operators.events import (build_transition_matrix, build_locf,
+                                    build_rolling_agg)
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -227,6 +239,22 @@ def _llm_kinds() -> dict:
         "hopping_agg": (build_hopping_agg, src),
         "interval_join": (build_interval_join,
                           lambda c: [c.points_entity, c.intervals_entity]),
+        "grouping_sets": (build_grouping_sets, src),
+        # runs its own store loop internally; the RESULT is a full
+        # rebuild (the incremental_dedup note above applies)
+        "scd1_merge": (build_scd1_merge, src),
+        "json_extract": (build_json_extract, src),
+        "pivot": (build_pivot, src),
+        "quarantine": (build_quarantine, src),
+        "heavy_hitters": (build_heavy_hitters, src),
+        "histogram": (build_histogram, src),
+        "sufficient_stats": (build_sufficient_stats, src),
+        "grouped_vocab": (build_grouped_vocab, src),
+        "exact_sample": (build_exact_sample, src),
+        "quantile_gate": (build_quantile_gate, src),
+        "transition_matrix": (build_transition_matrix, src),
+        "locf": (build_locf, src),
+        "rolling_agg": (build_rolling_agg, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -479,6 +479,18 @@ def _llm_parsers() -> dict:
     from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                                 SourceCapConfig)
     from .llm.incdedup import IncrementalDedupConfig
+    from .llm.profile import (HeavyHittersConfig, HistogramConfig,
+                              SufficientStatsConfig)
+    from .llm.vocab import GroupedVocabConfig
+    from .llm.sampling import ExactSampleConfig
+    from .llm.selection import QuantileGateConfig
+    from .operators.rollup import GroupingSetsConfig
+    from .operators.merge import Scd1MergeConfig
+    from .operators.jsonx import JsonExtractConfig
+    from .operators.pivot import PivotConfig
+    from .operators.quarantine import QuarantineConfig
+    from .operators.events import (TransitionMatrixConfig, LocfConfig,
+                                   RollingAggConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -536,6 +548,20 @@ def _llm_parsers() -> dict:
         "table_diff": _dataclass_parser(_diff_config()),
         "hopping_agg": _dataclass_parser(_events_configs()[1]),
         "interval_join": _dataclass_parser(_interval_config()),
+        "grouping_sets": _dataclass_parser(GroupingSetsConfig),
+        "scd1_merge": _dataclass_parser(Scd1MergeConfig),
+        "json_extract": _dataclass_parser(JsonExtractConfig),
+        "pivot": _dataclass_parser(PivotConfig),
+        "quarantine": _dataclass_parser(QuarantineConfig),
+        "heavy_hitters": _dataclass_parser(HeavyHittersConfig),
+        "histogram": _dataclass_parser(HistogramConfig),
+        "sufficient_stats": _dataclass_parser(SufficientStatsConfig),
+        "grouped_vocab": _dataclass_parser(GroupedVocabConfig),
+        "exact_sample": _dataclass_parser(ExactSampleConfig),
+        "quantile_gate": _dataclass_parser(QuantileGateConfig),
+        "transition_matrix": _dataclass_parser(TransitionMatrixConfig),
+        "locf": _dataclass_parser(LocfConfig),
+        "rolling_agg": _dataclass_parser(RollingAggConfig),
     }
 
 

@@ -646,6 +646,40 @@ def test_rolling_agg_one_exchange_one_window(spark, sf_dir):
     assert plan.count("Window") == 1, plan
 
 
+def test_quarantine_lane_is_scan_stage_only(spark, sf_dir):
+    """Quarantine routing: rule flags + reason string are a pure
+    projection — zero exchanges, zero joins."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("lineitem_quarantine")(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sufficient_stats_single_aggregate(spark, sf_dir):
+    """Second-moment census: all six moments in ONE map-side-combined
+    aggregate pair over one scan."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("lineitem_qty_price_stats")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_quantile_gate_bounds_join_is_broadcast(spark, sf_dir):
+    """Percentile trim gate: the histogram/cumulative machinery runs
+    over the bounded (stratum, value) census; the per-stratum bounds
+    table joins back BROADCAST — no corpus shuffle on the gate side."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_length_gate")(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash exchanges belong to the bounds derivation
+    # (histogram groupBy + its windows + bounds agg), never the corpus
+    # probe side: probe-side scan flows straight into the broadcast join
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     """Vocabulary top-k: ORDER BY + LIMIT must compile to
     TakeOrderedAndProject (per-partition heaps, no full vocabulary
@@ -814,6 +848,15 @@ _BUNDLE_CLOSURE = frozenset([
     "docs_source_lang_pivot",
     "docs_exact_sample",
     "events_rolling_value",
+    # round-9 deliberate widening: schema-contract quarantine lane
+    # (scan-stage rule flags), exact second-moment census (one
+    # map-side-combined groupBy) and the per-stratum percentile trim
+    # gate (bounded-histogram bounds + broadcast join-back);
+    # 1.36s / 1.34s / 1.42s warm standalone at sf0.1 (min-of-4, idle;
+    # measured before adding)
+    "lineitem_quarantine",
+    "lineitem_qty_price_stats",
+    "docs_length_gate",
 ])
 
 

@@ -221,3 +221,79 @@ def test_llm_kind_rejects_unknown_keys():
     import pytest
     with pytest.raises(ValueError, match="unknown yaml keys"):
         yaml_api.parse("contamination", "ngram_size: 5\n", name="c")
+
+
+def test_round9_kind_parsers_roundtrip():
+    # every round-9 kind routes through the generic parser and
+    # reproduces the declared fixture configs exactly
+    r = yaml_api.parse("grouping_sets", """
+source: lineitem
+group_cols: [l_returnflag, l_linestatus]
+mode: rollup
+sum_cents: [[sum_qty_cents, l_quantity], [sum_price_cents, l_extendedprice]]
+""", name="lineitem_rollup_census")
+    assert r == fixtures.ROLLUPS["lineitem_rollup_census"]
+
+    m = yaml_api.parse("scd1_merge", """
+source: lineitem
+key_cols: [l_orderkey]
+version_expr: l_linenumber % 3
+tie_cols: [l_linenumber]
+payload_cols: [l_partkey, l_suppkey, l_quantity]
+""", name="lineitem_scd1_current")
+    assert m == fixtures.SCD1_MERGES["lineitem_scd1_current"]
+
+    j = yaml_api.parse("json_extract", """
+source: events
+json_col: props
+fields: [[k_value, $.k, bigint], [missing_field, $.missing, string],
+         [bad_cast, $, int]]
+keep_cols: [event_id]
+""", name="events_props_extracted")
+    assert j == fixtures.JSON_EXTRACTS["events_props_extracted"]
+
+    p = yaml_api.parse("pivot", """
+source: documents
+group_col: source
+pivot_col: lang
+values: [de, en, es, fr, zh]
+sum_expr: n_chars
+""", name="docs_source_lang_pivot")
+    assert p == fixtures.PIVOTS["docs_source_lang_pivot"]
+
+    q = yaml_api.parse("quarantine", """
+source: lineitem
+rules: [[qty_range, l_quantity BETWEEN 1 AND 49],
+        [discount_cap, l_discount <= 0.08],
+        [positive_price, l_extendedprice > 0],
+        [tax_known, l_tax IS NOT NULL]]
+id_cols: [l_orderkey, l_linenumber]
+payload_cols: [l_returnflag]
+""", name="lineitem_quarantine")
+    assert q == fixtures.QUARANTINES["lineitem_quarantine"]
+
+    for kind, yml, family, fname in (
+        ("heavy_hitters", "source: events\ncolumns: [event_type, user_id]\nk: 8\n",
+         fixtures.HEAVY_HITTERS, "events_skew_profile"),
+        ("histogram", "source: documents\nvalue_col: n_chars\nn_bins: 12\n",
+         fixtures.HISTOGRAMS, "docs_length_histogram"),
+        ("sufficient_stats",
+         "source: lineitem\ngroup_col: l_returnflag\n"
+         "x_expr: CAST(round(l_quantity) AS BIGINT)\n"
+         "y_expr: CAST(round(l_extendedprice) AS BIGINT)\n",
+         fixtures.SUFFICIENT_STATS, "lineitem_qty_price_stats"),
+        ("grouped_vocab", "", fixtures.GROUPED_VOCABS,
+         "vocab_topk_by_lang"),
+        ("exact_sample", "n_per_stratum: 10\n", fixtures.EXACT_SAMPLES,
+         "docs_exact_sample"),
+        ("quantile_gate", "p_lo: 10\np_hi: 90\n", fixtures.QUANTILE_GATES,
+         "docs_length_gate"),
+        ("transition_matrix", "", fixtures.TRANSITIONS,
+         "event_transitions"),
+        ("locf",
+         "value_expr: CASE WHEN event_type = 'error' THEN NULL "
+         "ELSE value END\n", fixtures.LOCFS, "events_value_locf"),
+        ("rolling_agg", "", fixtures.ROLLING, "events_rolling_value"),
+    ):
+        cfg = yaml_api.parse(kind, yml, name=fname)
+        assert cfg == family[fname], kind
