@@ -202,3 +202,41 @@ def test_load_project_rejects_incremental_llm_kind(tmp_path):
         "pairs_entity: dedup_minhash_lsh\n")
     with pytest.raises(ValueError, match="cannot be materialized"):
         load_project(str(d))
+
+
+def test_run_project_analytics_pipeline(spark, sf_dir, tmp_path):
+    """The round-9 kinds drive end-to-end through the YAML front door:
+    examples/analytics_project materializes every reporting/data-ops
+    step, and each stored table equals the direct fixture-built
+    result (the fixtures declare identical configs)."""
+    import shutil
+
+    fixtures.ensure_session_conf(spark)
+    proj = str(tmp_path / "an_proj")
+    shutil.copytree("examples/analytics_project", proj)
+    store = ParquetStore(spark, str(tmp_path / "an_wh"))
+
+    counts = run_project(spark, proj, store, make_registry(sf_dir))
+    assert set(counts) == {
+        "lineitem_rollup", "lineitem_current", "lineitem_quarantine",
+        "lineitem_moments", "events_props", "events_transitions",
+        "events_locf", "events_rolling", "events_skew", "docs_pivot",
+        "docs_histogram", "docs_length_gate", "docs_sample",
+        "docs_vocab_by_lang"}
+    # spot-check three stored tables against the direct fixture builds
+    # (same configs modulo entity name)
+    reg = fixtures.registry(spark, sf_dir)
+    for stored, fixture_name, key in (
+            ("lineitem_rollup", "lineitem_rollup_census",
+             ("l_returnflag", "l_linestatus", "g_l_returnflag",
+              "g_l_linestatus")),
+            ("events_transitions", "event_transitions",
+             ("from_event", "to_event")),
+            ("docs_sample", "docs_exact_sample", ("doc_id",))):
+        got = sorted(
+            tuple(str(x) for x in r)
+            for r in store.read(stored)
+            .select(*reg.load(spark, fixture_name).columns).collect())
+        want = sorted(tuple(str(x) for x in r)
+                      for r in reg.load(spark, fixture_name).collect())
+        assert got == want, stored
