@@ -169,6 +169,9 @@ from .operators.jsonx import (JsonExtractConfig, build_json_extract,
 from .operators.pivot import (PivotConfig, build_pivot, pivot_oracle)
 from .operators.quarantine import (QuarantineConfig, build_quarantine,
                                    quarantine_oracle)
+from .sources.readers import (SourceRoundtripConfig,
+                              build_source_roundtrip,
+                              source_roundtrip_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -946,6 +949,18 @@ BUNDLES = {
                      "CAST(share_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'length_histogram'"),
+        # round-9: source round-trips — every row read back from the
+        # staged json / csv folds in; props pins the quoting path
+        BundleMember("events_source_json", "CAST(event_id AS STRING)",
+                     "concat(CAST(user_id AS STRING), ':', "
+                     "event_type, ':', props)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_json'"),
+        BundleMember("events_source_csv", "CAST(event_id AS STRING)",
+                     "concat(CAST(user_id AS STRING), ':', "
+                     "event_type, ':', props)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_csv'"),
         # round-9: percentile trim gate — value, both bounds and the
         # verdict fold in
         BundleMember("docs_length_gate", "CAST(doc_id AS STRING)",
@@ -1531,6 +1546,18 @@ HEAVY_HITTERS = {"events_skew_profile": HeavyHittersConfig(
 # by construction (the synthetic stream has duplicate user-ts pairs)
 TRANSITIONS = {"event_transitions":
                TransitionMatrixConfig("event_transitions")}
+# round-9: non-parquet source paths under the driver gate — the rows
+# stage to json-lines / csv in scratch and read back through
+# sources/readers.py; the oracle reads the ORIGINAL parquet rows, so
+# green == the text round-trip is lossless for the declared columns
+# (props carries embedded JSON braces/quotes/commas through the csv
+# quoting path)
+SOURCE_ROUNDTRIPS = {
+    "events_source_json": SourceRoundtripConfig(
+        "events_source_json", format="json"),
+    "events_source_csv": SourceRoundtripConfig(
+        "events_source_csv", format="csv"),
+}
 # round-9: per-language percentile trim gate — [p10, p90] bounds on
 # n_chars flag ~1/5 of every stratum, so both gate polarities carry
 # real rows per language
@@ -1765,6 +1792,8 @@ _FAMILIES = [
     (JSON_EXTRACTS, build_json_extract, json_extract_oracle, _NO_DEPS),
     (PIVOTS, build_pivot, pivot_oracle, _NO_DEPS),
     (QUARANTINES, build_quarantine, quarantine_oracle, _NO_DEPS),
+    (SOURCE_ROUNDTRIPS, build_source_roundtrip, source_roundtrip_oracle,
+     _NO_DEPS),
     (QUANTILE_GATES, build_quantile_gate, quantile_gate_oracle,
      _NO_DEPS),
     (SUFFICIENT_STATS, build_sufficient_stats, sufficient_stats_oracle,

@@ -72,3 +72,65 @@ def register_sources(reg: Registry, configs) -> Registry:
             (lambda spark, c=cfg: read_source(spark, c)),
             cfg.duckdb_relation or cfg.name)
     return reg
+
+
+# ---------------------------------------------- round-trip entity --
+
+@dataclass(frozen=True)
+class SourceRoundtripConfig:
+    """Driver-gated verification of a non-parquet source path: stage
+    the source's rows to ``format`` in a scratch directory
+    (distributed write), read them back through :func:`read_source`
+    with an explicit schema, and return the rows — the oracle reads
+    the ORIGINAL table, so a green hash certifies the write+read
+    round-trip is lossless for the declared columns.
+
+    ``cols`` must round-trip exactly in the format's text encoding:
+    integers and strings do; timestamps are excluded by contract
+    (Spark's csv/json writers emit millisecond precision — micros
+    would be silently truncated and fail the gate, correctly) and
+    doubles by the engine's portability convention.
+    """
+
+    name: str
+    source: str = "events"
+    format: str = "json"               # 'json' (lines) or 'csv'
+    cols: tuple = ("event_id", "user_id", "event_type", "props")
+
+    def __post_init__(self):
+        if self.format not in ("json", "csv"):
+            raise ValueError(f"{self.name}: round-trip format must be "
+                             f"json|csv (parquet is the native path)")
+        if not self.cols:
+            raise ValueError(f"{self.name}: cols must be non-empty")
+
+
+def build_source_roundtrip(spark, reg: Registry,
+                           cfg: SourceRoundtripConfig, g=None):
+    from ..plans.incremental import scratch_store
+
+    src = reg.load(spark, cfg.source).select(*cfg.cols)
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_source")
+    path = store.path(cfg.format)
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+    w = src.write.format(cfg.format).mode("overwrite")
+    if cfg.format == "csv":
+        # header off: the explicit schema names the columns; quoting
+        # defaults handle embedded commas/quotes (the props JSON)
+        w = w.option("header", "false")
+    w.save(path)
+    out = read_source(spark, SourceConfig(
+        name=f"{cfg.name}__rt", path=path, format=cfg.format,
+        schema=schema_ddl,
+        options=(("header", "false"),) if cfg.format == "csv" else ()))
+    return out.select(*cfg.cols)
+
+
+def source_roundtrip_oracle(b, reg: Registry,
+                            cfg: SourceRoundtripConfig, g=None) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    return b.cte(cfg.name,
+                 f"SELECT {', '.join(cfg.cols)} FROM {src}")

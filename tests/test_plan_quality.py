@@ -857,6 +857,12 @@ _BUNDLE_CLOSURE = frozenset([
     "lineitem_quarantine",
     "lineitem_qty_price_stats",
     "docs_length_gate",
+    # round-9 deliberate widening: non-parquet source round-trips
+    # (stage to scratch json/csv, read back through sources/readers);
+    # 0.59s / 0.58s warm standalone at sf0.1 (min-of-4, idle; measured
+    # before adding)
+    "events_source_json",
+    "events_source_csv",
 ])
 
 
