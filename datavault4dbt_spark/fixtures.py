@@ -961,6 +961,11 @@ BUNDLES = {
                      "event_type, ':', props)",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'source_csv'"),
+        BundleMember("events_source_orc", "CAST(event_id AS STRING)",
+                     "concat(CAST(user_id AS STRING), ':', "
+                     "event_type, ':', props)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_orc'"),
         # round-9: percentile trim gate — value, both bounds and the
         # verdict fold in
         BundleMember("docs_length_gate", "CAST(doc_id AS STRING)",
@@ -1557,6 +1562,8 @@ SOURCE_ROUNDTRIPS = {
         "events_source_json", format="json"),
     "events_source_csv": SourceRoundtripConfig(
         "events_source_csv", format="csv"),
+    "events_source_orc": SourceRoundtripConfig(
+        "events_source_orc", format="orc"),
 }
 # round-9: per-language percentile trim gate — [p10, p90] bounds on
 # n_chars flag ~1/5 of every stratum, so both gate polarities carry
@@ -1627,11 +1634,19 @@ HISTOGRAMS = {"docs_length_histogram": HistogramConfig(
 # versioned on l_linenumber % 3 (orders hold up to 7 lines, so most
 # keys recur across all 3 batches and the replay genuinely UPDATES
 # existing keys, not just inserts); the in-batch tie-break is
-# exercised too (several lines of one order share a version)
+# exercised too (several lines of one order share a version).
+# tie_cols include part+supp: the synthetic lineitem REUSES
+# (l_orderkey, l_linenumber) across rows with different payloads
+# (11.8k dup pairs at sf0.01), so the line number alone violates the
+# operator's (key, version, tie)-uniqueness contract — an
+# insufficient tie is exactly the nondeterminism this fixture must
+# not ship (it matched at sf0.001 only because single-partition scan
+# order happened to agree across engines)
 SCD1_MERGES = {"lineitem_scd1_current": Scd1MergeConfig(
     "lineitem_scd1_current", "lineitem", key_cols=("l_orderkey",),
-    version_expr="l_linenumber % 3", tie_cols=("l_linenumber",),
-    payload_cols=("l_partkey", "l_suppkey", "l_quantity"))}
+    version_expr="l_linenumber % 3",
+    tie_cols=("l_linenumber", "l_partkey", "l_suppkey"),
+    payload_cols=("l_quantity",))}
 # round-9: SQL-standard grouping-sets census (operators/rollup.py) —
 # ROLLUP over lineitem's (returnflag, linestatus) exercises subtotal +
 # grand-total rows (10 grouping combinations at any sf), CUBE over

@@ -89,7 +89,9 @@ class SourceRoundtripConfig:
     integers and strings do; timestamps are excluded by contract
     (Spark's csv/json writers emit millisecond precision — micros
     would be silently truncated and fail the gate, correctly) and
-    doubles by the engine's portability convention.
+    doubles by the engine's portability convention. ``orc`` is the
+    binary columnar twin (every type round-trips; the entity keeps the
+    shared column contract so all three certify the same rows).
     """
 
     name: str
@@ -98,9 +100,9 @@ class SourceRoundtripConfig:
     cols: tuple = ("event_id", "user_id", "event_type", "props")
 
     def __post_init__(self):
-        if self.format not in ("json", "csv"):
+        if self.format not in ("json", "csv", "orc"):
             raise ValueError(f"{self.name}: round-trip format must be "
-                             f"json|csv (parquet is the native path)")
+                             f"json|csv|orc (parquet is the native path)")
         if not self.cols:
             raise ValueError(f"{self.name}: cols must be non-empty")
 

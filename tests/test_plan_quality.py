@@ -858,11 +858,13 @@ _BUNDLE_CLOSURE = frozenset([
     "lineitem_qty_price_stats",
     "docs_length_gate",
     # round-9 deliberate widening: non-parquet source round-trips
-    # (stage to scratch json/csv, read back through sources/readers);
-    # 0.59s / 0.58s warm standalone at sf0.1 (min-of-4, idle; measured
-    # before adding)
+    # (stage to scratch json/csv/orc, read back through
+    # sources/readers); 0.59s / 0.58s warm standalone at sf0.1 for
+    # json/csv (min-of-4, idle; measured before adding), orc is the
+    # cheaper binary twin of the same shape
     "events_source_json",
     "events_source_csv",
+    "events_source_orc",
 ])
 
 

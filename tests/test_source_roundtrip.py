@@ -39,6 +39,17 @@ def test_hostile_strings_round_trip(spark, fmt):
     assert got == want
 
 
+def test_orc_round_trips_all_types(spark):
+    rows = [(1, "a", 1.5), (2, "", -2.25), (3, None, None)]
+    reg = _reg(spark, rows, "id bigint, s string, v double")
+    cfg = SourceRoundtripConfig("rt_orc", "t", format="orc",
+                                cols=("id", "s", "v"))
+    got = {r["id"]: (r["s"], r["v"])
+           for r in build_source_roundtrip(spark, reg, cfg).collect()}
+    # binary columnar: empty string, NULL and doubles all survive
+    assert got == {1: ("a", 1.5), 2: ("", -2.25), 3: (None, None)}
+
+
 def test_validation():
     with pytest.raises(ValueError, match="json|csv"):
         SourceRoundtripConfig("x", "t", format="parquet")

@@ -238,8 +238,8 @@ sum_cents: [[sum_qty_cents, l_quantity], [sum_price_cents, l_extendedprice]]
 source: lineitem
 key_cols: [l_orderkey]
 version_expr: l_linenumber % 3
-tie_cols: [l_linenumber]
-payload_cols: [l_partkey, l_suppkey, l_quantity]
+tie_cols: [l_linenumber, l_partkey, l_suppkey]
+payload_cols: [l_quantity]
 """, name="lineitem_scd1_current")
     assert m == fixtures.SCD1_MERGES["lineitem_scd1_current"]
 
