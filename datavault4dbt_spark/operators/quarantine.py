@@ -85,10 +85,13 @@ def build_quarantine(spark, reg: Registry, cfg: QuarantineConfig,
     return split_lanes(spark, reg, cfg, g)[1]
 
 
-def split_lanes(spark, reg: Registry, cfg: QuarantineConfig,
-                g: GlobalConfig = DEFAULT) -> tuple:
-    src = reg.load(spark, cfg.source)
-    flagged = src.selectExpr(
+def route_lanes(rows: DataFrame, cfg: QuarantineConfig) -> tuple:
+    """Shared frame core: (valid, quarantine) lanes over any input
+    frame — the batch operator and the streaming twin
+    (streaming/curation.py streaming_quarantine) both call this, so
+    the two paths cannot drift. Stateless scan-stage projection: runs
+    unchanged inside a micro-batch plan."""
+    flagged = rows.selectExpr(
         *dict.fromkeys((*cfg.id_cols, *cfg.payload_cols)),
         *_flag_exprs(cfg))
     all_ok = " AND ".join(f"__ok_{rn}" for rn, _ in cfg.rules)
@@ -98,6 +101,11 @@ def split_lanes(spark, reg: Registry, cfg: QuarantineConfig,
                    .selectExpr(*out_cols,
                                f"{_reason_expr(cfg)} AS failed_rules"))
     return valid, quarantined
+
+
+def split_lanes(spark, reg: Registry, cfg: QuarantineConfig,
+                g: GlobalConfig = DEFAULT) -> tuple:
+    return route_lanes(reg.load(spark, cfg.source), cfg)
 
 
 def quarantine_oracle(b: SqlBuilder, reg: Registry, cfg: QuarantineConfig,

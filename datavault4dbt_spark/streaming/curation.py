@@ -191,3 +191,17 @@ def streaming_temperature_gate(stream_docs: DataFrame, rates: DataFrame,
     from ..llm.sampling import temperature_gate_frame
 
     return temperature_gate_frame(stream_docs, rates, cfg)
+
+
+def streaming_quarantine(stream_rows: DataFrame, cfg) -> tuple:
+    """Schema-contract routing on an ARRIVING stream: (valid lane,
+    quarantine lane) as streaming DataFrames through the SAME frame
+    core the oracle-checked batch operator uses
+    (operators/quarantine.py route_lanes) — shared code, so the two
+    paths cannot drift; the stream-equals-batch test pins it. Rules
+    are per-row, so micro-batch-local routing equals corpus-wide
+    routing and replays are idempotent (the stateless-gate argument of
+    streaming_gopher_gate)."""
+    from ..operators.quarantine import route_lanes
+
+    return route_lanes(stream_rows, cfg)

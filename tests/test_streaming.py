@@ -718,3 +718,44 @@ def test_streaming_ccnet_gate_nondefault_lang_col(spark, doc_batches,
         checkpoint_dir=str(tmp_path / "ckpt_ccg2"))
     q.awaitTermination(300)
     assert {tuple(map(str, r)) for r in got_rows} == want and want
+
+
+def test_streaming_quarantine_equals_batch(spark, doc_batches, tmp_path):
+    """Schema-contract routing on an arriving stream must equal the
+    batch lanes over the same corpus — both run the shared route_lanes
+    core — and the lanes must partition the input."""
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.operators.quarantine import (
+        QuarantineConfig, split_lanes)
+    from datavault4dbt_spark.streaming.curation import streaming_quarantine
+
+    fixtures.ensure_session_conf(spark)
+    cfg = QuarantineConfig(
+        "qs", "qdocs",
+        rules=(("even_id", "doc_id % 2 = 0"),
+               ("short", "length(text) < 300")),
+        id_cols=("doc_id",))
+    batch = spark.read.parquet(doc_batches)
+    reg = Registry()
+    reg.spark_loaders["qdocs"] = lambda _s: batch
+    valid_b, quar_b = split_lanes(spark, reg, cfg)
+    want_valid = {r.doc_id for r in valid_b.collect()}
+    want_quar = {(r.doc_id, r.failed_rules) for r in quar_b.collect()}
+    assert want_valid and want_quar                 # both lanes bite
+    assert len(want_valid) + len(want_quar) == batch.count()
+
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(doc_batches))
+    valid_s, quar_s = streaming_quarantine(stream, cfg)
+    for name, lane in (("q_valid", valid_s), ("q_quar", quar_s)):
+        q = (lane.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation",
+                     str(tmp_path / f"ckpt_{name}")).start())
+        q.awaitTermination(300)
+    got_valid = {r.doc_id for r in spark.table("q_valid").collect()}
+    got_quar = {(r.doc_id, r.failed_rules)
+                for r in spark.table("q_quar").collect()}
+    assert got_valid == want_valid
+    assert got_quar == want_quar
