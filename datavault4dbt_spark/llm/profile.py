@@ -150,6 +150,8 @@ class HeavyHittersConfig:
     def __post_init__(self):
         if not self.columns:
             raise ValueError(f"{self.name}: columns must be non-empty")
+        if len(set(self.columns)) != len(self.columns):
+            raise ValueError(f"{self.name}: duplicate columns")
         if self.k < 1:
             raise ValueError(f"{self.name}: k must be >= 1")
         from ..context import ensure_identifier

@@ -56,6 +56,12 @@ class JsonExtractConfig:
             raise ValueError(f"{self.name}: fields must be non-empty")
         for c in (self.json_col, *self.keep_cols):
             ensure_identifier(c, "column", self.name)
+        out_names = [*self.keep_cols, *(a for a, _p, _t in self.fields)]
+        dupes = {n for n in out_names if out_names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"{self.name}: duplicate output columns "
+                             f"{sorted(dupes)} (aliases must not "
+                             f"collide with keep_cols or each other)")
         for alias, path, typ in self.fields:
             ensure_identifier(alias, "column", self.name)
             if typ.lower() not in _TYPES:

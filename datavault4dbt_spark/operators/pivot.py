@@ -51,6 +51,11 @@ class PivotConfig:
     def __post_init__(self):
         if not self.values:
             raise ValueError(f"{self.name}: values must be non-empty")
+        if len(set(self.values)) != len(self.values):
+            raise ValueError(f"{self.name}: duplicate pivot values")
+        if self.group_col == self.pivot_col:
+            raise ValueError(f"{self.name}: group_col and pivot_col "
+                             f"must differ")
         for c in (self.group_col, self.pivot_col):
             ensure_identifier(c, "column", self.name)
         for v in self.values:

@@ -58,10 +58,19 @@ class GroupingSetsConfig:
             # 2^n Expand fan-out: refuse the shape that degrades at scale
             raise ValueError(f"{self.name}: cube capped at 5 dimensions "
                              f"(2^n row replication in Expand)")
+        if len(set(self.group_cols)) != len(self.group_cols):
+            raise ValueError(f"{self.name}: duplicate group_cols")
         for c in self.group_cols:
             ensure_identifier(c, "column", self.name)
+        reserved = ({"n_rows"} | {f"g_{c}" for c in self.group_cols}
+                    | set(self.group_cols))
+        seen = set()
         for alias, _expr in self.sum_cents:
             ensure_identifier(alias, "column", self.name)
+            if alias in reserved or alias in seen:
+                raise ValueError(f"{self.name}: sum alias {alias!r} "
+                                 f"collides with an output column")
+            seen.add(alias)
 
 
 def _cents(expr: str):

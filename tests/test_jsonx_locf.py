@@ -45,6 +45,12 @@ def test_json_extract_validation():
         JsonExtractConfig("x", "t", "j", fields=(("a", "$['a']", "int"),))
     with pytest.raises(ValueError, match="quote-free"):
         JsonExtractConfig("x", "t", "j", fields=(("a", "a.b", "int"),))
+    with pytest.raises(ValueError, match="duplicate output"):
+        JsonExtractConfig("x", "t", "j", fields=(("id", "$.a", "int"),),
+                          keep_cols=("id",))
+    with pytest.raises(ValueError, match="duplicate output"):
+        JsonExtractConfig("x", "t", "j", fields=(("a", "$.a", "int"),
+                                                 ("a", "$.b", "int")))
 
 
 def test_locf_carries_forward_and_leading_nulls_stay(spark):

@@ -49,6 +49,10 @@ def test_pivot_validation():
         PivotConfig("p", "t", "a", "b", values=())
     with pytest.raises(ValueError, match="lowercase token"):
         PivotConfig("p", "t", "a", "b", values=("ok", "BAD-NAME"))
+    with pytest.raises(ValueError, match="duplicate pivot"):
+        PivotConfig("p", "t", "a", "b", values=("x", "x"))
+    with pytest.raises(ValueError, match="must differ"):
+        PivotConfig("p", "t", "a", "a", values=("x",))
 
 
 def test_exact_sample_is_deterministic_and_exact(spark):

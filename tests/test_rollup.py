@@ -66,3 +66,11 @@ def test_config_validation():
         GroupingSetsConfig("x", "t", tuple("abcdef"), mode="cube")
     # rollup is linear fan-out: 6 dims allowed
     GroupingSetsConfig("x", "t", tuple("abcdef"), mode="rollup")
+    with pytest.raises(ValueError, match="duplicate group"):
+        GroupingSetsConfig("x", "t", ("a", "a"))
+    with pytest.raises(ValueError, match="collides"):
+        GroupingSetsConfig("x", "t", ("a",),
+                           sum_cents=(("g_a", "v"),))
+    with pytest.raises(ValueError, match="collides"):
+        GroupingSetsConfig("x", "t", ("a",),
+                           sum_cents=(("s", "v"), ("s", "w")))

@@ -45,6 +45,8 @@ def test_heavy_hitters_validation():
         HeavyHittersConfig("x", "t", ())
     with pytest.raises(ValueError, match="k must be"):
         HeavyHittersConfig("x", "t", ("a",), k=0)
+    with pytest.raises(ValueError, match="duplicate columns"):
+        HeavyHittersConfig("x", "t", ("a", "a"))
 
 
 def test_transition_matrix_hand_checked(spark):
