@@ -1042,6 +1042,17 @@ BUNDLES = {
                      "CAST(df AS STRING), ':', CAST(rnk AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'vocab_by_lang'"),
+        # round-9: CDC-apply variant — surviving keys and their
+        # payload fold in; a tombstoned key wrongly surviving (or a
+        # re-inserted key wrongly dropped) changes the row set
+        BundleMember("lineitem_scd1_cdc",
+                     "CAST(l_orderkey AS STRING)",
+                     "concat(CAST(version_seq AS STRING), ':', "
+                     "CAST(l_linenumber AS STRING), ':', "
+                     "CAST(CAST(round(l_quantity * 100) AS BIGINT) "
+                     "AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'scd1_cdc'"),
         # round-9: transition matrix — the census, the per-from total
         # and the row-normalized ppm all drive the driver hash
         BundleMember("event_transitions",
@@ -1646,7 +1657,19 @@ SCD1_MERGES = {"lineitem_scd1_current": Scd1MergeConfig(
     "lineitem_scd1_current", "lineitem", key_cols=("l_orderkey",),
     version_expr="l_linenumber % 3",
     tie_cols=("l_linenumber", "l_partkey", "l_suppkey"),
-    payload_cols=("l_quantity",))}
+    payload_cols=("l_quantity",)),
+               # round-9: the CDC-apply variant — returnflag 'R' rows
+               # are tombstones, so an order whose LATEST line is a
+               # return leaves the current table (~1/4 of keys at any
+               # sf) while orders with only EARLIER returns survive
+               # (the re-insert path); certified against the one-shot
+               # latest-not-tombstone SQL
+               "lineitem_scd1_cdc": Scd1MergeConfig(
+    "lineitem_scd1_cdc", "lineitem", key_cols=("l_orderkey",),
+    version_expr="l_linenumber % 3",
+    tie_cols=("l_linenumber", "l_partkey", "l_suppkey"),
+    payload_cols=("l_quantity",),
+    delete_expr="l_returnflag = 'R'")}
 # round-9: SQL-standard grouping-sets census (operators/rollup.py) —
 # ROLLUP over lineitem's (returnflag, linestatus) exercises subtotal +
 # grand-total rows (10 grouping combinations at any sf), CUBE over

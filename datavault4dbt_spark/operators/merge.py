@@ -13,6 +13,15 @@ key's row is REPLACED, a new key's row inserted — the final table holds
 exactly one current row per key ever seen. (key, version, tie) must be
 unique — the determinism contract every SCD1 feed needs anyway.
 
+CDC mode: with ``delete_expr`` set (a boolean SQL expression — the
+feed's tombstone marker), a key whose LATEST row is a delete leaves
+the current-state table entirely (MERGE ... WHEN MATCHED AND tombstone
+THEN DELETE); a later non-delete version re-inserts it. A NULL marker
+means not-deleted in both engines (coalesce to FALSE). This is the
+full CDC-apply: upserts and deletes through one deterministic
+latest-wins rule, certified against the one-shot SQL (latest row per
+key, kept iff not a tombstone).
+
 Scale design (100 TB target, daily-batch steady state): each merge is
 ONE key-equi anti join of the target against the batch's keys (AQE
 broadcasts the small daily batch) plus a union — with Delta this is a
@@ -51,6 +60,7 @@ class Scd1MergeConfig:
     tie_cols: Tuple[str, ...]
     payload_cols: Tuple[str, ...] = ()
     version_alias: str = "version_seq"
+    delete_expr: str | None = None     # CDC tombstone marker
 
     def __post_init__(self):
         if not self.key_cols or not self.tie_cols:
@@ -67,9 +77,12 @@ class Scd1MergeConfig:
 
 
 def _versioned(cfg: Scd1MergeConfig, df: DataFrame) -> DataFrame:
+    delete = (f"coalesce(CAST(({cfg.delete_expr}) AS BOOLEAN), FALSE)"
+              if cfg.delete_expr else "FALSE")
     return df.selectExpr(
         *dict.fromkeys((*cfg.key_cols, *cfg.tie_cols, *cfg.payload_cols)),
-        f"CAST({cfg.version_expr} AS BIGINT) AS {cfg.version_alias}")
+        f"CAST({cfg.version_expr} AS BIGINT) AS {cfg.version_alias}",
+        f"{delete} AS __del")
 
 
 def merge_scd1_batch(store, table: str, batch: DataFrame,
@@ -79,13 +92,17 @@ def merge_scd1_batch(store, table: str, batch: DataFrame,
     w = Window.partitionBy(*cfg.key_cols).orderBy(
         *[F.desc(t) for t in cfg.tie_cols])
     latest = (batch.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).select(*cfg.out_cols))
+              .filter(F.col("__rn") == 1)
+              .select(*cfg.out_cols, "__del"))
+    # tombstoned keys leave the table (anti-join removes them along
+    # with updated keys); only surviving latest rows re-enter
+    survivors = latest.filter(~F.col("__del")).select(*cfg.out_cols)
     if store.exists(table):
         kept = store.read(table).join(
             latest.select(*cfg.key_cols), list(cfg.key_cols), "left_anti")
-        store.overwrite(table, kept.unionByName(latest))
+        store.overwrite(table, kept.unionByName(survivors))
     else:
-        store.overwrite(table, latest)
+        store.overwrite(table, survivors)
 
 
 def build_scd1_merge(spark, reg: Registry, cfg: Scd1MergeConfig,
@@ -118,10 +135,12 @@ def scd1_merge_oracle(b: SqlBuilder, reg: Registry, cfg: Scd1MergeConfig,
     ties = ", ".join(f"{t} DESC" for t in cfg.tie_cols)
     cols = ", ".join(dict.fromkeys(
         (*cfg.key_cols, *cfg.tie_cols, *cfg.payload_cols)))
+    delete = (f"coalesce(CAST(({cfg.delete_expr}) AS BOOLEAN), FALSE)"
+              if cfg.delete_expr else "FALSE")
     versioned = b.cte(
         f"{cfg.name}__v",
         f"SELECT {cols}, CAST({cfg.version_expr} AS BIGINT) "
-        f"AS {cfg.version_alias} FROM {src}")
+        f"AS {cfg.version_alias}, {delete} AS __del FROM {src}")
     ranked = b.cte(
         f"{cfg.name}__r",
         f"SELECT *, row_number() OVER (PARTITION BY {keys} "
@@ -129,4 +148,5 @@ def scd1_merge_oracle(b: SqlBuilder, reg: Registry, cfg: Scd1MergeConfig,
         f"FROM {versioned}")
     out = ", ".join(cfg.out_cols)
     return b.cte(cfg.name,
-                 f"SELECT {out} FROM {ranked} WHERE __rn = 1")
+                 f"SELECT {out} FROM {ranked} "
+                 f"WHERE __rn = 1 AND NOT __del")

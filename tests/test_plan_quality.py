@@ -865,6 +865,11 @@ _BUNDLE_CLOSURE = frozenset([
     "events_source_json",
     "events_source_csv",
     "events_source_orc",
+    # round-9 deliberate widening: the CDC-apply merge variant (same
+    # 3-upsert store loop as lineitem_scd1_current plus the tombstone
+    # split); 3.11s warm standalone at sf0.1 (min-of-4, idle; measured
+    # before adding)
+    "lineitem_scd1_cdc",
 ])
 
 

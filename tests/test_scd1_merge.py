@@ -67,3 +67,39 @@ def test_validation():
         _cfg(tie_cols=())
     with pytest.raises(ValueError):
         _cfg(payload_cols=("bad-name",))
+
+
+def test_cdc_delete_removes_key_and_later_version_reinserts(spark):
+    rows = [
+        ("a", 0, 1, "a-v0", False), ("b", 0, 1, "b-v0", False),
+        ("a", 1, 1, "tomb", True),                 # delete a at v1
+        ("b", 1, 1, "tomb", True),                 # delete b at v1
+        ("a", 2, 1, "a-v2", False),                # re-insert a at v2
+    ]
+    reg = _reg(spark, rows, "k string, v int, seq int, p string, "
+                            "del boolean")
+    cfg = _cfg(delete_expr="del")
+    got = {r["k"]: (r["version_seq"], r["p"])
+           for r in build_scd1_merge(spark, reg, cfg).collect()}
+    # b stays deleted; a came back with its v2 state
+    assert got == {"a": (2, "a-v2")}
+
+
+def test_cdc_within_batch_tombstone_wins_by_tie(spark):
+    # same key+version: the HIGHER tie row decides (tombstone wins
+    # here), exactly as if the rows had arrived ordered
+    rows = [("a", 0, 1, "live", False), ("a", 0, 2, "tomb", True)]
+    reg = _reg(spark, rows, "k string, v int, seq int, p string, "
+                            "del boolean")
+    got = build_scd1_merge(spark, reg, _cfg(delete_expr="del")).collect()
+    assert got == []
+
+
+def test_cdc_null_marker_means_not_deleted(spark):
+    rows = [("a", 0, 1, "x", None)]
+    reg = _reg(spark, rows, "k string, v int, seq int, p string, "
+                            "del boolean")
+    got = {r["k"]: r["p"]
+           for r in build_scd1_merge(spark, reg,
+                                     _cfg(delete_expr="del")).collect()}
+    assert got == {"a": "x"}
