@@ -38,6 +38,8 @@ from .operators.snapshots import (SnapV0Config, SnapV1Config, LogLogic,
 from .operators.pit import PitConfig, build_pit, pit_oracle
 from .operators.bridge import (BridgeConfig, BridgeLeg, build_bridge,
                                bridge_oracle)
+from .operators.linkage import (BlockedLinkageConfig, build_blocked_linkage,
+                                blocked_linkage_oracle)
 from .operators.bundle import (BundleConfig, BundleMember, build_bundle,
                                bundle_oracle, UnionBundleConfig,
                                build_union_bundle, union_bundle_oracle)
@@ -1062,6 +1064,14 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: blocked fuzzy linkage — every candidate pair and
+        # its edit distance drive the driver hash
+        BundleMember("part_name_linkage",
+                     "concat(CAST(id_a AS STRING), ':', "
+                     "CAST(id_b AS STRING))",
+                     "CAST(dist AS STRING)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'linkage'"),
     )),
 }
 
@@ -1687,6 +1697,17 @@ ROLLUPS = {
         sum_cents=(("sum_chars_cents", "n_chars"),)),
 }
 
+# round-10: blocked fuzzy record linkage — (p_brand, p_size) blocks
+# bound the scored pairs to ~1.6k at sf0.01 / ~160k at sf0.1;
+# levenshtein <= 3 on the two-word names keeps ~106 genuine
+# near-match pairs at the driver's sf0.01 (~10k at sf0.1). sf0.001's
+# blocks hold no near pairs (0 rows there) — semantics are pinned by
+# tests/test_linkage.py's constructed frames; the block cap is
+# unit-exercised, not fixture-hit
+LINKAGES = {"part_name_linkage": BlockedLinkageConfig(
+    "part_name_linkage", block_cols=("p_brand", "p_size"),
+    max_distance=3)}
+
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
 
@@ -1843,6 +1864,7 @@ _FAMILIES = [
     (HEAVY_HITTERS, build_heavy_hitters, heavy_hitters_oracle, _NO_DEPS),
     (TRANSITIONS, build_transition_matrix, transition_matrix_oracle,
      _NO_DEPS),
+    (LINKAGES, build_blocked_linkage, blocked_linkage_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -491,6 +491,7 @@ def _llm_parsers() -> dict:
     from .operators.quarantine import QuarantineConfig
     from .operators.events import (TransitionMatrixConfig, LocfConfig,
                                    RollingAggConfig)
+    from .operators.linkage import BlockedLinkageConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -562,6 +563,7 @@ def _llm_parsers() -> dict:
         "transition_matrix": _dataclass_parser(TransitionMatrixConfig),
         "locf": _dataclass_parser(LocfConfig),
         "rolling_agg": _dataclass_parser(RollingAggConfig),
+        "blocked_linkage": _dataclass_parser(BlockedLinkageConfig),
     }
 
 

@@ -666,6 +666,22 @@ def test_sufficient_stats_single_aggregate(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_linkage_blocks_never_cartesian(spark, sf_dir):
+    """Blocked linkage: the pair stage is an equi join on the blocking
+    keys (hash/broadcast, NEVER a cartesian); the block-size census is
+    built once (one hash exchange — the one-sided cap filter), and
+    levenshtein stays a JVM intrinsic in the join/filter stage (no
+    Python evaluation)."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("part_name_linkage")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "levenshtein" in plan, plan
+    assert "Python" not in plan, plan
+
+
 def test_quantile_gate_bounds_join_is_broadcast(spark, sf_dir):
     """Percentile trim gate: the histogram/cumulative machinery runs
     over the bounded (stratum, value) census; the per-stratum bounds
@@ -870,6 +886,10 @@ _BUNDLE_CLOSURE = frozenset([
     # split); 3.11s warm standalone at sf0.1 (min-of-4, idle; measured
     # before adding)
     "lineitem_scd1_cdc",
+    # round-10 deliberate widening: blocked fuzzy record linkage —
+    # 0.70s warm standalone at sf0.1 (min-of-4, idle; measured before
+    # adding; (p_brand, p_size) blocks bound the scored pairs to ~160k)
+    "part_name_linkage",
 ])
 
 
