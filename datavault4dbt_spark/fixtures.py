@@ -40,6 +40,8 @@ from .operators.bridge import (BridgeConfig, BridgeLeg, build_bridge,
                                bridge_oracle)
 from .operators.linkage import (BlockedLinkageConfig, build_blocked_linkage,
                                 blocked_linkage_oracle)
+from .operators.basket import (CooccurrenceConfig, build_cooccurrence,
+                               cooccurrence_oracle)
 from .operators.bundle import (BundleConfig, BundleMember, build_bundle,
                                bundle_oracle, UnionBundleConfig,
                                build_union_bundle, union_bundle_oracle)
@@ -103,6 +105,8 @@ from .llm.vocab import (VocabTopkConfig, build_vocab_topk,
                         vocab_topk_oracle,
                         GroupedVocabConfig, build_grouped_vocab,
                         grouped_vocab_oracle)
+from .llm.overlap import (SourceOverlapConfig, build_source_overlap,
+                          source_overlap_oracle)
 from .llm.gopher import (GopherRulesConfig, build_gopher_rules,
                          gopher_rules_oracle)
 from .llm.boilerplate import (BoilerplateConfig,
@@ -155,7 +159,11 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                transition_matrix_oracle,
                                LocfConfig, build_locf, locf_oracle,
                                RollingAggConfig, build_rolling_agg,
-                               rolling_agg_oracle)
+                               rolling_agg_oracle,
+                               OhlcBarsConfig, build_ohlc_bars,
+                               ohlc_bars_oracle,
+                               AttributionConfig, build_attribution,
+                               attribution_oracle)
 from .operators.diff import (TableDiffConfig, build_table_diff,
                              table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
@@ -1064,6 +1072,49 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: OHLC bars — every bar cell incl. the tie-broken
+        # open/close cents and the reconstructed bar_start drives the
+        # driver hash
+        BundleMember("events_ohlc_hourly",
+                     "concat(event_type, ':', CAST(bar AS STRING))",
+                     "concat(CAST(n_events AS STRING), ':', "
+                     "CAST(sum_cents AS STRING), ':', "
+                     "CAST(low_cents AS STRING), ':', "
+                     "CAST(high_cents AS STRING), ':', "
+                     "CAST(open_cents AS STRING), ':', "
+                     "CAST(close_cents AS STRING))",
+                     ldts="bar_start", rsrc="'ohlc'"),
+        # round-10: last-touch attribution — the credited touch, its
+        # timestamp and the integer gap drive the driver hash; the
+        # direct-traffic NULL branch rides the coalesce sentinels
+        BundleMember("events_last_touch",
+                     "CAST(event_id AS STRING)",
+                     "concat(coalesce(touch_type, ''), ':', "
+                     "coalesce(CAST(touch_ts AS STRING), ''), ':', "
+                     "coalesce(CAST(lag_us AS STRING), ''))",
+                     ldts="ts", rsrc="'attribution'"),
+        # round-10: market-basket co-occurrence — the pair census plus
+        # both raw supports and the basket total all drive the driver
+        # hash (the full 2x2 contingency row)
+        BundleMember("part_cooccurrence",
+                     "concat(CAST(item_a AS STRING), ':', "
+                     "CAST(item_b AS STRING))",
+                     "concat(CAST(n_a AS STRING), ':', "
+                     "CAST(n_b AS STRING), ':', "
+                     "CAST(n_pair AS STRING), ':', "
+                     "CAST(n_baskets_total AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'cooccurrence'"),
+        # round-10: source-overlap matrix — both set sizes, the shared
+        # count and the integer jaccard all drive the driver hash
+        BundleMember("source_overlap_matrix",
+                     "concat(group_a, ':', group_b)",
+                     "concat(CAST(n_a AS STRING), ':', "
+                     "CAST(n_b AS STRING), ':', "
+                     "CAST(n_shared AS STRING), ':', "
+                     "CAST(jaccard_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'source_overlap'"),
         # round-10: blocked fuzzy linkage — every candidate pair and
         # its edit distance drive the driver hash
         BundleMember("part_name_linkage",
@@ -1697,6 +1748,30 @@ ROLLUPS = {
         sum_cents=(("sum_chars_cents", "n_chars"),)),
 }
 
+# round-10: hourly OHLC bars per event type — ~3.4k (type, hour) bars
+# at sf0.01 over the 30-day stream, with genuine open/close tie-breaks
+# (duplicate user-ts pairs exist by construction)
+OHLC_BARS = {"events_ohlc_hourly": OhlcBarsConfig("events_ohlc_hourly")}
+# round-10: last-touch attribution — ~2k purchases at sf0.01, ~1/5 of
+# them first-in-stream or preceded only by purchases (the NULL
+# direct-traffic branch), the rest credit a real prior touch
+ATTRIBUTIONS = {"events_last_touch": AttributionConfig(
+    "events_last_touch")}
+
+# round-10: market-basket co-occurrence — orders hold up to ~13 parts,
+# min_item_support=25 genuinely apriori-prunes (~16% of parts drop at
+# sf0.01, ~47% at sf0.1), min_pair_support=2 keeps ~2.9k frequent
+# pairs at sf0.01; the basket cap is unit-exercised, not fixture-hit
+COOCCURRENCES = {"part_cooccurrence": CooccurrenceConfig(
+    "part_cooccurrence", min_item_support=25, min_pair_support=2)}
+
+# round-10: source-overlap matrix — 20 sources pair to a dense 190-row
+# census at sf0.01 (every pair shares shingles by construction:
+# documents draw from one synthetic vocabulary), with n_shared /
+# jaccard_ppm genuinely varied across pairs
+SOURCE_OVERLAPS = {"source_overlap_matrix": SourceOverlapConfig(
+    "source_overlap_matrix")}
+
 # round-10: blocked fuzzy record linkage — (p_brand, p_size) blocks
 # bound the scored pairs to ~1.6k at sf0.01 / ~160k at sf0.1;
 # levenshtein <= 3 on the two-word names keeps ~106 genuine
@@ -1865,6 +1940,11 @@ _FAMILIES = [
     (TRANSITIONS, build_transition_matrix, transition_matrix_oracle,
      _NO_DEPS),
     (LINKAGES, build_blocked_linkage, blocked_linkage_oracle, _NO_DEPS),
+    (SOURCE_OVERLAPS, build_source_overlap, source_overlap_oracle,
+     _NO_DEPS),
+    (COOCCURRENCES, build_cooccurrence, cooccurrence_oracle, _NO_DEPS),
+    (OHLC_BARS, build_ohlc_bars, ohlc_bars_oracle, _NO_DEPS),
+    (ATTRIBUTIONS, build_attribution, attribution_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -570,3 +570,178 @@ def rolling_agg_oracle(b: SqlBuilder, reg: Registry, cfg: RollingAggConfig,
         f"CAST(sum(__cents) {win} AS BIGINT) AS roll_sum_cents, "
         f"min(__cents) {win} AS roll_min_cents, "
         f"max(__cents) {win} AS roll_max_cents FROM {obs}")
+
+
+# ------------------------------------------------------------- OHLC bars --
+
+@dataclass(frozen=True)
+class OhlcBarsConfig:
+    """Open/high/low/close time bars: per (group, fixed-width time
+    bucket), the first and last observed value in (ts, id) order plus
+    the extremes, count and exact-cents sum — the candlestick /
+    downsampling primitive every time-series store ships (TimescaleDB
+    ``time_bucket`` + ``first``/``last``, kdb+ bar queries). Bars are
+    epoch-aligned integer buckets (epoch-micros div width), so both
+    engines bucket identically; ``bar_start`` surfaces as a timestamp
+    reconstructed from the bucket number.
+
+    Values fold as exact integer cents (the rolling_agg contract);
+    open/close are deterministic under duplicate timestamps via the
+    (ts, id) tie-break.
+
+    Scale design (100 TB): ONE (group, bar) exchange feeds two Window
+    sorts (asc/desc row_number for open/close) and the final
+    aggregation — the groupBy is satisfied by the window partitioning,
+    no second shuffle (pinned in tests/test_plan_quality.py). Bars are
+    census-sized output (groups x time-range/width), never
+    corpus-sized."""
+
+    name: str
+    source: str = "events"
+    group_col: str = "event_type"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    value_expr: str = "value"
+    bar_seconds: int = 3600
+
+    def __post_init__(self):
+        for c in (self.group_col, self.ts_col, self.id_col):
+            _ident(c, "column", self.name)
+        if self.bar_seconds < 1:
+            raise ValueError(f"{self.name}: bar_seconds must be >= 1")
+
+
+def build_ohlc_bars(spark, reg: Registry, cfg: OhlcBarsConfig,
+                    g: GlobalConfig = DEFAULT) -> DataFrame:
+    gc, t, i = cfg.group_col, cfg.ts_col, cfg.id_col
+    width_us = cfg.bar_seconds * 1_000_000
+    src = reg.load(spark, cfg.source).selectExpr(
+        gc, t, i,
+        f"unix_micros(CAST({t} AS TIMESTAMP)) div {width_us} AS bar",
+        f"CAST(round(({cfg.value_expr}) * 100) AS BIGINT) AS __cents")
+    wa = Window.partitionBy(gc, "bar").orderBy(F.asc(t), F.asc(i))
+    wd = Window.partitionBy(gc, "bar").orderBy(F.desc(t), F.desc(i))
+    marked = src.select(
+        gc, "bar", "__cents",
+        F.row_number().over(wa).alias("__rn_a"),
+        F.row_number().over(wd).alias("__rn_d"))
+    return (marked.groupBy(gc, "bar")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("__cents").alias("sum_cents"),
+                 F.min("__cents").alias("low_cents"),
+                 F.max("__cents").alias("high_cents"),
+                 F.max(F.when(F.col("__rn_a") == 1, F.col("__cents")))
+                 .alias("open_cents"),
+                 F.max(F.when(F.col("__rn_d") == 1, F.col("__cents")))
+                 .alias("close_cents"))
+            .withColumn("bar_start",
+                        F.expr(f"timestamp_micros(bar * {width_us})")))
+
+
+def ohlc_bars_oracle(b: SqlBuilder, reg: Registry, cfg: OhlcBarsConfig,
+                     g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    gc, t, i = cfg.group_col, cfg.ts_col, cfg.id_col
+    width_us = cfg.bar_seconds * 1_000_000
+    obs = b.cte(
+        f"{cfg.name}__o",
+        f"SELECT {gc}, {t}, {i}, "
+        f"epoch_us(CAST({t} AS TIMESTAMP)) // {width_us} AS bar, "
+        f"CAST(round(({cfg.value_expr}) * 100) AS BIGINT) AS __cents "
+        f"FROM {src}")
+    marked = b.cte(
+        f"{cfg.name}__m",
+        f"SELECT {gc}, bar, __cents, "
+        f"row_number() OVER (PARTITION BY {gc}, bar "
+        f"ORDER BY {t}, {i}) AS __rn_a, "
+        f"row_number() OVER (PARTITION BY {gc}, bar "
+        f"ORDER BY {t} DESC, {i} DESC) AS __rn_d FROM {obs}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {gc}, bar, count(*) AS n_events, "
+        f"CAST(sum(__cents) AS BIGINT) AS sum_cents, "
+        f"min(__cents) AS low_cents, max(__cents) AS high_cents, "
+        f"max(CASE WHEN __rn_a = 1 THEN __cents END) AS open_cents, "
+        f"max(CASE WHEN __rn_d = 1 THEN __cents END) AS close_cents, "
+        f"make_timestamp(bar * {width_us}) AS bar_start "
+        f"FROM {marked} GROUP BY {gc}, bar")
+
+
+# ------------------------------------------------------- attribution --
+
+@dataclass(frozen=True)
+class AttributionConfig:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent PRECEDING non-conversion event of the same user — the
+    marketing-attribution primitive (GA4 calls the model "last click").
+    Conversions with no earlier touch surface with NULL attribution
+    (the direct-traffic bucket); ``lag_us`` is the integer microsecond
+    gap between touch and conversion.
+
+    Determinism: (ts, id) stream order, the transition-matrix
+    contract; a conversion at the exact timestamp of a touch orders by
+    id, and the frame excludes the current row.
+
+    Scale design (100 TB): ONE user-keyed exchange; the credited touch
+    is a single ``last(CASE..., ignorenulls) OVER (ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING)`` running frame — no self-join, no as-of
+    probe (the same running-frame shape as locf)."""
+
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    type_col: str = "event_type"
+    conversion_type: str = "purchase"
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col, self.id_col, self.type_col):
+            _ident(c, "column", self.name)
+        if "'" in self.conversion_type:
+            raise ValueError(f"{self.name}: conversion_type must not "
+                             f"contain quotes")
+
+
+def build_attribution(spark, reg: Registry, cfg: AttributionConfig,
+                      g: GlobalConfig = DEFAULT) -> DataFrame:
+    u, t, i, e = cfg.user_col, cfg.ts_col, cfg.id_col, cfg.type_col
+    src = reg.load(spark, cfg.source).select(u, t, i, e)
+    w = (Window.partitionBy(u).orderBy(F.asc(t), F.asc(i))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col(e) != F.lit(cfg.conversion_type)
+    touch_type = F.last(F.when(is_touch, F.col(e)),
+                        ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(t)),
+                      ignorenulls=True).over(w)
+    return (src.select(
+        u, t, i, e,
+        touch_type.alias("touch_type"),
+        touch_ts.alias("touch_ts"))
+        .filter(F.col(e) == F.lit(cfg.conversion_type))
+        .selectExpr(i, u, t, "touch_type", "touch_ts",
+                    f"unix_micros(CAST({t} AS TIMESTAMP)) - "
+                    f"unix_micros(CAST(touch_ts AS TIMESTAMP)) AS lag_us"))
+
+
+def attribution_oracle(b: SqlBuilder, reg: Registry,
+                       cfg: AttributionConfig,
+                       g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t, i, e = cfg.user_col, cfg.ts_col, cfg.id_col, cfg.type_col
+    win = (f"OVER (PARTITION BY {u} ORDER BY {t}, {i} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+    conv = f"'{cfg.conversion_type}'"
+    marked = b.cte(
+        f"{cfg.name}__m",
+        f"SELECT {u}, {t}, {i}, {e}, "
+        f"last_value(CASE WHEN {e} <> {conv} THEN {e} END IGNORE NULLS) "
+        f"{win} AS touch_type, "
+        f"last_value(CASE WHEN {e} <> {conv} THEN {t} END IGNORE NULLS) "
+        f"{win} AS touch_ts FROM {src}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {i}, {u}, {t}, touch_type, touch_ts, "
+        f"epoch_us(CAST({t} AS TIMESTAMP)) - "
+        f"epoch_us(CAST(touch_ts AS TIMESTAMP)) AS lag_us "
+        f"FROM {marked} WHERE {e} = {conv}")

@@ -490,8 +490,11 @@ def _llm_parsers() -> dict:
     from .operators.pivot import PivotConfig
     from .operators.quarantine import QuarantineConfig
     from .operators.events import (TransitionMatrixConfig, LocfConfig,
-                                   RollingAggConfig)
+                                   RollingAggConfig, OhlcBarsConfig,
+                                   AttributionConfig)
     from .operators.linkage import BlockedLinkageConfig
+    from .llm.overlap import SourceOverlapConfig
+    from .operators.basket import CooccurrenceConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -564,6 +567,10 @@ def _llm_parsers() -> dict:
         "locf": _dataclass_parser(LocfConfig),
         "rolling_agg": _dataclass_parser(RollingAggConfig),
         "blocked_linkage": _dataclass_parser(BlockedLinkageConfig),
+        "source_overlap": _dataclass_parser(SourceOverlapConfig),
+        "cooccurrence": _dataclass_parser(CooccurrenceConfig),
+        "ohlc_bars": _dataclass_parser(OhlcBarsConfig),
+        "attribution": _dataclass_parser(AttributionConfig),
     }
 
 

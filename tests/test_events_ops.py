@@ -236,3 +236,59 @@ def test_table_diff_null_never_collides_with_real_values(spark):
     got = {r.doc_id: r.status
            for r in build_table_diff(spark, reg, cfg, DEFAULT).collect()}
     assert got == {1: "changed"}   # doc 2 equal -> omitted
+
+
+# ------------------------------------------------------------ OHLC bars --
+
+def test_ohlc_open_close_tie_break_and_extremes(spark):
+    from datavault4dbt_spark.operators.events import (OhlcBarsConfig,
+                                                      build_ohlc_bars)
+    rows = [
+        # one hourly bar, duplicate timestamp at the open: id breaks it
+        (1, TS("2024-01-01 10:00:00"), "a", 5.00),
+        (2, TS("2024-01-01 10:00:00"), "a", 1.00),
+        (3, TS("2024-01-01 10:30:00"), "a", 9.00),
+        (4, TS("2024-01-01 10:59:00"), "a", 2.00),
+        # next bar, same type
+        (5, TS("2024-01-01 11:01:00"), "a", 7.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, "
+              "value double")
+    reg = _reg(events=df)
+    out = {(r.event_type, r.bar): r for r in build_ohlc_bars(
+        spark, reg, OhlcBarsConfig("o", bar_seconds=3600), G).collect()}
+    b0 = out[("a", 473362)]            # 2024-01-01 10:00 UTC epoch-hour
+    assert (b0.open_cents, b0.close_cents) == (500, 200)
+    assert (b0.low_cents, b0.high_cents) == (100, 900)
+    assert (b0.n_events, b0.sum_cents) == (4, 1700)
+    assert b0.bar_start == TS("2024-01-01 10:00:00")
+    assert out[("a", 473363)].open_cents == 700
+
+
+# ---------------------------------------------------------- attribution --
+
+def test_last_touch_credits_most_recent_prior_touch(spark):
+    from datavault4dbt_spark.operators.events import (AttributionConfig,
+                                                      build_attribution)
+    rows = [
+        (1, 1, TS("2024-01-01 10:00:00"), "view"),
+        (1, 2, TS("2024-01-01 10:05:00"), "click"),
+        (1, 3, TS("2024-01-01 10:06:00"), "purchase"),
+        # second purchase: still credits the click (purchases are not
+        # touches), 2 min later
+        (1, 4, TS("2024-01-01 10:07:00"), "purchase"),
+        # user 2 converts with no prior touch -> NULL bucket
+        (2, 5, TS("2024-01-01 09:00:00"), "purchase"),
+        (2, 6, TS("2024-01-01 09:30:00"), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    reg = _reg(events=df)
+    out = {r.event_id: r for r in build_attribution(
+        spark, reg, AttributionConfig("a"), G).collect()}
+    assert set(out) == {3, 4, 5}
+    assert (out[3].touch_type, out[3].lag_us) == ("click", 60_000_000)
+    assert (out[4].touch_type, out[4].lag_us) == ("click", 120_000_000)
+    assert out[5].touch_type is None and out[5].lag_us is None

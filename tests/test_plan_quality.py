@@ -682,6 +682,68 @@ def test_linkage_blocks_never_cartesian(spark, sf_dir):
     assert "Python" not in plan, plan
 
 
+def test_source_overlap_single_scan_hashed_index(spark, sf_dir):
+    """Source-overlap matrix: the (stratum, md5) distinct index is
+    persisted and reused by all three consumers — ONE parquet scan of
+    the corpus; the shingle hashing happens in the scan stage (the
+    shuffle moves 32-byte md5 keys, never text); the pair stage is an
+    equi join on the hash, never a cartesian; the size census joins
+    back broadcast."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("source_overlap_matrix")(spark, sf_dir)
+    plan = _plan(df)
+    # every index consumer reads the persisted (stratum, md5) relation
+    # (the parquet scans visible in the plan text are the CACHED
+    # subtree reprinted under each InMemoryRelation, not live scans)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # md5 projected below the index exchange: no Exchange in the plan
+    # carries the raw shingle string `s`
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "s#" not in m.group(1), m.group(0)
+
+
+def test_cooccurrence_distinct_index_never_cartesian(spark, sf_dir):
+    """Co-occurrence: the distinct (basket, item) level is persisted
+    and reused by its consumers; the pair stage is an equi join on the
+    basket key (never a cartesian — the only nested-loop join allowed
+    is the broadcast 1-row basket total); supports join back
+    broadcast."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("part_cooccurrence")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row total is the single broadcast nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_ohlc_one_exchange_two_window_sorts(spark, sf_dir):
+    """OHLC bars: ONE (group, bar) exchange feeds both row_number
+    sorts (asc/desc open/close markers) and the final aggregation —
+    the groupBy is satisfied by the window partitioning."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("events_ohlc_hourly")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_attribution_single_running_frame(spark, sf_dir):
+    """Last-touch attribution: ONE user-keyed exchange, ONE Window
+    operator (both running last() frames share the spec), no
+    self-join / as-of probe."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("events_last_touch")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_quantile_gate_bounds_join_is_broadcast(spark, sf_dir):
     """Percentile trim gate: the histogram/cumulative machinery runs
     over the bounded (stratum, value) census; the per-stratum bounds
@@ -890,6 +952,19 @@ _BUNDLE_CLOSURE = frozenset([
     # 0.70s warm standalone at sf0.1 (min-of-4, idle; measured before
     # adding; (p_brand, p_size) blocks bound the scored pairs to ~160k)
     "part_name_linkage",
+    # round-10 deliberate widening: source-overlap matrix — 1.08s warm
+    # standalone at sf0.1 (min-of-4, idle; measured before adding; the
+    # (stratum, md5) distinct index is persisted once per build)
+    "source_overlap_matrix",
+    # round-10 deliberate widening: market-basket co-occurrence —
+    # 2.36s warm standalone at sf0.1 (min-of-4, idle; measured before
+    # adding; apriori prune drops ~47% of items there first)
+    "part_cooccurrence",
+    # round-10 deliberate widening: OHLC bars + last-touch attribution
+    # — 0.49s / 0.50s warm standalone at sf0.1 (min-of-4, idle;
+    # measured before adding; both are single-exchange window plans)
+    "events_ohlc_hourly",
+    "events_last_touch",
 ])
 
 
