@@ -181,7 +181,12 @@ from .operators.quarantine import (QuarantineConfig, build_quarantine,
                                    quarantine_oracle)
 from .sources.readers import (SourceRoundtripConfig,
                               build_source_roundtrip,
-                              source_roundtrip_oracle)
+                              source_roundtrip_oracle,
+                              PartitionedRoundtripConfig,
+                              build_partitioned_roundtrip,
+                              partitioned_roundtrip_oracle)
+from .llm.privacy import (KAnonymityConfig, build_k_anonymity,
+                          k_anonymity_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -1072,6 +1077,22 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: k-anonymity — the suppressed-vs-kept QI cells, the
+        # anonymity-set size and the verdict all drive the driver hash
+        BundleMember("docs_k_anonymity", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(lang, ''), ':', "
+                     "coalesce(source, ''), ':', "
+                     "CAST(group_n AS STRING), ':', "
+                     "CAST(is_suppressed AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'k_anonymity'"),
+        # round-10: partitioned-layout round-trip — every row read back
+        # from the pruned partition folds in (text via md5)
+        BundleMember("docs_partitioned_en", "CAST(doc_id AS STRING)",
+                     "concat(md5(text), ':', source, ':', "
+                     "CAST(n_chars AS STRING), ':', lang)",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'partitioned'"),
         # round-10: OHLC bars — every bar cell incl. the tie-broken
         # open/close cents and the reconstructed bar_start drives the
         # driver hash
@@ -1748,6 +1769,20 @@ ROLLUPS = {
         sum_cents=(("sum_chars_cents", "n_chars"),)),
 }
 
+# round-10: k-anonymity over the (lang, source) quasi-identifiers —
+# at sf0.01 the ~97 QI groups split 55 below k=5 / 42 at-or-above, so
+# both the suppression and the pass-through branch carry real rows
+# under the driver gate (at sf0.1 every group clears k; suppression
+# stays unit-pinned there)
+K_ANONYMITIES = {"docs_k_anonymity": KAnonymityConfig(
+    "docs_k_anonymity")}
+# round-10: hive-partitioned layout round-trip — documents stage
+# partitionBy(lang) to scratch parquet and read back pruned to lang =
+# 'en' (~100 docs at sf0.01); the oracle filters the original table,
+# so green == the layout places and prunes rows exactly
+PARTITIONED_ROUNDTRIPS = {"docs_partitioned_en": PartitionedRoundtripConfig(
+    "docs_partitioned_en")}
+
 # round-10: hourly OHLC bars per event type — ~3.4k (type, hour) bars
 # at sf0.01 over the 30-day stream, with genuine open/close tie-breaks
 # (duplicate user-ts pairs exist by construction)
@@ -1945,6 +1980,9 @@ _FAMILIES = [
     (COOCCURRENCES, build_cooccurrence, cooccurrence_oracle, _NO_DEPS),
     (OHLC_BARS, build_ohlc_bars, ohlc_bars_oracle, _NO_DEPS),
     (ATTRIBUTIONS, build_attribution, attribution_oracle, _NO_DEPS),
+    (K_ANONYMITIES, build_k_anonymity, k_anonymity_oracle, _NO_DEPS),
+    (PARTITIONED_ROUNDTRIPS, build_partitioned_roundtrip,
+     partitioned_roundtrip_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -136,3 +136,71 @@ def source_roundtrip_oracle(b, reg: Registry,
     src = reg.duckdb_relation(cfg.source)
     return b.cte(cfg.name,
                  f"SELECT {', '.join(cfg.cols)} FROM {src}")
+
+
+# ------------------------------------- partitioned-layout round-trip --
+
+@dataclass(frozen=True)
+class PartitionedRoundtripConfig:
+    """Driver-gated verification of the partitioned-layout path: stage
+    the source partitionBy(``partition_col``) as parquet in scratch
+    (the hive-style directory layout every data lake uses for
+    coarse-grained pruning), read it back with a filter on ONE
+    partition value, and return the rows — the oracle filters the
+    ORIGINAL table, so a green hash certifies that (a) the partitioned
+    write places every row in the right directory and (b) the read
+    path prunes to exactly that partition without losing or
+    duplicating rows.
+
+    At 100 TB this is the layout decision that matters most: a filter
+    on the partition column becomes a directory listing instead of a
+    full scan (PartitionFilters in the plan, zero data read from other
+    partitions — pinned in tests/test_plan_quality.py).
+
+    ``partition_col`` values must be directory-name-safe (no
+    escaping surface in the oracle): plain identifiers-ish strings.
+    """
+
+    name: str
+    source: str = "documents"
+    partition_col: str = "lang"
+    select_value: str = "en"
+    cols: tuple = ("doc_id", "text", "source", "n_chars")
+
+    def __post_init__(self):
+        if not self.cols:
+            raise ValueError(f"{self.name}: cols must be non-empty")
+        if self.partition_col in self.cols:
+            raise ValueError(f"{self.name}: partition_col is emitted "
+                             f"separately, keep it out of cols")
+        if "'" in self.select_value:
+            raise ValueError(f"{self.name}: select_value must not "
+                             f"contain quotes")
+
+
+def build_partitioned_roundtrip(spark, reg: Registry,
+                                cfg: PartitionedRoundtripConfig, g=None):
+    from ..plans.incremental import scratch_store
+
+    pcol = cfg.partition_col
+    src = reg.load(spark, cfg.source).select(*cfg.cols, pcol)
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_partitioned")
+    path = store.path("parquet")
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    (src.write.mode("overwrite").partitionBy(pcol).parquet(path))
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+    out = (spark.read.schema(schema_ddl).parquet(path)
+           .filter(f"{pcol} = '{cfg.select_value}'"))
+    return out.select(*cfg.cols, pcol)
+
+
+def partitioned_roundtrip_oracle(b, reg: Registry,
+                                 cfg: PartitionedRoundtripConfig,
+                                 g=None) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    cols = ", ".join(cfg.cols + (cfg.partition_col,))
+    return b.cte(cfg.name,
+                 f"SELECT {cols} FROM {src} "
+                 f"WHERE {cfg.partition_col} = '{cfg.select_value}'")

@@ -495,6 +495,8 @@ def _llm_parsers() -> dict:
     from .operators.linkage import BlockedLinkageConfig
     from .llm.overlap import SourceOverlapConfig
     from .operators.basket import CooccurrenceConfig
+    from .llm.privacy import KAnonymityConfig
+    from .sources.readers import PartitionedRoundtripConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -571,6 +573,9 @@ def _llm_parsers() -> dict:
         "cooccurrence": _dataclass_parser(CooccurrenceConfig),
         "ohlc_bars": _dataclass_parser(OhlcBarsConfig),
         "attribution": _dataclass_parser(AttributionConfig),
+        "k_anonymity": _dataclass_parser(KAnonymityConfig),
+        "partitioned_roundtrip": _dataclass_parser(
+            PartitionedRoundtripConfig),
     }
 
 

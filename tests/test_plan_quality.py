@@ -744,6 +744,32 @@ def test_attribution_single_running_frame(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_k_anonymity_single_window_no_join(spark, sf_dir):
+    """k-anonymity: ONE QI-keyed exchange, the set size is a count
+    window and the suppression a scan-stage CASE — no census
+    join-back."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_k_anonymity")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
+    """Partitioned-layout round-trip: the read-back scan must carry
+    the partition-value equality as a PartitionFilter (directory
+    pruning), NOT as a data filter — and read zero non-selected
+    partitions."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_partitioned_en")(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert "= en" in plan, plan
+    assert "PushedFilters: []" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_quantile_gate_bounds_join_is_broadcast(spark, sf_dir):
     """Percentile trim gate: the histogram/cumulative machinery runs
     over the bounded (stratum, value) census; the per-stratum bounds
@@ -965,6 +991,11 @@ _BUNDLE_CLOSURE = frozenset([
     # measured before adding; both are single-exchange window plans)
     "events_ohlc_hourly",
     "events_last_touch",
+    # round-10 deliberate widening: k-anonymity (0.33s) and the
+    # partitioned-layout round-trip (0.46s) warm standalone at sf0.1
+    # (min-of-4, idle; measured before adding)
+    "docs_k_anonymity",
+    "docs_partitioned_en",
 ])
 
 
