@@ -144,7 +144,9 @@ from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             canonical_selection_oracle,
                             stratified_split_oracle, source_cap_oracle,
                             QuantileGateConfig, build_quantile_gate,
-                            quantile_gate_oracle)
+                            quantile_gate_oracle,
+                            PercentileRankConfig, build_percentile_rank,
+                            percentile_rank_oracle)
 from .operators.asof import (AsofJoinConfig, build_asof_join,
                              asof_join_oracle)
 from .operators.events import (SessionizeConfig, HoppingAggConfig,
@@ -187,6 +189,8 @@ from .sources.readers import (SourceRoundtripConfig,
                               partitioned_roundtrip_oracle)
 from .llm.privacy import (KAnonymityConfig, build_k_anonymity,
                           k_anonymity_oracle)
+from .operators.compaction import (CompactionConfig, build_compaction,
+                                   compaction_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -1077,6 +1081,21 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: compaction round-trip — every row read back from
+        # the rewritten files folds in (text via md5)
+        BundleMember("docs_compacted", "CAST(doc_id AS STRING)",
+                     "concat(md5(text), ':', lang, ':', source, ':', "
+                     "CAST(n_chars AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'compaction'"),
+        # round-10: percentile rank — value, rank, stratum size and
+        # the ppm position all drive the driver hash
+        BundleMember("docs_length_pr", "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(value AS STRING), ':', "
+                     "CAST(rnk AS STRING), ':', CAST(n AS STRING), "
+                     "':', CAST(pr_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'percentile_rank'"),
         # round-10: k-anonymity — the suppressed-vs-kept QI cells, the
         # anonymity-set size and the verdict all drive the driver hash
         BundleMember("docs_k_anonymity", "CAST(doc_id AS STRING)",
@@ -1769,6 +1788,18 @@ ROLLUPS = {
         sum_cents=(("sum_chars_cents", "n_chars"),)),
 }
 
+# round-10: small-file compaction — a 24-file fragmented copy of
+# documents rewrites to 4 files; the oracle reads the original, so
+# green == zero row loss/duplication through the rewrite (file-count
+# contract pinned in tests/test_compaction.py)
+COMPACTIONS = {"docs_compacted": CompactionConfig(
+    "docs_compacted", fragment_files=24)}
+# round-10: per-language percentile rank of document length — ties
+# share ranks by construction (lengths repeat within a language), and
+# the 5 strata have genuinely different length distributions
+PERCENTILE_RANKS = {"docs_length_pr": PercentileRankConfig(
+    "docs_length_pr")}
+
 # round-10: k-anonymity over the (lang, source) quasi-identifiers —
 # at sf0.01 the ~97 QI groups split 55 below k=5 / 42 at-or-above, so
 # both the suppression and the pass-through branch carry real rows
@@ -1983,6 +2014,9 @@ _FAMILIES = [
     (K_ANONYMITIES, build_k_anonymity, k_anonymity_oracle, _NO_DEPS),
     (PARTITIONED_ROUNDTRIPS, build_partitioned_roundtrip,
      partitioned_roundtrip_oracle, _NO_DEPS),
+    (COMPACTIONS, build_compaction, compaction_oracle, _NO_DEPS),
+    (PERCENTILE_RANKS, build_percentile_rank, percentile_rank_oracle,
+     _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -317,3 +317,73 @@ def quantile_gate_oracle(b: SqlBuilder, reg: Registry,
         f"SELECT s.{cfg.id_col}, s.{grp}, s.{val}, b.q_lo, b.q_hi, "
         f"NOT (s.{val} BETWEEN b.q_lo AND b.q_hi) AS is_outlier "
         f"FROM {src} s JOIN {bounds} b USING ({grp})")
+
+
+# ------------------------------------------------------ percentile rank --
+
+@dataclass(frozen=True)
+class PercentileRankConfig:
+    """Per-stratum integer percentile rank: each row's value mapped to
+    its rank position within the stratum as ppm of the rank range —
+    the cross-source score calibration step (a raw quality score of
+    0.7 means different things in different sources; mixing decisions
+    compare percentile positions instead, the CCNet §4.2 move of
+    bucketing by per-language ppl rank rather than raw perplexity).
+
+    ``pr_ppm = (rank - 1) * 1e6 div max(n - 1, 1)`` with SQL RANK()
+    (ties share the lower bound — deterministic without an id
+    tie-break, so equal values calibrate equally) and n the stratum
+    size; a 1-row stratum maps to 0. Integer-exact in both engines.
+
+    Scale design (100 TB): ONE stratum-keyed exchange feeds the rank
+    window and the stratum-count window (same partitioning — no second
+    shuffle, pinned in tests/test_plan_quality.py); output is
+    corpus-sized but the state per reducer is one sort, no census
+    join-back."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    stratum_col: str = "lang"
+    value_expr: str = "n_chars"
+
+    def __post_init__(self):
+        from ..context import ensure_identifier
+        for c in (self.id_col, self.stratum_col):
+            ensure_identifier(c, "column", self.name)
+
+
+def build_percentile_rank(spark, reg: Registry, cfg: PercentileRankConfig,
+                          g: GlobalConfig = DEFAULT) -> DataFrame:
+    s = cfg.stratum_col
+    src = reg.load(spark, cfg.source).selectExpr(
+        cfg.id_col, s, f"CAST(({cfg.value_expr}) AS BIGINT) AS value")
+    wr = Window.partitionBy(s).orderBy(F.asc("value"))
+    wn = Window.partitionBy(s)
+    return src.select(
+        cfg.id_col, s, "value",
+        F.rank().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n")
+    ).selectExpr(
+        cfg.id_col, s, "value", "rnk", "n",
+        "((rnk - 1) * 1000000) div greatest(n - 1, 1) AS pr_ppm")
+
+
+def percentile_rank_oracle(b: SqlBuilder, reg: Registry,
+                           cfg: PercentileRankConfig,
+                           g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    s = cfg.stratum_col
+    marked = b.cte(
+        f"{cfg.name}__m",
+        f"SELECT {cfg.id_col}, {s}, "
+        f"CAST(({cfg.value_expr}) AS BIGINT) AS value, "
+        f"rank() OVER (PARTITION BY {s} ORDER BY "
+        f"CAST(({cfg.value_expr}) AS BIGINT)) AS rnk, "
+        f"count(*) OVER (PARTITION BY {s}) AS n "
+        f"FROM {src}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, {s}, value, rnk, n, "
+        f"((rnk - 1) * 1000000) // greatest(n - 1, 1) AS pr_ppm "
+        f"FROM {marked}")

@@ -497,6 +497,8 @@ def _llm_parsers() -> dict:
     from .operators.basket import CooccurrenceConfig
     from .llm.privacy import KAnonymityConfig
     from .sources.readers import PartitionedRoundtripConfig
+    from .operators.compaction import CompactionConfig
+    from .llm.selection import PercentileRankConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -576,6 +578,8 @@ def _llm_parsers() -> dict:
         "k_anonymity": _dataclass_parser(KAnonymityConfig),
         "partitioned_roundtrip": _dataclass_parser(
             PartitionedRoundtripConfig),
+        "compaction": _dataclass_parser(CompactionConfig),
+        "percentile_rank": _dataclass_parser(PercentileRankConfig),
     }
 
 

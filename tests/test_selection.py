@@ -165,3 +165,25 @@ def test_split_rejects_bad_fractions():
         StratifiedSplitConfig("t", fractions=(("o'brien", 0.5, 0.2),))
     with pytest.raises(ValueError):
         StratifiedSplitConfig("t", default_train=1.2)
+
+
+# ------------------------------------------------------ percentile rank --
+
+def test_percentile_rank_ties_and_bounds(spark):
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.llm.selection import (PercentileRankConfig,
+                                                   build_percentile_rank)
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 20), (4, "en", 40),
+         (5, "de", 7)],
+        "doc_id bigint, lang string, n_chars bigint")
+    reg = Registry()
+    reg.spark_loaders["documents"] = lambda _s: df
+    out = {r["doc_id"]: (r["rnk"], r["n"], r["pr_ppm"])
+           for r in build_percentile_rank(
+               spark, reg, PercentileRankConfig("pr")).collect()}
+    assert out[1] == (1, 4, 0)                  # min -> 0
+    assert out[2] == (2, 4, 333_333)            # ties share the rank
+    assert out[3] == (2, 4, 333_333)
+    assert out[4] == (4, 4, 1_000_000)          # max -> 1e6
+    assert out[5] == (1, 1, 0)                  # 1-row stratum -> 0
