@@ -162,7 +162,15 @@ def _llm_kinds() -> dict:
     from ..llm.sampling import build_exact_sample
     from ..llm.selection import build_quantile_gate
     from ..operators.events import (build_transition_matrix, build_locf,
-                                    build_rolling_agg)
+                                    build_rolling_agg, build_ohlc_bars,
+                                    build_attribution)
+    from ..operators.linkage import build_blocked_linkage
+    from ..operators.basket import build_cooccurrence
+    from ..operators.compaction import build_compaction
+    from ..llm.overlap import build_source_overlap
+    from ..llm.privacy import build_k_anonymity
+    from ..llm.selection import build_percentile_rank
+    from ..sources.readers import build_partitioned_roundtrip
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -255,6 +263,17 @@ def _llm_kinds() -> dict:
         "transition_matrix": (build_transition_matrix, src),
         "locf": (build_locf, src),
         "rolling_agg": (build_rolling_agg, src),
+        "ohlc_bars": (build_ohlc_bars, src),
+        "attribution": (build_attribution, src),
+        "blocked_linkage": (build_blocked_linkage, src),
+        "cooccurrence": (build_cooccurrence, src),
+        "source_overlap": (build_source_overlap, src),
+        "k_anonymity": (build_k_anonymity, src),
+        "percentile_rank": (build_percentile_rank, src),
+        # both stage scratch copies internally; the RESULT is a full
+        # rebuild (the incremental_dedup note above applies)
+        "compaction": (build_compaction, src),
+        "partitioned_roundtrip": (build_partitioned_roundtrip, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -222,7 +222,10 @@ def test_run_project_analytics_pipeline(spark, sf_dir, tmp_path):
         "lineitem_moments", "events_props", "events_transitions",
         "events_locf", "events_rolling", "events_skew", "docs_pivot",
         "docs_histogram", "docs_length_gate", "docs_sample",
-        "docs_vocab_by_lang"}
+        "docs_vocab_by_lang",
+        # round-10 kinds
+        "part_linkage", "part_cooccur", "docs_overlap", "events_ohlc",
+        "events_attribution", "docs_kanon", "docs_length_pr"}
     # spot-check three stored tables against the direct fixture builds
     # (same configs modulo entity name)
     reg = fixtures.registry(spark, sf_dir)
@@ -232,7 +235,10 @@ def test_run_project_analytics_pipeline(spark, sf_dir, tmp_path):
               "g_l_linestatus")),
             ("events_transitions", "event_transitions",
              ("from_event", "to_event")),
-            ("docs_sample", "docs_exact_sample", ("doc_id",))):
+            ("docs_sample", "docs_exact_sample", ("doc_id",)),
+            ("events_attribution", "events_last_touch", ("event_id",)),
+            ("part_cooccur", "part_cooccurrence",
+             ("item_a", "item_b"))):
         got = sorted(
             tuple(str(x) for x in r)
             for r in store.read(stored)

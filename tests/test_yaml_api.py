@@ -297,3 +297,30 @@ payload_cols: [l_returnflag]
     ):
         cfg = yaml_api.parse(kind, yml, name=fname)
         assert cfg == family[fname], kind
+
+
+def test_round10_kind_parsers_roundtrip():
+    # every round-10 kind routes through the generic parser and
+    # reproduces the declared fixture configs exactly
+    for kind, yml, family, fname in (
+        ("blocked_linkage",
+         "source: part\nid_col: p_partkey\ntext_col: p_name\n"
+         "block_cols: [p_brand, p_size]\nmax_distance: 3\n",
+         fixtures.LINKAGES, "part_name_linkage"),
+        ("source_overlap", "", fixtures.SOURCE_OVERLAPS,
+         "source_overlap_matrix"),
+        ("cooccurrence",
+         "min_item_support: 25\nmin_pair_support: 2\n",
+         fixtures.COOCCURRENCES, "part_cooccurrence"),
+        ("ohlc_bars", "", fixtures.OHLC_BARS, "events_ohlc_hourly"),
+        ("attribution", "", fixtures.ATTRIBUTIONS, "events_last_touch"),
+        ("k_anonymity", "", fixtures.K_ANONYMITIES, "docs_k_anonymity"),
+        ("partitioned_roundtrip", "", fixtures.PARTITIONED_ROUNDTRIPS,
+         "docs_partitioned_en"),
+        ("compaction", "fragment_files: 24\n", fixtures.COMPACTIONS,
+         "docs_compacted"),
+        ("percentile_rank", "", fixtures.PERCENTILE_RANKS,
+         "docs_length_pr"),
+    ):
+        cfg = yaml_api.parse(kind, yml, name=fname)
+        assert cfg == family[fname], kind
