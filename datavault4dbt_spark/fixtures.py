@@ -191,6 +191,10 @@ from .llm.privacy import (KAnonymityConfig, build_k_anonymity,
                           k_anonymity_oracle)
 from .operators.compaction import (CompactionConfig, build_compaction,
                                    compaction_oracle)
+from .llm.profile import (TrendingConfig, build_trending_topk,
+                          trending_topk_oracle)
+from .llm.lineclean import (TextNormalizeConfig, build_text_normalize,
+                            text_normalize_oracle)
 from .plans.sqlbuild import SqlBuilder
 
 G = DEFAULT
@@ -1081,6 +1085,22 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: trending top-k — bucket, value, count and rank all
+        # drive the driver hash
+        BundleMember("events_trending_daily",
+                     "concat(CAST(bucket AS STRING), ':', value)",
+                     "concat(CAST(cnt AS STRING), ':', "
+                     "CAST(rnk AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'trending'"),
+        # round-10: text normalization — the normalized text (via its
+        # md5) and both counters drive the driver hash
+        BundleMember("docs_normalized", "CAST(doc_id AS STRING)",
+                     "concat(norm_md5, ':', "
+                     "CAST(n_norm_chars AS STRING), ':', "
+                     "CAST(n_norm_tokens AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'normalize'"),
         # round-10: compaction round-trip — every row read back from
         # the rewritten files folds in (text via md5)
         BundleMember("docs_compacted", "CAST(doc_id AS STRING)",
@@ -1788,6 +1808,15 @@ ROLLUPS = {
         sum_cents=(("sum_chars_cents", "n_chars"),)),
 }
 
+# round-10: daily trending top-3 event types — 30 buckets x 3 ranks
+# with genuinely shifting leaders day to day (counts are close by
+# construction, so the (cnt, value) tie-break is exercised)
+TRENDINGS = {"events_trending_daily": TrendingConfig(
+    "events_trending_daily")}
+# round-10: canonical text normalization — the synthetic docs carry
+# punctuation and case variance, so norm_md5 collapses real variants
+NORMALIZES = {"docs_normalized": TextNormalizeConfig("docs_normalized")}
+
 # round-10: small-file compaction — a 24-file fragmented copy of
 # documents rewrites to 4 files; the oracle reads the original, so
 # green == zero row loss/duplication through the rewrite (file-count
@@ -2017,6 +2046,8 @@ _FAMILIES = [
     (COMPACTIONS, build_compaction, compaction_oracle, _NO_DEPS),
     (PERCENTILE_RANKS, build_percentile_rank, percentile_rank_oracle,
      _NO_DEPS),
+    (TRENDINGS, build_trending_topk, trending_topk_oracle, _NO_DEPS),
+    (NORMALIZES, build_text_normalize, text_normalize_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -108,3 +108,66 @@ def line_clean_oracle(b: SqlBuilder, reg: Registry, cfg: LineCleanConfig,
         f"SELECT {cfg.id_col}, {e['n_lines']} AS n_lines, "
         f"{e['n_kept_lines']} AS n_kept_lines, "
         f"{e['cleaned_text']} AS cleaned_text FROM {src}")
+
+
+# ------------------------------------------------------ text normalize --
+
+@dataclass(frozen=True)
+class TextNormalizeConfig:
+    """Canonical text normalization for dedup preprocessing: lowercase,
+    fold every non-alphanumeric run to a single space, trim — the
+    standard pre-shingle normalization (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" normalizes case and
+    punctuation before suffix-array matching) so trivial formatting
+    variants hash identically.
+
+    Output carries the normalized text plus its md5, char and token
+    counts — downstream exact-dedup runs on norm_md5 instead of the
+    raw-text hash.
+
+    ASCII contract: the fold class is [a-z0-9]; both engines' regex
+    engines agree on it byte-for-byte (locale-dependent classes like
+    \\w are deliberately avoided — Java and RE2 disagree on unicode
+    word characters).
+
+    Scale design (100 TB): pure scan-stage projection — zero
+    exchanges, zero joins (pinned in tests/test_plan_quality.py)."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    def __post_init__(self):
+        from ..context import ensure_identifier
+        for c in (self.id_col, self.text_col):
+            ensure_identifier(c, "column", self.name)
+
+
+_NORM_SPARK = ("trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' '))")
+_NORM_DUCK = ("trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))")
+
+
+def build_text_normalize(spark, reg: Registry, cfg: TextNormalizeConfig,
+                         g: GlobalConfig = DEFAULT) -> DataFrame:
+    norm = _NORM_SPARK.format(col=cfg.text_col)
+    return reg.load(spark, cfg.source).selectExpr(
+        cfg.id_col,
+        f"{norm} AS norm_text",
+        f"md5({norm}) AS norm_md5",
+        f"length({norm}) AS n_norm_chars",
+        f"size(filter(split({norm}, ' '), x -> x <> '')) AS n_norm_tokens")
+
+
+def text_normalize_oracle(b: SqlBuilder, reg: Registry,
+                          cfg: TextNormalizeConfig,
+                          g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    norm = _NORM_DUCK.format(col=cfg.text_col)
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, {norm} AS norm_text, "
+        f"md5({norm}) AS norm_md5, "
+        f"CAST(length({norm}) AS INT) AS n_norm_chars, "
+        f"CAST(len(list_filter(string_split({norm}, ' '), "
+        f"x -> x <> '')) AS INT) AS n_norm_tokens FROM {src}")

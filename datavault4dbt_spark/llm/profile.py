@@ -446,3 +446,77 @@ def sufficient_stats_oracle(b: SqlBuilder, reg: Registry,
     return b.cte(cfg.name,
                  f"SELECT {cfg.group_col}, {moments} FROM {proj} "
                  f"GROUP BY {cfg.group_col}")
+
+
+# --------------------------------------------------------- trending top-k --
+
+@dataclass(frozen=True)
+class TrendingConfig:
+    """Top-k values per time bucket — the 'trending' census (top
+    domains per crawl day, top error codes per hour): the
+    heavy-hitter card sliced by epoch-aligned time buckets so drift
+    and burst onset are visible, not averaged away.
+
+    Buckets are integer epoch-day/hour (epoch-micros div width), the
+    cohort-retention contract, so both engines bucket identically;
+    ranking ties break on the value string.
+
+    Scale design (100 TB): ONE map-side-combined (bucket, value)
+    census; the per-bucket rank-and-cut compiles to a partial+final
+    WindowGroupLimit pair (bounded per-partition heaps BEFORE the
+    bucket exchange — the grouped-vocab plan shape, pinned in
+    tests/test_plan_quality.py). Output is k rows per bucket, never
+    census-sized."""
+
+    name: str
+    source: str = "events"
+    ts_col: str = "ts"
+    value_col: str = "event_type"
+    bucket_seconds: int = 86_400
+    k: int = 3
+
+    def __post_init__(self):
+        from ..context import ensure_identifier
+        for c in (self.ts_col, self.value_col):
+            ensure_identifier(c, "column", self.name)
+        if self.bucket_seconds < 1 or self.k < 1:
+            raise ValueError(
+                f"{self.name}: bucket_seconds and k must be >= 1")
+
+
+def build_trending_topk(spark, reg: Registry, cfg: TrendingConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import Window
+
+    width_us = cfg.bucket_seconds * 1_000_000
+    census = (reg.load(spark, cfg.source)
+              .selectExpr(
+                  f"unix_micros(CAST({cfg.ts_col} AS TIMESTAMP)) "
+                  f"div {width_us} AS bucket",
+                  f"{cfg.value_col} AS value")
+              .groupBy("bucket", "value")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("bucket").orderBy(F.desc("cnt"),
+                                             F.asc("value"))
+    return (census.select("bucket", "value", "cnt",
+                          F.row_number().over(w).cast("int").alias("rnk"))
+            .filter(F.col("rnk") <= cfg.k))
+
+
+def trending_topk_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: TrendingConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    width_us = cfg.bucket_seconds * 1_000_000
+    census = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT epoch_us(CAST({cfg.ts_col} AS TIMESTAMP)) "
+        f"// {width_us} AS bucket, {cfg.value_col} AS value, "
+        f"count(*) AS cnt FROM {src} GROUP BY 1, 2")
+    return b.cte(
+        cfg.name,
+        f"SELECT bucket, value, cnt, rnk FROM ("
+        f"SELECT bucket, value, cnt, "
+        f"CAST(row_number() OVER (PARTITION BY bucket "
+        f"ORDER BY cnt DESC, value) AS INT) AS rnk FROM {census}) "
+        f"WHERE rnk <= {cfg.k}")

@@ -589,12 +589,16 @@ class OhlcBarsConfig:
     open/close are deterministic under duplicate timestamps via the
     (ts, id) tie-break.
 
-    Scale design (100 TB): ONE (group, bar) exchange feeds two Window
-    sorts (asc/desc row_number for open/close) and the final
-    aggregation — the groupBy is satisfied by the window partitioning,
-    no second shuffle (pinned in tests/test_plan_quality.py). Bars are
+    Scale design (100 TB): ONE map-side-combined aggregate — open and
+    close ride as min/max over the lexicographic (ts, id, cents)
+    struct, so the whole bar is a single HashAggregate pair with NO
+    sort windows (pinned in tests/test_plan_quality.py). The partials
+    are MERGEABLE (``ohlc_merge``): the streaming twin
+    (streaming/ohlc.py) combines per-micro-batch partials into the
+    identical bars, so backfill and live feed cannot drift. Bars are
     census-sized output (groups x time-range/width), never
-    corpus-sized."""
+    corpus-sized. The oracle formulates open/close independently
+    (row_number marks), cross-checking the struct-extremum identity."""
 
     name: str
     source: str = "events"
@@ -611,31 +615,56 @@ class OhlcBarsConfig:
             raise ValueError(f"{self.name}: bar_seconds must be >= 1")
 
 
+def ohlc_partial(df: DataFrame, cfg: OhlcBarsConfig) -> DataFrame:
+    """Per-(group, bar) MERGEABLE partial: counts/sums/extremes plus
+    the open/close carried as lexicographic-extremum (ts, id, cents)
+    structs. ``df`` must carry (group_col, ts, id, bar, __cents)."""
+    gc, t, i = cfg.group_col, cfg.ts_col, cfg.id_col
+    key = F.struct(F.col(t).alias("__t"), F.col(i).alias("__i"),
+                   F.col("__cents").alias("__c"))
+    return df.groupBy(gc, "bar").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__cents").alias("sum_cents"),
+        F.min("__cents").alias("low_cents"),
+        F.max("__cents").alias("high_cents"),
+        F.min(key).alias("__open_s"),
+        F.max(key).alias("__close_s"))
+
+
+def ohlc_merge(partials: DataFrame, cfg: OhlcBarsConfig) -> DataFrame:
+    """Combine partials (same shape as :func:`ohlc_partial` output)."""
+    return partials.groupBy(cfg.group_col, "bar").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("low_cents").alias("low_cents"),
+        F.max("high_cents").alias("high_cents"),
+        F.min("__open_s").alias("__open_s"),
+        F.max("__close_s").alias("__close_s"))
+
+
+def ohlc_finalize(partial: DataFrame, cfg: OhlcBarsConfig) -> DataFrame:
+    width_us = cfg.bar_seconds * 1_000_000
+    return partial.select(
+        cfg.group_col, "bar", "n_events", "sum_cents",
+        "low_cents", "high_cents",
+        F.col("__open_s.__c").alias("open_cents"),
+        F.col("__close_s.__c").alias("close_cents"),
+        F.expr(f"timestamp_micros(bar * {width_us})").alias("bar_start"))
+
+
+def _ohlc_input(df: DataFrame, cfg: OhlcBarsConfig) -> DataFrame:
+    width_us = cfg.bar_seconds * 1_000_000
+    return df.selectExpr(
+        cfg.group_col, cfg.ts_col, cfg.id_col,
+        f"unix_micros(CAST({cfg.ts_col} AS TIMESTAMP)) div {width_us} "
+        f"AS bar",
+        f"CAST(round(({cfg.value_expr}) * 100) AS BIGINT) AS __cents")
+
+
 def build_ohlc_bars(spark, reg: Registry, cfg: OhlcBarsConfig,
                     g: GlobalConfig = DEFAULT) -> DataFrame:
-    gc, t, i = cfg.group_col, cfg.ts_col, cfg.id_col
-    width_us = cfg.bar_seconds * 1_000_000
-    src = reg.load(spark, cfg.source).selectExpr(
-        gc, t, i,
-        f"unix_micros(CAST({t} AS TIMESTAMP)) div {width_us} AS bar",
-        f"CAST(round(({cfg.value_expr}) * 100) AS BIGINT) AS __cents")
-    wa = Window.partitionBy(gc, "bar").orderBy(F.asc(t), F.asc(i))
-    wd = Window.partitionBy(gc, "bar").orderBy(F.desc(t), F.desc(i))
-    marked = src.select(
-        gc, "bar", "__cents",
-        F.row_number().over(wa).alias("__rn_a"),
-        F.row_number().over(wd).alias("__rn_d"))
-    return (marked.groupBy(gc, "bar")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("__cents").alias("sum_cents"),
-                 F.min("__cents").alias("low_cents"),
-                 F.max("__cents").alias("high_cents"),
-                 F.max(F.when(F.col("__rn_a") == 1, F.col("__cents")))
-                 .alias("open_cents"),
-                 F.max(F.when(F.col("__rn_d") == 1, F.col("__cents")))
-                 .alias("close_cents"))
-            .withColumn("bar_start",
-                        F.expr(f"timestamp_micros(bar * {width_us})")))
+    src = _ohlc_input(reg.load(spark, cfg.source), cfg)
+    return ohlc_finalize(ohlc_partial(src, cfg), cfg)
 
 
 def ohlc_bars_oracle(b: SqlBuilder, reg: Registry, cfg: OhlcBarsConfig,

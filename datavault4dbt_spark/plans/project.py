@@ -170,6 +170,8 @@ def _llm_kinds() -> dict:
     from ..llm.overlap import build_source_overlap
     from ..llm.privacy import build_k_anonymity
     from ..llm.selection import build_percentile_rank
+    from ..llm.profile import build_trending_topk
+    from ..llm.lineclean import build_text_normalize
     from ..sources.readers import build_partitioned_roundtrip
 
     src = lambda c: [c.source]                       # noqa: E731
@@ -270,6 +272,8 @@ def _llm_kinds() -> dict:
         "source_overlap": (build_source_overlap, src),
         "k_anonymity": (build_k_anonymity, src),
         "percentile_rank": (build_percentile_rank, src),
+        "trending_topk": (build_trending_topk, src),
+        "text_normalize": (build_text_normalize, src),
         # both stage scratch copies internally; the RESULT is a full
         # rebuild (the incremental_dedup note above applies)
         "compaction": (build_compaction, src),

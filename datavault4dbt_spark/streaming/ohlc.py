@@ -1,0 +1,66 @@
+"""Streaming OHLC bars: the foreachBatch twin of
+``operators.events`` OHLC — events ARRIVE as a stream and each
+micro-batch folds into persisted per-bar partial aggregates through
+the SAME mergeable core (``ohlc_partial`` / ``ohlc_merge`` /
+``ohlc_finalize``), so batch backfill and live candles cannot drift.
+
+Replay safety: bar partials are NOT naturally idempotent (re-adding a
+replayed micro-batch would double n_events/sum_cents), so the state
+table is append-only PARTITIONED BY batch_id and an epoch replay first
+drops its own partition — the llm/incdedup bookkeeping shape, here
+with partition-overwrite instead of presence probes because partials
+are pure per-batch functions (no cross-batch reads during ingest).
+
+Scale: per micro-batch cost is one map-side-combined aggregate of the
+batch (census-sized output); the merge across batches happens at READ
+time over the partial census, never over raw events — a day's bars
+re-derive from (n_batches x bars) partial rows. Periodically
+compacting old partials into one merged partition is the
+operators/compaction.py move applied to this table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.events import (OhlcBarsConfig, _ohlc_input,
+                                ohlc_partial, ohlc_merge, ohlc_finalize)
+from ..plans.incremental import ParquetStore
+
+_TABLE = "ohlc_partials"
+
+
+def micro_batch_ohlc(cfg: OhlcBarsConfig, store: ParquetStore,
+                     table: str = _TABLE):
+    """foreachBatch callback: fold the micro-batch into its own
+    partial partition (replay overwrites, never double-counts)."""
+
+    def fold(batch_df, batch_id: int):
+        part = (ohlc_partial(_ohlc_input(batch_df, cfg), cfg)
+                .withColumn("batch_id", F.lit(int(batch_id))))
+        if store.exists(table):
+            store.drop_partitions(table, "batch_id", [int(batch_id)])
+        store.append(table, part, partition_by=("batch_id",))
+    return fold
+
+
+def read_ohlc_bars(spark, cfg: OhlcBarsConfig, store: ParquetStore,
+                   table: str = _TABLE):
+    """Current bars: merge all stored partials and finalize — the
+    exact frame the batch operator builds over the full history."""
+    partials = store.read(table).drop("batch_id")
+    return ohlc_finalize(ohlc_merge(partials, cfg), cfg)
+
+
+def start_ohlc_stream(spark, cfg: OhlcBarsConfig, store: ParquetStore,
+                      source_dir: str, schema, checkpoint_dir: str,
+                      table: str = _TABLE,
+                      max_files_per_trigger: int = 1):
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(micro_batch_ohlc(cfg, store, table))
+            .trigger(availableNow=True)
+            .start())

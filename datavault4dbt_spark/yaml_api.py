@@ -499,6 +499,8 @@ def _llm_parsers() -> dict:
     from .sources.readers import PartitionedRoundtripConfig
     from .operators.compaction import CompactionConfig
     from .llm.selection import PercentileRankConfig
+    from .llm.profile import TrendingConfig
+    from .llm.lineclean import TextNormalizeConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -580,6 +582,8 @@ def _llm_parsers() -> dict:
             PartitionedRoundtripConfig),
         "compaction": _dataclass_parser(CompactionConfig),
         "percentile_rank": _dataclass_parser(PercentileRankConfig),
+        "trending_topk": _dataclass_parser(TrendingConfig),
+        "text_normalize": _dataclass_parser(TextNormalizeConfig),
     }
 
 

@@ -720,16 +720,16 @@ def test_cooccurrence_distinct_index_never_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
-def test_ohlc_one_exchange_two_window_sorts(spark, sf_dir):
-    """OHLC bars: ONE (group, bar) exchange feeds both row_number
-    sorts (asc/desc open/close markers) and the final aggregation —
-    the groupBy is satisfied by the window partitioning."""
+def test_ohlc_single_mergeable_aggregate(spark, sf_dir):
+    """OHLC bars: ONE map-side-combined HashAggregate pair (open/close
+    ride as struct extrema) — no sort windows, no join, one exchange."""
     fixtures.ensure_session_conf(spark)
     df = fixtures.entity_query("events_ohlc_hourly")(spark, sf_dir)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert plan.count("Window") == 2, plan
+    assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
 
 
 def test_attribution_single_running_frame(spark, sf_dir):
@@ -768,6 +768,27 @@ def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
     assert "= en" in plan, plan
     assert "PushedFilters: []" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_trending_topk_window_group_limit(spark, sf_dir):
+    """Trending top-k: the rank-and-cut over the (bucket, value)
+    census compiles to a partial+final WindowGroupLimit pair (the
+    grouped-vocab shape) — bounded heaps before the bucket exchange."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("events_trending_daily")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_text_normalize_scan_stage_only(spark, sf_dir):
+    """Text normalization: pure scan-stage projection — zero
+    exchanges, zero joins."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_normalized")(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_percentile_rank_one_exchange(spark, sf_dir):
@@ -1006,6 +1027,11 @@ _BUNDLE_CLOSURE = frozenset([
     # (min-of-4, idle; measured before adding)
     "docs_k_anonymity",
     "docs_partitioned_en",
+    # round-10 deliberate widening: trending top-k (0.53s) and text
+    # normalization (0.36s) warm standalone at sf0.1 (min-of-4,
+    # near-idle calibration)
+    "events_trending_daily",
+    "docs_normalized",
     # round-10 deliberate widening: small-file compaction (~3s
     # idle-equivalent: measured 15.7s under a 5x-calibrated neighbor
     # burst — k_anonymity read 1.79s vs its 0.33s idle baseline in the

@@ -321,6 +321,9 @@ def test_round10_kind_parsers_roundtrip():
          "docs_compacted"),
         ("percentile_rank", "", fixtures.PERCENTILE_RANKS,
          "docs_length_pr"),
+        ("trending_topk", "", fixtures.TRENDINGS,
+         "events_trending_daily"),
+        ("text_normalize", "", fixtures.NORMALIZES, "docs_normalized"),
     ):
         cfg = yaml_api.parse(kind, yml, name=fname)
         assert cfg == family[fname], kind
