@@ -165,7 +165,10 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                OhlcBarsConfig, build_ohlc_bars,
                                ohlc_bars_oracle,
                                AttributionConfig, build_attribution,
-                               attribution_oracle)
+                               attribution_oracle,
+                               ConversionPathConfig,
+                               build_conversion_paths,
+                               conversion_paths_oracle)
 from .operators.diff import (TableDiffConfig, build_table_diff,
                              table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
@@ -1085,6 +1088,12 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: conversion paths — the truncated path string and
+        # the full history length drive the driver hash ('' = direct)
+        BundleMember("events_conversion_paths",
+                     "CAST(event_id AS STRING)",
+                     "concat(CAST(n_touches AS STRING), ':', path)",
+                     ldts="ts", rsrc="'conversion_paths'"),
         # round-10: trending top-k — bucket, value, count and rank all
         # drive the driver hash
         BundleMember("events_trending_daily",
@@ -1853,6 +1862,12 @@ OHLC_BARS = {"events_ohlc_hourly": OhlcBarsConfig("events_ohlc_hourly")}
 ATTRIBUTIONS = {"events_last_touch": AttributionConfig(
     "events_last_touch")}
 
+# round-10: conversion paths — ~2k purchases at sf0.01 with touch
+# histories from 0 (empty-path direct conversions) past the
+# max_touches=5 truncation point, so the slice boundary is exercised
+CONVERSION_PATHS = {"events_conversion_paths": ConversionPathConfig(
+    "events_conversion_paths")}
+
 # round-10: market-basket co-occurrence — orders hold up to ~13 parts,
 # min_item_support=25 genuinely apriori-prunes (~16% of parts drop at
 # sf0.01, ~47% at sf0.1), min_pair_support=2 keeps ~2.9k frequent
@@ -2048,6 +2063,8 @@ _FAMILIES = [
      _NO_DEPS),
     (TRENDINGS, build_trending_topk, trending_topk_oracle, _NO_DEPS),
     (NORMALIZES, build_text_normalize, text_normalize_oracle, _NO_DEPS),
+    (CONVERSION_PATHS, build_conversion_paths, conversion_paths_oracle,
+     _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

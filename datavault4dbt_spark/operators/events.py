@@ -774,3 +774,98 @@ def attribution_oracle(b: SqlBuilder, reg: Registry,
         f"epoch_us(CAST({t} AS TIMESTAMP)) - "
         f"epoch_us(CAST(touch_ts AS TIMESTAMP)) AS lag_us "
         f"FROM {marked} WHERE {e} = {conv}")
+
+
+# ------------------------------------------------------ conversion paths --
+
+@dataclass(frozen=True)
+class ConversionPathConfig:
+    """Multi-touch conversion paths: for each conversion event, the
+    ordered sequence of the user's preceding touch types, truncated to
+    the most recent ``max_touches`` — the path-to-conversion table
+    behind every journey/Sankey report and the input to data-driven
+    (Shapley/Markov) attribution models. Completes the family:
+    event_funnel (declared steps), events_last_touch (single credit),
+    event_transitions (first-order hops).
+
+    Determinism: (ts, id) stream order; conversions are excluded from
+    paths (a purchase is not a touch); the path string joins with '>'
+    (touch types must not contain it — validated).
+
+    Scale design (100 TB): ONE user-keyed exchange; the touch history
+    is a running ignore-null list frame over it (the locf shape with a
+    list accumulator). Per-row state is the user's touch history —
+    bounded in practice by sessionized or windowed upstreams; the
+    emitted path is truncated to ``max_touches`` BEFORE the string
+    join, so output width is fixed. Conversion-only rows survive the
+    final filter (predicate pushes into the post-window projection)."""
+
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    id_col: str = "event_id"
+    type_col: str = "event_type"
+    conversion_type: str = "purchase"
+    max_touches: int = 5
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col, self.id_col, self.type_col):
+            _ident(c, "column", self.name)
+        if "'" in self.conversion_type or ">" in self.conversion_type:
+            raise ValueError(f"{self.name}: conversion_type must not "
+                             f"contain quotes or '>'")
+        if self.max_touches < 1:
+            raise ValueError(f"{self.name}: max_touches must be >= 1")
+
+
+def build_conversion_paths(spark, reg: Registry,
+                           cfg: ConversionPathConfig,
+                           g: GlobalConfig = DEFAULT) -> DataFrame:
+    u, t, i, e = cfg.user_col, cfg.ts_col, cfg.id_col, cfg.type_col
+    src = reg.load(spark, cfg.source).select(u, t, i, e)
+    w = (Window.partitionBy(u).orderBy(F.asc(t), F.asc(i))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    conv = F.lit(cfg.conversion_type)
+    # collect_list skips NULLs: conversions drop out of the history
+    touches = F.collect_list(
+        F.when(F.col(e) != conv, F.col(e))).over(w)
+    n = cfg.max_touches
+    return (src.select(u, t, i, e, touches.alias("__touches"))
+            .filter(F.col(e) == conv)
+            .selectExpr(
+                i, u, t,
+                f"size(__touches) AS n_touches",
+                f"array_join(slice(__touches, "
+                f"greatest(size(__touches) - {n - 1}, 1), {n}), '>') "
+                f"AS path"))
+
+
+def conversion_paths_oracle(b: SqlBuilder, reg: Registry,
+                            cfg: ConversionPathConfig,
+                            g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t, i, e = cfg.user_col, cfg.ts_col, cfg.id_col, cfg.type_col
+    conv = f"'{cfg.conversion_type}'"
+    n = cfg.max_touches
+    marked = b.cte(
+        f"{cfg.name}__m",
+        f"SELECT {u}, {t}, {i}, {e}, "
+        # an empty frame aggregates to NULL in DuckDB (Spark's
+        # collect_list yields []) — coalesce to the empty list
+        f"list_filter(coalesce(list(CASE WHEN {e} <> {conv} "
+        f"THEN {e} END) "
+        f"OVER (PARTITION BY {u} ORDER BY {t}, {i} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []), "
+        f"x -> x IS NOT NULL) AS __touches FROM {src}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {i}, {u}, {t}, "
+        f"CAST(len(__touches) AS INT) AS n_touches, "
+        # array_to_string on an empty list is NULL in DuckDB; Spark's
+        # array_join gives '' — coalesce to the Spark contract
+        f"coalesce(array_to_string(__touches["
+        f"greatest(len(__touches) - {n - 1}, 1):"
+        f"greatest(len(__touches) - {n - 1}, 1) + {n - 1}], '>'), '') "
+        f"AS path "
+        f"FROM {marked} WHERE {e} = {conv}")

@@ -491,7 +491,8 @@ def _llm_parsers() -> dict:
     from .operators.quarantine import QuarantineConfig
     from .operators.events import (TransitionMatrixConfig, LocfConfig,
                                    RollingAggConfig, OhlcBarsConfig,
-                                   AttributionConfig)
+                                   AttributionConfig,
+                                   ConversionPathConfig)
     from .operators.linkage import BlockedLinkageConfig
     from .llm.overlap import SourceOverlapConfig
     from .operators.basket import CooccurrenceConfig
@@ -584,6 +585,7 @@ def _llm_parsers() -> dict:
         "percentile_rank": _dataclass_parser(PercentileRankConfig),
         "trending_topk": _dataclass_parser(TrendingConfig),
         "text_normalize": _dataclass_parser(TextNormalizeConfig),
+        "conversion_paths": _dataclass_parser(ConversionPathConfig),
     }
 
 

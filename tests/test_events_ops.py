@@ -292,3 +292,45 @@ def test_last_touch_credits_most_recent_prior_touch(spark):
     assert (out[3].touch_type, out[3].lag_us) == ("click", 60_000_000)
     assert (out[4].touch_type, out[4].lag_us) == ("click", 120_000_000)
     assert out[5].touch_type is None and out[5].lag_us is None
+
+
+# ------------------------------------------------------ conversion paths --
+
+def test_conversion_paths_order_truncation_and_empty(spark):
+    from datavault4dbt_spark.operators.events import (
+        ConversionPathConfig, build_conversion_paths)
+    rows = [(1, k, TS(f"2024-01-01 10:0{k}:00"), t) for k, t in
+            enumerate(["view", "click", "view", "click", "view",
+                       "click", "view"], start=1)]
+    rows.append((1, 8, TS("2024-01-01 10:08:00"), "purchase"))
+    rows.append((2, 9, TS("2024-01-01 09:00:00"), "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    reg = _reg(events=df)
+    out = {r.event_id: (r.n_touches, r.path)
+           for r in build_conversion_paths(
+               spark, reg,
+               ConversionPathConfig("p", max_touches=3)).collect()}
+    # 7 touches (view click view click view click view), truncated to
+    # the LAST 3 in stream order
+    assert out[8] == (7, "view>click>view")
+    assert out[9] == (0, "")
+
+
+def test_conversion_paths_exact_last_n(spark):
+    from datavault4dbt_spark.operators.events import (
+        ConversionPathConfig, build_conversion_paths)
+    rows = [(1, 1, TS("2024-01-01 10:01:00"), "a"),
+            (1, 2, TS("2024-01-01 10:02:00"), "b"),
+            (1, 3, TS("2024-01-01 10:03:00"), "c"),
+            (1, 4, TS("2024-01-01 10:04:00"), "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    reg = _reg(events=df)
+    out = {r.event_id: (r.n_touches, r.path)
+           for r in build_conversion_paths(
+               spark, reg,
+               ConversionPathConfig("p", max_touches=2)).collect()}
+    assert out[4] == (3, "b>c")

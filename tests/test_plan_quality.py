@@ -1032,6 +1032,9 @@ _BUNDLE_CLOSURE = frozenset([
     # near-idle calibration)
     "events_trending_daily",
     "docs_normalized",
+    # round-10 deliberate widening: conversion paths — 0.60s warm
+    # standalone at sf0.1 (min-of-4, near-idle calibration)
+    "events_conversion_paths",
     # round-10 deliberate widening: small-file compaction (~3s
     # idle-equivalent: measured 15.7s under a 5x-calibrated neighbor
     # burst — k_anonymity read 1.79s vs its 0.33s idle baseline in the

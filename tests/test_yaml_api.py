@@ -324,6 +324,8 @@ def test_round10_kind_parsers_roundtrip():
         ("trending_topk", "", fixtures.TRENDINGS,
          "events_trending_daily"),
         ("text_normalize", "", fixtures.NORMALIZES, "docs_normalized"),
+        ("conversion_paths", "max_touches: 5\n",
+         fixtures.CONVERSION_PATHS, "events_conversion_paths"),
     ):
         cfg = yaml_api.parse(kind, yml, name=fname)
         assert cfg == family[fname], kind
