@@ -168,7 +168,9 @@ from .operators.events import (SessionizeConfig, HoppingAggConfig,
                                attribution_oracle,
                                ConversionPathConfig,
                                build_conversion_paths,
-                               conversion_paths_oracle)
+                               conversion_paths_oracle,
+                               ActiveUsersConfig, build_active_users,
+                               active_users_oracle)
 from .operators.diff import (TableDiffConfig, build_table_diff,
                              table_diff_oracle)
 from .operators.rangejoin import (IntervalJoinConfig, build_interval_join,
@@ -1088,6 +1090,13 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: active users — both exact distinct counts drive
+        # the driver hash
+        BundleMember("events_active_users", "CAST(day AS STRING)",
+                     "concat(CAST(dau AS STRING), ':', "
+                     "CAST(rolling_au AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'active_users'"),
         # round-10: conversion paths — the truncated path string and
         # the full history length drive the driver hash ('' = direct)
         BundleMember("events_conversion_paths",
@@ -1862,6 +1871,11 @@ OHLC_BARS = {"events_ohlc_hourly": OhlcBarsConfig("events_ohlc_hourly")}
 ATTRIBUTIONS = {"events_last_touch": AttributionConfig(
     "events_last_touch")}
 
+# round-10: DAU + trailing-7-day distinct active users — 30 active
+# days at every sf, with the rolling window ramping up over the first
+# week (the day-1..6 partial-window branch is real data, not an edge)
+ACTIVE_USERS = {"events_active_users": ActiveUsersConfig(
+    "events_active_users")}
 # round-10: conversion paths — ~2k purchases at sf0.01 with touch
 # histories from 0 (empty-path direct conversions) past the
 # max_touches=5 truncation point, so the slice boundary is exercised
@@ -2065,6 +2079,7 @@ _FAMILIES = [
     (NORMALIZES, build_text_normalize, text_normalize_oracle, _NO_DEPS),
     (CONVERSION_PATHS, build_conversion_paths, conversion_paths_oracle,
      _NO_DEPS),
+    (ACTIVE_USERS, build_active_users, active_users_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -869,3 +869,95 @@ def conversion_paths_oracle(b: SqlBuilder, reg: Registry,
         f"greatest(len(__touches) - {n - 1}, 1) + {n - 1}], '>'), '') "
         f"AS path "
         f"FROM {marked} WHERE {e} = {conv}")
+
+
+# -------------------------------------------------------- active users --
+
+@dataclass(frozen=True)
+class ActiveUsersConfig:
+    """Daily + rolling-window distinct active users (DAU / WAU-style):
+    for every day with activity, the exact count of distinct users
+    active that day and within the trailing ``window_days`` — the
+    engagement table every product/ops dashboard leads with. Exact
+    counts, not HLL sketches (the dataset-profile contract: a number
+    that cannot be reproduced on a second engine is not a verification
+    artifact).
+
+    A rolling DISTINCT cannot ride a window frame (distinct does not
+    decompose); the exact formulation reduces the corpus to the
+    distinct (day, user) level ONCE, then fans each pair out to the
+    ``window_days`` trailing days it contributes to — bounded
+    ``window_days``x growth of the PAIR level (already
+    corpus-compressed), never of the raw events. Days with zero
+    activity are absent (their trailing window is still observable
+    from neighboring rows; emitting them would need a spine join the
+    caller can do).
+
+    Scale design (100 TB): one exchange for the (day, user) distinct,
+    one for the fanned-out (window-end-day, user) distinct, one
+    map-side-combined count per day — all census-level after the first
+    reduction. ``window_days`` is validated small (<= 92).
+
+    Determinism: epoch-day integer buckets (the cohort-retention
+    contract)."""
+
+    name: str
+    source: str = "events"
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    window_days: int = 7
+
+    def __post_init__(self):
+        for c in (self.user_col, self.ts_col):
+            _ident(c, "column", self.name)
+        if not 1 <= self.window_days <= 92:
+            raise ValueError(
+                f"{self.name}: window_days must be in [1, 92] — the "
+                f"fan-out is window_days x the (day, user) level")
+
+
+def build_active_users(spark, reg: Registry, cfg: ActiveUsersConfig,
+                       g: GlobalConfig = DEFAULT) -> DataFrame:
+    u, t = cfg.user_col, cfg.ts_col
+    pairs = (reg.load(spark, cfg.source)
+             .selectExpr(
+                 u,
+                 f"unix_micros(CAST({t} AS TIMESTAMP)) div {_DAY_US} "
+                 f"AS day")
+             .distinct())
+    dau = pairs.groupBy("day").agg(
+        F.countDistinct(u).alias("dau"))
+    w = cfg.window_days
+    rolling = (pairs.selectExpr(
+        u, f"explode(sequence(day, day + {w - 1})) AS day")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct(u).alias("rolling_au")))
+    # inner join: only days with same-day activity surface (see doc)
+    return dau.join(rolling, "day", "inner").select(
+        "day", "dau", "rolling_au")
+
+
+def active_users_oracle(b: SqlBuilder, reg: Registry,
+                        cfg: ActiveUsersConfig,
+                        g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    u, t = cfg.user_col, cfg.ts_col
+    w = cfg.window_days
+    pairs = b.cte(
+        f"{cfg.name}__p",
+        f"SELECT DISTINCT {u}, "
+        f"epoch_us(CAST({t} AS TIMESTAMP)) // {_DAY_US} AS day "
+        f"FROM {src}")
+    dau = b.cte(f"{cfg.name}__d",
+                f"SELECT day, count(DISTINCT {u}) AS dau FROM {pairs} "
+                f"GROUP BY day")
+    rolling = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT day + o.o AS day, count(DISTINCT {u}) AS rolling_au "
+        f"FROM {pairs}, (SELECT unnest(generate_series(0, {w - 1})) "
+        f"AS o) o GROUP BY day + o.o")
+    return b.cte(
+        cfg.name,
+        f"SELECT d.day, d.dau, r.rolling_au "
+        f"FROM {dau} d JOIN {rolling} r USING (day)")

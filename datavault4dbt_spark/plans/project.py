@@ -164,7 +164,8 @@ def _llm_kinds() -> dict:
     from ..operators.events import (build_transition_matrix, build_locf,
                                     build_rolling_agg, build_ohlc_bars,
                                     build_attribution,
-                                    build_conversion_paths)
+                                    build_conversion_paths,
+                                    build_active_users)
     from ..operators.linkage import build_blocked_linkage
     from ..operators.basket import build_cooccurrence
     from ..operators.compaction import build_compaction
@@ -276,6 +277,7 @@ def _llm_kinds() -> dict:
         "trending_topk": (build_trending_topk, src),
         "text_normalize": (build_text_normalize, src),
         "conversion_paths": (build_conversion_paths, src),
+        "active_users": (build_active_users, src),
         # both stage scratch copies internally; the RESULT is a full
         # rebuild (the incremental_dedup note above applies)
         "compaction": (build_compaction, src),

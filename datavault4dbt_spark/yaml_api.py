@@ -492,7 +492,8 @@ def _llm_parsers() -> dict:
     from .operators.events import (TransitionMatrixConfig, LocfConfig,
                                    RollingAggConfig, OhlcBarsConfig,
                                    AttributionConfig,
-                                   ConversionPathConfig)
+                                   ConversionPathConfig,
+                                   ActiveUsersConfig)
     from .operators.linkage import BlockedLinkageConfig
     from .llm.overlap import SourceOverlapConfig
     from .operators.basket import CooccurrenceConfig
@@ -586,6 +587,7 @@ def _llm_parsers() -> dict:
         "trending_topk": _dataclass_parser(TrendingConfig),
         "text_normalize": _dataclass_parser(TextNormalizeConfig),
         "conversion_paths": _dataclass_parser(ConversionPathConfig),
+        "active_users": _dataclass_parser(ActiveUsersConfig),
     }
 
 

@@ -334,3 +334,28 @@ def test_conversion_paths_exact_last_n(spark):
                spark, reg,
                ConversionPathConfig("p", max_touches=2)).collect()}
     assert out[4] == (3, "b>c")
+
+
+# --------------------------------------------------------- active users --
+
+def test_active_users_rolling_window_exact(spark):
+    from datavault4dbt_spark.operators.events import (ActiveUsersConfig,
+                                                      build_active_users)
+    rows = [
+        (1, TS("2024-01-01 10:00:00")), (2, TS("2024-01-01 11:00:00")),
+        (1, TS("2024-01-02 10:00:00")),
+        (3, TS("2024-01-05 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    reg = _reg(events=df)
+    out = {r["day"]: (r["dau"], r["rolling_au"])
+           for r in build_active_users(
+               spark, reg,
+               ActiveUsersConfig("au", window_days=3)).collect()}
+    d = 19723                            # 2024-01-01 epoch-day
+    # day 1: users {1,2}; day 2: {1}, trailing {1,2}; day 5: {3},
+    # trailing 3-day window [3..5] holds only user 3
+    assert out[d] == (2, 2)
+    assert out[d + 1] == (1, 2)
+    assert out[d + 4] == (1, 1)
+    assert set(out) == {d, d + 1, d + 4}  # inactive days absent

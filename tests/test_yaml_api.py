@@ -326,6 +326,8 @@ def test_round10_kind_parsers_roundtrip():
         ("text_normalize", "", fixtures.NORMALIZES, "docs_normalized"),
         ("conversion_paths", "max_touches: 5\n",
          fixtures.CONVERSION_PATHS, "events_conversion_paths"),
+        ("active_users", "window_days: 7\n", fixtures.ACTIVE_USERS,
+         "events_active_users"),
     ):
         cfg = yaml_api.parse(kind, yml, name=fname)
         assert cfg == family[fname], kind
