@@ -82,7 +82,10 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            build_temperature_resample,
                            temperature_resample_oracle,
                            ExactSampleConfig, build_exact_sample,
-                           exact_sample_oracle)
+                           exact_sample_oracle,
+                           ProportionalSampleConfig,
+                           build_proportional_sample,
+                           proportional_sample_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
@@ -1090,6 +1093,14 @@ BUNDLES = {
                      "CAST(p_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'transitions'"),
+        # round-10: proportional sample — membership, rank and the
+        # stratum's Hamilton allocation all drive the driver hash
+        BundleMember("docs_proportional_sample",
+                     "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(sample_rank AS STRING), "
+                     "':', CAST(n_alloc AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'proportional_sample'"),
         # round-10: active users — both exact distinct counts drive
         # the driver hash
         BundleMember("events_active_users", "CAST(day AS STRING)",
@@ -1871,6 +1882,12 @@ OHLC_BARS = {"events_ohlc_hourly": OhlcBarsConfig("events_ohlc_hourly")}
 ATTRIBUTIONS = {"events_last_touch": AttributionConfig(
     "events_last_touch")}
 
+# round-10: exact-total proportional sample — total_n=97 (prime)
+# against the skewed language mix forces non-zero remainders, so the
+# largest-remainder seat distribution is real at every sf
+PROPORTIONAL_SAMPLES = {"docs_proportional_sample":
+                        ProportionalSampleConfig(
+                            "docs_proportional_sample", total_n=97)}
 # round-10: DAU + trailing-7-day distinct active users — 30 active
 # days at every sf, with the rolling window ramping up over the first
 # week (the day-1..6 partial-window branch is real data, not an edge)
@@ -2080,6 +2097,8 @@ _FAMILIES = [
     (CONVERSION_PATHS, build_conversion_paths, conversion_paths_oracle,
      _NO_DEPS),
     (ACTIVE_USERS, build_active_users, active_users_oracle, _NO_DEPS),
+    (PROPORTIONAL_SAMPLES, build_proportional_sample,
+     proportional_sample_oracle, _NO_DEPS),
     (VAULT_CHECKS, build_vault_checks, vault_checks_oracle,
      lambda c: sorted({ch.entity for ch in c.checks}
                       | {ch.to_entity for ch in c.checks

@@ -706,3 +706,117 @@ def exact_sample_oracle(b: SqlBuilder, reg: Registry,
         cfg.name,
         f"SELECT * FROM {ranked} "
         f"WHERE sample_rank <= {cfg.n_per_stratum}")
+
+
+# ------------------------------------------------- proportional sample --
+
+@dataclass(frozen=True)
+class ProportionalSampleConfig:
+    """Exact-total proportional stratified sample: draw EXACTLY
+    ``total_n`` rows overall, allocated across strata in proportion to
+    their sizes by the largest-remainder (Hamilton) method — the
+    apportionment rule that makes per-stratum quotas sum exactly to
+    the declared budget with no float rounding drift. The fixed-TOTAL
+    counterpart of exact_sample's fixed-per-stratum cut (an eval set
+    of exactly 10k docs mirroring the corpus language mix).
+
+    Allocation: base_i = (N * c_i) div T, remainder r_i = (N * c_i)
+    mod T; the N - sum(base_i) leftover seats go to the largest r_i
+    (ties: stratum value ascending). Pure BIGINT arithmetic — both
+    engines agree bit-for-bit (N * c_i must fit BIGINT: fine for any
+    real budget). For N <= T every allocation fits its stratum by
+    construction; a degenerate N > T caps at the stratum size.
+
+    Scale design (100 TB): the allocation derives from the stratum
+    census (one map-side-combined groupBy, window over the tiny
+    census) and joins back BROADCAST; the per-stratum rank-cut first
+    applies the STATIC bound rank <= N — which compiles to a
+    partial+final WindowGroupLimit pair (bounded heaps before the
+    stratum exchange) — and only then the dynamic per-stratum quota,
+    so the shuffle never moves more than N rows per stratum. Salted
+    48-bit hash ranks, the exact_sample determinism contract."""
+
+    name: str
+    source: str = "documents"
+    stratum_col: str = "lang"
+    id_col: str = "doc_id"
+    total_n: int = 100
+    salt: str = "proportional_sample"
+
+    def __post_init__(self):
+        for c in (self.stratum_col, self.id_col):
+            ensure_identifier(c, "column", self.name)
+        if self.total_n < 1:
+            raise ValueError(f"{self.name}: total_n must be >= 1")
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", self.salt):
+            raise ValueError(f"{self.name}: salt must be a plain token")
+
+
+def build_proportional_sample(spark, reg: Registry,
+                              cfg: ProportionalSampleConfig,
+                              g: GlobalConfig = DEFAULT) -> DataFrame:
+    from pyspark.sql import Window
+
+    s, i, n = cfg.stratum_col, cfg.id_col, cfg.total_n
+    df = reg.load(spark, cfg.source)
+    census = df.groupBy(s).agg(F.count(F.lit(1)).alias("__c"))
+    wt = Window.partitionBy()
+    wr = Window.partitionBy().orderBy(
+        F.desc("__rem"), F.asc(s))
+    alloc = (census
+             .withColumn("__t", F.sum("__c").over(wt))
+             .selectExpr(s, "__c",
+                         f"({n} * __c) div __t AS __base",
+                         f"({n} * __c) % __t AS __rem",
+                         f"{n} - sum(({n} * __c) div __t) OVER () "
+                         f"AS __extra")
+             .withColumn("__seat", F.row_number().over(wr))
+             .selectExpr(
+                 s,
+                 "CAST(least(__base + CASE WHEN __seat <= __extra "
+                 "THEN 1 ELSE 0 END, __c) AS BIGINT) AS n_alloc"))
+    keyed = df.selectExpr(
+        i, s, f"{_shuffle_key(i, cfg.salt)} AS __k")
+    w = Window.partitionBy(s).orderBy(F.asc("__k"), F.asc(i))
+    ranked = (keyed
+              .withColumn("sample_rank",
+                          F.row_number().over(w).cast("int"))
+              .filter(F.col("sample_rank") <= n))    # static cut first
+    return (ranked.join(F.broadcast(alloc), s, "inner")
+            .filter(F.col("sample_rank") <= F.col("n_alloc"))
+            .select(i, s, "sample_rank", "n_alloc"))
+
+
+def proportional_sample_oracle(b: SqlBuilder, reg: Registry,
+                               cfg: ProportionalSampleConfig,
+                               g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    s, i, n = cfg.stratum_col, cfg.id_col, cfg.total_n
+    census = b.cte(f"{cfg.name}__c",
+                   f"SELECT {s}, count(*) AS __c FROM {src} GROUP BY {s}")
+    quota = b.cte(
+        f"{cfg.name}__q",
+        f"SELECT {s}, __c, ({n} * __c) // sum(__c) OVER () AS __base, "
+        f"({n} * __c) % sum(__c) OVER () AS __rem FROM {census}")
+    alloc = b.cte(
+        f"{cfg.name}__a",
+        f"SELECT {s}, least(__base + CASE WHEN __seat <= __extra "
+        f"THEN 1 ELSE 0 END, __c) AS n_alloc FROM ("
+        f"SELECT {s}, __c, __base, "
+        f"{n} - sum(__base) OVER () AS __extra, "
+        f"row_number() OVER (ORDER BY __rem DESC, {s}) AS __seat "
+        f"FROM {quota})")
+    keyed = b.cte(
+        f"{cfg.name}__k",
+        f"SELECT {i}, {s}, {_shuffle_key(i, cfg.salt)} AS __k "
+        f"FROM {src}")
+    ranked = b.cte(
+        f"{cfg.name}__r",
+        f"SELECT {i}, {s}, CAST(row_number() OVER ("
+        f"PARTITION BY {s} ORDER BY __k, {i}) AS INT) AS sample_rank "
+        f"FROM {keyed}")
+    return b.cte(
+        cfg.name,
+        f"SELECT {i}, {s}, sample_rank, CAST(n_alloc AS BIGINT) "
+        f"AS n_alloc FROM {ranked} JOIN {alloc} USING ({s}) "
+        f"WHERE sample_rank <= n_alloc")

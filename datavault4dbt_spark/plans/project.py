@@ -159,7 +159,8 @@ def _llm_kinds() -> dict:
     from ..llm.profile import (build_heavy_hitters, build_histogram,
                                build_sufficient_stats)
     from ..llm.vocab import build_grouped_vocab
-    from ..llm.sampling import build_exact_sample
+    from ..llm.sampling import (build_exact_sample,
+                                build_proportional_sample)
     from ..llm.selection import build_quantile_gate
     from ..operators.events import (build_transition_matrix, build_locf,
                                     build_rolling_agg, build_ohlc_bars,
@@ -278,6 +279,7 @@ def _llm_kinds() -> dict:
         "text_normalize": (build_text_normalize, src),
         "conversion_paths": (build_conversion_paths, src),
         "active_users": (build_active_users, src),
+        "proportional_sample": (build_proportional_sample, src),
         # both stage scratch copies internally; the RESULT is a full
         # rebuild (the incremental_dedup note above applies)
         "compaction": (build_compaction, src),

@@ -459,7 +459,8 @@ def _llm_parsers() -> dict:
     from .llm.scrub import RepetitionConfig, PiiRedactConfig
     from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                                PackingManifestConfig, CorpusShuffleConfig,
-                               TemperatureMixConfig)
+                               TemperatureMixConfig,
+                               ProportionalSampleConfig)
     from .llm.semdedup import SemDedupConfig
     from .llm.quantize import ScalarQuantizeConfig
     from .llm.substring import SubstringDupConfig
@@ -588,6 +589,8 @@ def _llm_parsers() -> dict:
         "text_normalize": _dataclass_parser(TextNormalizeConfig),
         "conversion_paths": _dataclass_parser(ConversionPathConfig),
         "active_users": _dataclass_parser(ActiveUsersConfig),
+        "proportional_sample": _dataclass_parser(
+            ProportionalSampleConfig),
     }
 
 

@@ -1039,6 +1039,9 @@ _BUNDLE_CLOSURE = frozenset([
     # idle-equivalent at sf0.1 (measured 1.31s under a 3.5x-calibrated
     # load window)
     "events_active_users",
+    # round-10 deliberate widening: proportional sample — 0.58s warm
+    # standalone at sf0.1 (min-of-4, near-idle calibration)
+    "docs_proportional_sample",
     # round-10 deliberate widening: small-file compaction (~3s
     # idle-equivalent: measured 15.7s under a 5x-calibrated neighbor
     # burst — k_anonymity read 1.79s vs its 0.33s idle baseline in the

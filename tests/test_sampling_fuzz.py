@@ -153,3 +153,53 @@ def test_chunk_grammar_matches_python_reference(spark, rows, chunk, stride):
         for i, t in rows
         for cid, start, txt in _py_chunks(t, chunk, stride))
     assert got == want
+
+
+# -------------------------------------------- proportional allocation --
+
+def test_proportional_sample_exact_total_and_hamilton(spark):
+    """The allocation sums to exactly total_n and follows the
+    largest-remainder rule against a Python replay."""
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.llm.sampling import (
+        ProportionalSampleConfig, build_proportional_sample)
+
+    sizes = {"a": 7, "b": 13, "c": 3, "d": 29}
+    rows, i = [], 0
+    for s, c in sizes.items():
+        for _ in range(c):
+            rows.append((i, s)); i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    reg = Registry()
+    reg.spark_loaders["documents"] = lambda _s: df
+    N = 11
+    out = build_proportional_sample(
+        spark, reg, ProportionalSampleConfig("ps", total_n=N)).collect()
+    got_alloc = {}
+    for r in out:
+        got_alloc.setdefault(r["lang"], 0)
+        got_alloc[r["lang"]] += 1
+        assert r["sample_rank"] <= r["n_alloc"]
+    assert sum(got_alloc.values()) == N
+    # Python Hamilton replay
+    T = sum(sizes.values())
+    base = {s: (N * c) // T for s, c in sizes.items()}
+    rem = {s: (N * c) % T for s, c in sizes.items()}
+    extra = N - sum(base.values())
+    for s in sorted(sizes, key=lambda s: (-rem[s], s))[:extra]:
+        base[s] += 1
+    assert {s: n for s, n in base.items() if n} == got_alloc
+
+
+def test_proportional_sample_degenerate_n_exceeds_corpus(spark):
+    from datavault4dbt_spark.context import Registry
+    from datavault4dbt_spark.llm.sampling import (
+        ProportionalSampleConfig, build_proportional_sample)
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, lang string")
+    reg = Registry()
+    reg.spark_loaders["documents"] = lambda _s: df
+    out = build_proportional_sample(
+        spark, reg, ProportionalSampleConfig("ps", total_n=10)).collect()
+    assert len(out) == 3               # capped at the corpus

@@ -328,6 +328,8 @@ def test_round10_kind_parsers_roundtrip():
          fixtures.CONVERSION_PATHS, "events_conversion_paths"),
         ("active_users", "window_days: 7\n", fixtures.ACTIVE_USERS,
          "events_active_users"),
+        ("proportional_sample", "total_n: 97\n",
+         fixtures.PROPORTIONAL_SAMPLES, "docs_proportional_sample"),
     ):
         cfg = yaml_api.parse(kind, yml, name=fname)
         assert cfg == family[fname], kind
