@@ -507,15 +507,28 @@ SNAPS_V1 = {
         current_ts="2024-02-01 00:00:00"),
 }
 
-# Row-union bundle over the redundant small entities (operator instances
-# whose operator already has dedicated in-window slots: stage x5, hub x7,
-# sat_v0 x3 remain individually exposed). Bundled members keep full
-# external verification — every member row lands in the bundle result as
-# (entity, hk, hd, ldts, rsrc) and the driver value-hashes all of it —
-# while the exposed queries() surface stays <= 50 keys, i.e. entirely
-# inside the driver's 50-query check window with no ordering tricks.
-BUNDLES = {
-    "vault_dims_bundle": BundleConfig("vault_dims_bundle", (
+# Row-union bundles over the redundant small entities (operator
+# instances whose operator already has dedicated in-window slots).
+# Bundled members keep full external verification — every member row
+# lands in the bundle result as (entity, hk, hd, ldts, rsrc) and the
+# driver value-hashes all of it — while the exposed queries() surface
+# stays <= 50 keys, i.e. entirely inside the driver's 50-query check
+# window with no ordering tricks.
+#
+# round-10 (r9 advice #1): the single 95-member vault_dims_bundle is
+# split into FOUR thematic row-unions (vault core / curation / corpus
+# stats / analytics+layout), each <= 30 members, so a future regression
+# localizes to one <=30-member union with per-bundle driver timing —
+# instead of one opaque hash over ~100 operators. Members are declared
+# once in _ALL_BUNDLE_MEMBERS below and assigned to a bundle by NAME, so
+# rotating a member between bundles (or out to an exposed slot) is a
+# one-line move. Three long-bundled members rotate OUT to exposed slots
+# this round (gopher_rules, event_funnel, temperature_mix — bundled
+# since r8) and eight redundant previously-exposed instances rotate IN
+# (stage_orders/lineitem/events_seq, hub_part_enriched, control_snap_v0,
+# ma_sat_customer_orders_v1, events_asof_click_incl, packing_manifest),
+# freeing slots for the round-10 driver-gated entities.
+_ALL_BUNDLE_MEMBERS = (
         BundleMember("stage_region", "hk_region_h", "hd_region_s"),
         BundleMember("stage_nation", "hk_nation_h", "hd_nation_s"),
         BundleMember("stage_supplier", "hk_supplier_h", "hd_supplier_s"),
@@ -798,20 +811,8 @@ BUNDLES = {
                      "md5(cleaned_text))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'boilerplate'"),
-        BundleMember("gopher_rules", "CAST(doc_id AS STRING)",
-                     "concat(CAST(n_words AS STRING), ':', "
-                     "CAST(mean_wlen_e2 AS STRING), ':', "
-                     "CAST(n_symbol_words AS STRING), ':', "
-                     "CAST(n_alpha_words AS STRING), ':', "
-                     "CAST(n_stop AS STRING), ':', "
-                     "CAST(pass_word_count AS STRING), ':', "
-                     "CAST(pass_mean_word_len AS STRING), ':', "
-                     "CAST(pass_symbol_ratio AS STRING), ':', "
-                     "CAST(pass_alpha_words AS STRING), ':', "
-                     "CAST(pass_stopwords AS STRING), ':', "
-                     "CAST(keep AS STRING))",
-                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
-                     rsrc="'gopher'"),
+        # round-10: gopher_rules rotated OUT to an exposed slot (r9
+        # advice #1 rotation; bundled since r8)
         # round-8: CCNet perplexity terciles — bucket label, keep flag
         # and the underlying score all drive the driver hash; shares
         # the text_lm_score subtree already in the bundle's build set
@@ -837,11 +838,8 @@ BUNDLES = {
                      "CAST(shuffle_key AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'shuffle'"),
-        # round-8: temperature mix — survivor set + per-stratum rate
-        BundleMember("temperature_mix", "CAST(doc_id AS STRING)",
-                     "concat(lang, ':', CAST(rate_ppm AS STRING))",
-                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
-                     rsrc="'temperature_mix'"),
+        # round-10: temperature_mix rotated OUT to an exposed slot (r9
+        # advice #1 rotation; bundled since r8)
         # round-9: repeat-expansion resampler — the per-copy grain
         # (doc, repeat_idx) is the hk, so the exact copy COUNT per
         # document drives the driver hash along with the stratum rate
@@ -851,16 +849,8 @@ BUNDLES = {
                      "concat(lang, ':', CAST(rate_ppm AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'temperature_resample'"),
-        # round-8: first-touch funnel — each step's first-completion
-        # timestamp and the depth fold in (timestamps render
-        # identically: the registry normalizes events.ts to micros)
-        BundleMember("event_funnel", "CAST(user_id AS STRING)",
-                     "concat(coalesce(CAST(step1_ts AS STRING), ''), "
-                     "':', coalesce(CAST(step2_ts AS STRING), ''), "
-                     "':', coalesce(CAST(step3_ts AS STRING), ''), "
-                     "':', CAST(depth AS STRING))",
-                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
-                     rsrc="'funnel'"),
+        # round-10: event_funnel rotated OUT to an exposed slot (r9
+        # advice #1 rotation; bundled since r8)
         # round-8: cohort retention — the full matrix folds in
         BundleMember("event_cohort_retention",
                      "concat(CAST(cohort_day AS STRING), ':', "
@@ -1212,6 +1202,126 @@ BUNDLES = {
                      "CAST(dist AS STRING)",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'linkage'"),
+        # round-10 rotations IN (previously exposed, redundant
+        # instances — each operator keeps >= 1 individually exposed
+        # entity). The multi-active stage folds the derived bucket and
+        # one payload cell beside the group hashdiff.
+        BundleMember("stage_orders", "hk_order_h",
+                     "concat(hd_order_ms, '|', "
+                     "CAST(o_total_bucket AS STRING), '|', "
+                     "coalesce(o_orderstatus, ''))"),
+        BundleMember("stage_lineitem", "hk_lineitem_nl",
+                     "concat(hd_lineitem_s, '|', "
+                     "coalesce(l_returnflag, ''))"),
+        # the sequence stage's whole point is edwSequence: fold it into
+        # the hk (row identity) so a dropped/shifted sequence fails
+        BundleMember("stage_events_seq", "CAST(edwSequence AS STRING)",
+                     "concat(hk_user_h, ':', coalesce(event_type, ''))"),
+        BundleMember("hub_part_enriched", "hk_part_h",
+                     "concat(CAST(p_partkey AS STRING), ':', "
+                     "coalesce(p_brand, ''), ':', "
+                     "coalesce(p_type, ''))"),
+        # the spine row grain is sdts; caption + every calendar flag
+        # folds in (booleans CAST to 'true'/'false' in both engines)
+        BundleMember("control_snap_v0", "CAST(sdts AS STRING)",
+                     "concat(caption, ':', "
+                     "CAST(replacement_sdts AS STRING), ':', "
+                     "CAST(force_active AS STRING), ':', "
+                     "CAST(is_daily AS STRING), ':', "
+                     "CAST(is_beginning_of_week AS STRING), ':', "
+                     "CAST(is_end_of_week AS STRING), ':', "
+                     "CAST(is_beginning_of_month AS STRING), ':', "
+                     "CAST(is_end_of_month AS STRING), ':', "
+                     "CAST(is_beginning_of_quarter AS STRING), ':', "
+                     "CAST(is_end_of_quarter AS STRING), ':', "
+                     "CAST(is_beginning_of_year AS STRING), ':', "
+                     "CAST(is_end_of_year AS STRING))",
+                     ldts="sdts", rsrc="'snap_v0'"),
+        # ma_sat v1: ledts + IS_CURRENT fold in (the sat_v1 pattern) so
+        # end-dating regressions fail the hash; the MA grain rides via
+        # o_orderkey and one payload cell
+        BundleMember("ma_sat_customer_orders_v1", "hk_customer_h",
+                     "concat(hd_order_ms, '|', CAST(ledts AS STRING), "
+                     "'|', CAST(IS_CURRENT AS STRING), '|', "
+                     "CAST(o_orderkey AS STRING), '|', "
+                     "coalesce(o_orderstatus, ''))"),
+        # inclusive as-of (the tol member's fold shape: matched ts +
+        # value as exact cents through coalesce sentinels)
+        BundleMember("events_asof_click_incl", "CAST(event_id AS STRING)",
+                     "concat(coalesce(CAST(asof_ts AS STRING), ''), "
+                     "':', coalesce(CAST(CAST(round(asof_value * 100) "
+                     "AS BIGINT) AS STRING), ''))",
+                     ldts="ts", rsrc="'asof_incl'"),
+        # packing manifest: every integer assignment cell folds in
+        BundleMember("packing_manifest", "CAST(doc_id AS STRING)",
+                     "concat(CAST(shard AS STRING), ':', "
+                     "CAST(n_tok AS STRING), ':', "
+                     "CAST(bin AS STRING), ':', "
+                     "CAST(stream_offset_tokens AS STRING), ':', "
+                     "CAST(bin_offset_tokens AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'packing_manifest'"),
+)
+
+_BM = {m.entity: m for m in _ALL_BUNDLE_MEMBERS}
+
+
+def _bundle(name: str, entities: tuple) -> BundleConfig:
+    return BundleConfig(name, tuple(_BM[e] for e in entities))
+
+
+BUNDLES = {
+    # Data Vault core loads: stages, hubs, links, sats, refs, PITs.
+    "vault_core_bundle": _bundle("vault_core_bundle", (
+        "stage_region", "stage_nation", "stage_supplier", "stage_part",
+        "stage_orders", "stage_lineitem", "stage_events_seq",
+        "hub_region", "hub_supplier", "hub_nation", "hub_user",
+        "hub_part", "hub_order", "hub_part_enriched",
+        "link_customer_nation", "link_supplier_nation",
+        "sat_nation_s", "sat_customer_p0_s", "sat_part_s",
+        "sat_part_s_v1", "ma_sat_customer_orders_v1",
+        "ref_hub_nation", "ref_hub_part", "ref_sat_nation_v0",
+        "ref_sat_nation_v1", "ref_sat_part_v0",
+        "ref_table_nation_latest", "ref_table_nation_snap",
+        "pit_nation", "pit_nation_cleaned",
+    )),
+    # Document curation / dedup / quality-filter chain.
+    "curation_bundle": _bundle("curation_bundle", (
+        "source_stats", "docs_source_gated", "doc_chunks",
+        "text_line_clean", "multimodal_decode", "docs_decontaminated",
+        "chunk_dedup_spans", "canonical_docs", "docs_split",
+        "docs_source_capped", "docs_curated", "docs_curated_best",
+        "dedup_minhash_lsh", "dedup_groups", "dedup_report",
+        "text_lm_score", "dsir_score", "quality_classifier",
+        "docs_boilerplate_clean", "docs_ccnet_buckets",
+        "docs_normalized", "docs_k_anonymity", "docs_length_gate",
+        "curation_strategy_diff",
+    )),
+    # Corpus profiling / sampling / vocabulary statistics.
+    "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
+        "dataset_profile", "text_vocab_topk", "vocab_topk_by_lang",
+        "corpus_shuffle", "temperature_resample", "text_fingerprint",
+        "source_token_budget", "source_len_quantiles",
+        "docs_length_histogram", "docs_exact_sample",
+        "docs_proportional_sample", "docs_length_pr",
+        "source_overlap_matrix", "docs_cube_census",
+        "docs_source_lang_pivot", "packing_manifest",
+    )),
+    # Event/lineitem analytics + storage-layout round-trips.
+    "analytics_bundle": _bundle("analytics_bundle", (
+        "control_snap_v0", "vault_checks", "event_sessions",
+        "event_hopping_agg", "events_in_snapshot_day",
+        "event_cohort_retention", "events_asof_click_tol",
+        "events_asof_click_incl", "lineitem_rollup_census",
+        "events_skew_profile", "lineitem_scd1_current",
+        "lineitem_scd1_cdc", "events_source_json", "events_source_csv",
+        "events_source_orc", "lineitem_quarantine",
+        "lineitem_qty_price_stats", "events_rolling_value",
+        "events_props_extracted", "events_value_locf",
+        "event_transitions", "events_active_users",
+        "events_conversion_paths", "events_trending_daily",
+        "docs_compacted", "docs_partitioned_en", "events_ohlc_hourly",
+        "events_last_touch", "part_cooccurrence", "part_name_linkage",
     )),
 }
 

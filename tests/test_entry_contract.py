@@ -28,9 +28,16 @@ def test_queries_and_oracle_keys_consistent():
     assert list(qs) == fixtures.all_entity_names()
     # the driver checks the first 50 keys: the exposed surface must fit
     # entirely inside that window (bundled entities are verified through
-    # vault_dims_bundle — see fixtures._BUNDLED / operators/bundle.py)
+    # the four thematic bundles — see fixtures._BUNDLED /
+    # operators/bundle.py)
     assert len(qs) <= 50
-    assert "vault_dims_bundle" in qs
+    for b in ("vault_core_bundle", "curation_bundle",
+              "corpus_stats_bundle", "analytics_bundle"):
+        assert b in qs
+    # localization contract (r9 advice #1): no bundle may regrow past
+    # 30 members — a broken member must localize to a <=30-member union
+    for cfg in fixtures.BUNDLES.values():
+        assert len(cfg.members) <= 30, cfg.name
     # every declared entity is either exposed or bundle-verified
     exposed = set(qs) | fixtures._BUNDLED
     assert exposed == set(fixtures.declared_entity_names())

@@ -830,229 +830,81 @@ def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-# The bundle's dependency closure is FROZEN (round-7 advice #2): a new
-# vault_dims_bundle member whose dependencies are not already in this
-# set is paid as a fresh subtree on EVERY bench run (the vault_checks
-# lesson: one fresh-subtree draft cost +10 s and was reverted). Adding
-# a member that only consumes entities below keeps the bundle's cost
-# flat (_multi_consumed persists the shared subtrees once). To grow the
-# closure anyway, update this set DELIBERATELY and justify the bench
-# cost in BENCH.md.
-_BUNDLE_CLOSURE = frozenset([
-    "canonical_docs", "chunk_dedup_spans", "control_snap_v0",
-    "control_snap_v1", "dataset_profile", "dedup_groups",
-    "dedup_minhash_lsh", "dedup_report", "doc_chunks", "docs_curated",
-    "docs_curated_best", "docs_decontaminated", "docs_source_capped",
-    "docs_source_gated", "docs_split", "event_hopping_agg",
-    "event_sessions", "events_in_snapshot_day", "hub_nation",
-    "hub_order", "hub_part", "hub_region", "hub_supplier", "hub_user",
-    "link_customer_nation", "link_supplier_nation", "multimodal_decode",
-    "ref_hub_nation", "ref_hub_part", "ref_sat_nation_v0",
-    "ref_sat_nation_v1", "ref_sat_part_v0", "ref_table_nation_latest",
-    "ref_table_nation_snap", "sat_customer_p0_s", "sat_nation_s",
-    "sat_part_s", "sat_part_s_v1", "source_stats", "stage_customer",
-    "stage_events", "stage_nation", "stage_orders", "stage_part",
-    "stage_region", "stage_supplier", "text_langid", "text_line_clean",
-    "text_quality", "text_repetition", "vault_checks",
-    # round-8 deliberate widening: bigram-LM quality score — measured
-    # 1.36s standalone at sf0.1 (min-of-3, idle host) before adding;
-    # two document scans + two map-side-combined word aggs, no chain
-    # rebuild (BENCH.md round-8 section)
-    "text_lm_score",
-    # round-8 deliberate widening: Gopher rule table — pure scan-stage
-    # projection (zero shuffles), sub-second at sf0.1 (BENCH.md)
-    "gopher_rules",
-    # round-8 deliberate widening: cross-doc line-frequency boilerplate
-    # removal — one census groupBy + join-back + per-doc reassembly
-    # (the chunk-scrub shape), measured 1.49s warm at sf0.1 (min-of-3,
-    # idle host) before adding
-    "docs_boilerplate_clean",
-    # round-8 deliberate widening: DSIR importance score — one census
-    # groupBy + scoring join + per-doc reduce, the lm_score cost shape
-    # (1.93s warm at sf0.1, min-of-3 idle; measured before adding)
-    "dsir_score",
-    # round-8 deliberate widening: CCNet perplexity buckets + vocab
-    # top-k — measured TOGETHER as a bundle delta before adding:
-    # 27.0s -> 30.8s min-of-3 at sf0.1 (+3.7s for both). ccnet rides
-    # the already-persisted text_lm_score subtree (histogram window
-    # runs over the bounded score histogram, never the corpus); vocab
-    # is one census groupBy + TakeOrderedAndProject
-    "docs_ccnet_buckets", "text_vocab_topk",
-    # round-8 deliberate widening: deterministic shuffle-shard — one
-    # hash exchange + per-shard rank over documents; 0.59s warm
-    # standalone at sf0.1 (min-of-4, idle host; measured before adding)
-    "corpus_shuffle",
-    # round-8 deliberate widening: temperature mix — one strata-count
-    # groupBy + broadcast rate join + scan-stage keep decision; 0.96s
-    # warm standalone at sf0.1 (min-of-4, idle; measured before adding)
-    "temperature_mix",
-    # round-8 deliberate widening: tolerance as-of — the same
-    # single-shuffle union-window as the exposed as-of entries plus a
-    # scan-stage staleness gate; 0.60s warm standalone at sf0.1
-    # (min-of-4, idle; measured before adding)
-    "events_asof_click_tol",
-    # round-8 deliberate widening: per-source length quartiles — one
-    # histogram groupBy + bounded-histogram window + conditional-min
-    # agg (the CCNet cutoff shape); 0.56s warm standalone at sf0.1
-    # (min-of-4, idle; measured before adding)
-    "source_len_quantiles",
-    # round-8 deliberate widening: first-touch funnel — ONE exchange
-    # feeds all step windows + the per-user collapse (pinned in
-    # tests/test_events_ops.py); 0.59s warm standalone at sf0.1
-    # (min-of-4, idle; measured before adding)
-    "event_funnel",
-    # round-8 deliberate widening: cohort retention — two aggs over
-    # one user-keyed shuffle + a map-side (cohort, offset) rollup;
-    # 0.67s warm standalone at sf0.1 (min-of-4, idle; measured
-    # before adding)
-    "event_cohort_retention",
-    # round-8 deliberate widening: per-source token budget — one
-    # map-side-combined groupBy + broadcast 1-row total; 0.61s warm
-    # standalone at sf0.1 (min-of-4; measured before adding)
-    "source_token_budget",
-    # round-8 deliberate widening: curation-strategy diff — one
-    # full-outer join over the two ALREADY-BUILT curation members
-    # (both become _multi_consumed and persist). Measured as an
-    # interleaved bundle delta at sf0.1: 26.6s -> 30.4s min-of-4
-    # (+3.8s, mostly the added persist materialization; trial noise
-    # band ±20s on this host). Accepted: the official pair holds
-    # ~1.3x with wide margin to the 2x gate.
-    "curation_strategy_diff",
-    # round-9 deliberate widening: nation PIT + clean_up_pit survivors
-    # — the PIT's subtree (hub_nation, sat_nation_s, control_snap_v1)
-    # was already in this closure; the 27-key PIT itself plus the
-    # store round-trip + DELETE cost 1.5s standalone at sf0.1
-    # (min-of-4, idle; measured before adding)
-    "pit_nation",
-    "pit_nation_cleaned",
-    # round-9 deliberate widening: learned quality classifier — two
-    # exchanges (bounded feature census + per-doc reduce), broadcast
-    # weights; 1.13s warm standalone at sf0.1 (min-of-4, idle;
-    # measured before adding)
-    "quality_classifier",
-    # round-9 deliberate widening: repeat-expansion resampler — the
-    # gate's census/broadcast shape + one bounded explode; 0.62s warm
-    # standalone at sf0.1 (min-of-4, idle; measured before adding)
-    "temperature_resample",
-    # round-9 deliberate widening: winnowing fingerprint moved from its
-    # direct slot (freed for dedup_incremental_stream) — posexplode +
-    # one doc_id window + one groupBy, 1.05s standalone in the r8
-    # driver bench (a contaminated run; idle is lower). The direct
-    # line leaves the bench as this member joins the bundle, so the
-    # total is a wash.
-    "text_fingerprint",
-    # round-9 deliberate widening: grouping-sets censuses — one Expand
-    # + one map-side-combined aggregate each (single shuffle); 1.21s
-    # (lineitem rollup) + 0.53s (documents cube) warm standalone at
-    # sf0.1 (min-of-4, idle; measured before adding)
-    "lineitem_rollup_census",
-    "docs_cube_census",
-    # round-9 deliberate widening: key-skew heavy-hitter card (two
-    # column-pruned TakeOrderedAndProject branches + a 1-row broadcast
-    # total) and the first-order transition matrix (one user exchange
-    # + bounded census window); 0.63s + 0.58s warm standalone at
-    # sf0.1 (min-of-4, idle; measured before adding)
-    "events_skew_profile",
-    "event_transitions",
-    # round-9 deliberate widening: SCD1 merge current-state — the cost
-    # IS the certified incremental work (3 versioned upserts through
-    # the store: per batch one latest-per-key window + one key anti
-    # join + a read-modify-write swap, the dedup_incremental
-    # adjudication); 3.35s warm standalone at sf0.1 (min-of-4, idle;
-    # measured before adding)
-    "lineitem_scd1_current",
-    # round-9 deliberate widening: fixed-width length histogram — a
-    # scalar bounds probe + one scan-stage groupBy of n_bins rows;
-    # 0.76s warm standalone at sf0.1 (min-of-4, idle; measured before
-    # adding)
-    "docs_length_histogram",
-    # round-9 deliberate widening: JSON extraction (scan-stage only,
-    # zero exchanges), LOCF gap fill (one key exchange + one running
-    # window) and per-language vocabulary (census aggs + a
-    # WindowGroupLimit-bounded rank); 1.59s / 0.33s / 0.86s warm
-    # standalone at sf0.1 (min-of-4, idle; re-measured after the full
-    # suite vacated the host)
-    "events_props_extracted",
-    "events_value_locf",
-    "vocab_topk_by_lang",
-    # round-9 deliberate widening: pivot crosstab (one conditional
-    # aggregate), exactly-n-per-stratum sample (WindowGroupLimit
-    # bounded heaps) and trailing rolling block (one key exchange, one
-    # bounded ROWS frame); 0.65s / 0.45s / 0.36s warm standalone at
-    # sf0.1 (min-of-4, idle; measured before adding)
-    "docs_source_lang_pivot",
-    "docs_exact_sample",
-    "events_rolling_value",
-    # round-9 deliberate widening: schema-contract quarantine lane
-    # (scan-stage rule flags), exact second-moment census (one
-    # map-side-combined groupBy) and the per-stratum percentile trim
-    # gate (bounded-histogram bounds + broadcast join-back);
-    # 1.36s / 1.34s / 1.42s warm standalone at sf0.1 (min-of-4, idle;
-    # measured before adding)
-    "lineitem_quarantine",
-    "lineitem_qty_price_stats",
-    "docs_length_gate",
-    # round-9 deliberate widening: non-parquet source round-trips
-    # (stage to scratch json/csv/orc, read back through
-    # sources/readers); 0.59s / 0.58s warm standalone at sf0.1 for
-    # json/csv (min-of-4, idle; measured before adding), orc is the
-    # cheaper binary twin of the same shape
-    "events_source_json",
-    "events_source_csv",
-    "events_source_orc",
-    # round-9 deliberate widening: the CDC-apply merge variant (same
-    # 3-upsert store loop as lineitem_scd1_current plus the tombstone
-    # split); 3.11s warm standalone at sf0.1 (min-of-4, idle; measured
-    # before adding)
-    "lineitem_scd1_cdc",
-    # round-10 deliberate widening: blocked fuzzy record linkage —
-    # 0.70s warm standalone at sf0.1 (min-of-4, idle; measured before
-    # adding; (p_brand, p_size) blocks bound the scored pairs to ~160k)
-    "part_name_linkage",
-    # round-10 deliberate widening: source-overlap matrix — 1.08s warm
-    # standalone at sf0.1 (min-of-4, idle; measured before adding; the
-    # (stratum, md5) distinct index is persisted once per build)
-    "source_overlap_matrix",
-    # round-10 deliberate widening: market-basket co-occurrence —
-    # 2.36s warm standalone at sf0.1 (min-of-4, idle; measured before
-    # adding; apriori prune drops ~47% of items there first)
-    "part_cooccurrence",
-    # round-10 deliberate widening: OHLC bars + last-touch attribution
-    # — 0.49s / 0.50s warm standalone at sf0.1 (min-of-4, idle;
-    # measured before adding; both are single-exchange window plans)
-    "events_ohlc_hourly",
-    "events_last_touch",
-    # round-10 deliberate widening: k-anonymity (0.33s) and the
-    # partitioned-layout round-trip (0.46s) warm standalone at sf0.1
-    # (min-of-4, idle; measured before adding)
-    "docs_k_anonymity",
-    "docs_partitioned_en",
-    # round-10 deliberate widening: trending top-k (0.53s) and text
-    # normalization (0.36s) warm standalone at sf0.1 (min-of-4,
-    # near-idle calibration)
-    "events_trending_daily",
-    "docs_normalized",
-    # round-10 deliberate widening: conversion paths — 0.60s warm
-    # standalone at sf0.1 (min-of-4, near-idle calibration)
-    "events_conversion_paths",
-    # round-10 deliberate widening: active users — ~0.4s
-    # idle-equivalent at sf0.1 (measured 1.31s under a 3.5x-calibrated
-    # load window)
-    "events_active_users",
-    # round-10 deliberate widening: proportional sample — 0.58s warm
-    # standalone at sf0.1 (min-of-4, near-idle calibration)
-    "docs_proportional_sample",
-    # round-10 deliberate widening: small-file compaction (~3s
-    # idle-equivalent: measured 15.7s under a 5x-calibrated neighbor
-    # burst — k_anonymity read 1.79s vs its 0.33s idle baseline in the
-    # same window — then fragment_files trimmed 48->24) and percentile
-    # rank (~0.35s idle-equivalent by the same calibration)
-    "docs_compacted",
-    "docs_length_pr",
-])
+# Each bundle's dependency closure is FROZEN (round-7 advice #2): a new
+# member whose dependencies are not already in its bundle's set is paid
+# as a fresh subtree on EVERY bench run (the vault_checks lesson: one
+# fresh-subtree draft cost +10 s and was reverted). Adding a member that
+# only consumes entities below keeps the bundle's cost flat
+# (_multi_consumed persists the shared subtrees once). To grow a closure
+# anyway, update its set DELIBERATELY and justify the bench cost in
+# BENCH.md. Per-member standalone costs for every widening through
+# round 10 were measured before adding (see git history of this file
+# and BENCH.md round sections).
+#
+# round-10: the single vault_dims_bundle split into four thematic
+# bundles (r9 advice #1) — closures recomputed per bundle. The split
+# itself added no fresh subtrees beyond the eight rotated-in members,
+# each of which was previously a directly-exposed bench line (total
+# cost is a wash); vault_checks' small-dim subtree (stage/hub/link/sat
+# over nation/supplier/part) is deliberately rebuilt inside
+# analytics_bundle — those tables are tiny at any sf.
+_BUNDLE_CLOSURES = {
+    "vault_core_bundle": frozenset([
+        "control_snap_v0", "control_snap_v1", "hub_nation", "hub_order",
+        "hub_part", "hub_part_enriched", "hub_region", "hub_supplier",
+        "hub_user", "link_customer_nation", "link_supplier_nation",
+        "ma_sat_customer_orders", "ma_sat_customer_orders_v1",
+        "pit_nation", "pit_nation_cleaned", "ref_hub_nation",
+        "ref_hub_part", "ref_sat_nation_v0", "ref_sat_nation_v1",
+        "ref_sat_part_v0", "ref_table_nation_latest",
+        "ref_table_nation_snap", "sat_customer_p0_s", "sat_nation_s",
+        "sat_part_s", "sat_part_s_v1", "stage_customer", "stage_events",
+        "stage_events_seq", "stage_lineitem", "stage_nation",
+        "stage_orders", "stage_part", "stage_region", "stage_supplier",
+    ]),
+    "curation_bundle": frozenset([
+        "canonical_docs", "chunk_dedup_spans", "curation_strategy_diff",
+        "dedup_groups", "dedup_minhash_lsh", "dedup_report",
+        "doc_chunks", "docs_boilerplate_clean", "docs_ccnet_buckets",
+        "docs_curated", "docs_curated_best", "docs_decontaminated",
+        "docs_k_anonymity", "docs_length_gate", "docs_normalized",
+        "docs_source_capped", "docs_source_gated", "docs_split",
+        "dsir_score", "multimodal_decode", "quality_classifier",
+        "source_stats", "text_langid", "text_line_clean",
+        "text_lm_score", "text_quality", "text_repetition",
+    ]),
+    "corpus_stats_bundle": frozenset([
+        "corpus_shuffle", "dataset_profile", "docs_cube_census",
+        "docs_exact_sample", "docs_length_histogram", "docs_length_pr",
+        "docs_proportional_sample", "docs_source_lang_pivot",
+        "packing_manifest", "source_len_quantiles",
+        "source_overlap_matrix", "source_token_budget",
+        "temperature_resample", "text_fingerprint", "text_vocab_topk",
+        "vocab_topk_by_lang",
+    ]),
+    "analytics_bundle": frozenset([
+        "control_snap_v0", "docs_compacted", "docs_partitioned_en",
+        "event_cohort_retention", "event_hopping_agg", "event_sessions",
+        "event_transitions", "events_active_users",
+        "events_asof_click_incl", "events_asof_click_tol",
+        "events_conversion_paths", "events_in_snapshot_day",
+        "events_last_touch", "events_ohlc_hourly",
+        "events_props_extracted", "events_rolling_value",
+        "events_skew_profile", "events_source_csv",
+        "events_source_json", "events_source_orc",
+        "events_trending_daily", "events_value_locf", "hub_nation",
+        "hub_supplier", "lineitem_qty_price_stats",
+        "lineitem_quarantine", "lineitem_rollup_census",
+        "lineitem_scd1_cdc", "lineitem_scd1_current",
+        "link_supplier_nation", "part_cooccurrence",
+        "part_name_linkage", "ref_hub_nation", "sat_nation_s",
+        "sat_part_s", "stage_nation", "stage_part", "stage_supplier",
+        "vault_checks",
+    ]),
+}
 
 
-def test_bundle_dependency_closure_is_frozen():
+def test_bundle_dependency_closures_are_frozen():
     idx = fixtures._index()
 
     def closure(name, seen):
@@ -1063,13 +915,14 @@ def test_bundle_dependency_closure_is_frozen():
                 closure(d, seen)
         return seen
 
-    got = closure("vault_dims_bundle", set())
-    new = got - _BUNDLE_CLOSURE
-    gone = _BUNDLE_CLOSURE - got
-    assert not new, (
-        f"vault_dims_bundle grew fresh dependency subtrees {sorted(new)} "
-        f"— every new member must target entities the bundle already "
-        f"builds (see comment above; measure before widening)")
-    assert not gone, (
-        f"frozen closure entries no longer built: {sorted(gone)} — "
-        f"update _BUNDLE_CLOSURE to match the slimmed bundle")
+    for bundle, frozen in _BUNDLE_CLOSURES.items():
+        got = closure(bundle, set())
+        new = got - frozen
+        gone = frozen - got
+        assert not new, (
+            f"{bundle} grew fresh dependency subtrees {sorted(new)} "
+            f"— every new member must target entities the bundle already "
+            f"builds (see comment above; measure before widening)")
+        assert not gone, (
+            f"frozen closure entries no longer built by {bundle}: "
+            f"{sorted(gone)} — update _BUNDLE_CLOSURES to match")
