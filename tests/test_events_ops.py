@@ -336,6 +336,46 @@ def test_conversion_paths_exact_last_n(spark):
     assert out[4] == (3, "b>c")
 
 
+def test_conversion_paths_power_user_bounded(spark):
+    """r9 verdict #3: a 10^4-touch power user with interleaved
+    conversions must produce exact last-n paths — and the plan must
+    carry no unbounded collect_list frame (the bounded rewrite's
+    whole point)."""
+    from datavault4dbt_spark.operators.events import (
+        ConversionPathConfig, build_conversion_paths)
+    base = TS("2024-01-01 00:00:00")
+    import datetime
+    rows = []
+    # 10_000 events: every 1000th is a conversion, rest cycle a/b/c
+    for k in range(1, 10_001):
+        et = "purchase" if k % 1000 == 0 else "abc"[k % 3]
+        rows.append((1, k, base + datetime.timedelta(seconds=k), et))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    reg = _reg(events=df)
+    out_df = build_conversion_paths(
+        spark, reg, ConversionPathConfig("p", max_touches=4))
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    # the only collect_list sits in the bounded post-join aggregate
+    # (<= max_touches structs per group), never inside a window frame
+    for line in plan.lower().splitlines():
+        if "windowspecdefinition" in line:
+            assert "collect_list" not in line, line
+    out = {r.event_id: (r.n_touches, r.path) for r in out_df.collect()}
+    assert len(out) == 10
+    # conversion at k: prior touches = k-1 minus prior conversions
+    for j, k in enumerate(range(1000, 10_001, 1000)):
+        expect_n = (k - 1) - j
+        got_n, got_path = out[k]
+        assert got_n == expect_n
+        # last 4 touch types before k in stream order, skipping the
+        # conversion rows themselves
+        touch_types = ["abc"[m % 3] for m in range(1, k)
+                       if m % 1000 != 0]
+        assert got_path == ">".join(touch_types[-4:])
+
+
 # --------------------------------------------------------- active users --
 
 def test_active_users_rolling_window_exact(spark):
