@@ -86,6 +86,8 @@ from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
                            ProportionalSampleConfig,
                            build_proportional_sample,
                            proportional_sample_oracle)
+from .llm.annindex import (AnnIndexConfig, build_ann_index_persisted,
+                           ann_index_persisted_oracle)
 from .llm.semdedup import SemDedupConfig, build_semdedup, semdedup_oracle
 from .llm.quantize import (ScalarQuantizeConfig, build_scalar_quantize,
                            scalar_quantize_oracle)
@@ -1498,6 +1500,14 @@ ANNS = {
     "ann_lsh_multiprobe_topk": AnnConfig("ann_lsh_multiprobe_topk",
                                          lsh_bits=6, multiprobe=3),
 }
+# round-10 (r9 advice #2): the persisted incremental ANN index — train
+# centroids on batch 0, append 3 contiguous id-range batches to the
+# cell-partitioned index store, probe only nprobe cells. Fixed
+# centroids make assignment batch-independent, so the one-shot IVF
+# oracle certifies the whole store loop (the dedup_incremental
+# adjudication); nprobe=2 keeps the probe genuinely partial.
+ANN_INDEXES = {"ann_index_persisted": AnnIndexConfig(
+    "ann_index_persisted")}
 ANN_IVFS = {
     "ann_ivf_topk": IvfConfig("ann_ivf_topk"),
     # k-means-refined centroids (2 Lloyd iterations on a half sample);
@@ -2101,6 +2111,8 @@ _FAMILIES = [
     (DECONTAM, _build_decontam, _decontam_oracle, _NO_DEPS),
     (ANNS, build_ann_topk, ann_topk_oracle, _NO_DEPS),
     (ANN_IVFS, build_ann_ivf, ann_ivf_oracle, _NO_DEPS),
+    (ANN_INDEXES, build_ann_index_persisted, ann_index_persisted_oracle,
+     _NO_DEPS),
     (TEXT_LANGID, build_langid, langid_oracle, _NO_DEPS),
     (TEXT_QUALITY, build_quality, quality_oracle, _NO_DEPS),
     (TEXT_TOKENS, build_token_count, token_count_oracle, _NO_DEPS),

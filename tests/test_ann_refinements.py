@@ -79,3 +79,48 @@ def test_multiprobe_improves_lsh_recall(spark, sf_dir):
     assert multi >= single
     assert multi >= 2 * single
     assert multi > 0.3
+
+
+# ------------------------------------------------- persisted ANN index --
+
+def test_ann_index_probe_prunes_partitions_and_skips_corpus(spark, sf_dir):
+    """r9 advice #2 plan pin: the lookup's candidate side reads ONLY
+    the persisted, cell-partitioned index store (PartitionFilters on
+    cell), never the corpus — the embeddings parquet appears in the
+    probe plan exactly once (the query side)."""
+    from datavault4dbt_spark.llm.annindex import AnnIndexConfig
+    fixtures.ensure_session_conf(spark)
+    cfg = AnnIndexConfig("ann_index_persisted")
+    df = fixtures.entity_query("ann_index_persisted")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dv4dbt_annindex" in plan, plan
+    # partition pruning reached the index scan
+    idx_scans = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "annindex" in ln
+                 and "/index" in ln]
+    assert idx_scans and all(
+        "PartitionFilters: [cell" in ln for ln in idx_scans), plan
+    # the corpus feeds only the query side: every embeddings scan in
+    # the probe plan carries the pushed query filter (a full-corpus
+    # candidate scan would not)
+    emb_scans = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "embeddings.parquet" in ln]
+    assert emb_scans and all(
+        "LessThan(vec_id,16)" in ln for ln in emb_scans), plan
+    assert df.count() > 0
+
+
+def test_ann_index_batched_equals_one_shot(spark, sf_dir):
+    """Append-in-batches through the store == the one-shot IVF at the
+    same (fixed-centroid) config: fixed centroids make cell assignment
+    batch-independent."""
+    from datavault4dbt_spark.llm.annindex import AnnIndexConfig
+    from datavault4dbt_spark.llm.similarity import build_ann_ivf
+    fixtures.ensure_session_conf(spark)
+    reg = fixtures.registry(spark, sf_dir)
+    cfg = AnnIndexConfig("ann_index_persisted")
+    got = sorted(map(tuple, fixtures.entity_query("ann_index_persisted")(
+        spark, sf_dir).collect()))
+    want = sorted(map(tuple,
+                      build_ann_ivf(spark, reg, cfg.ivf(), G).collect()))
+    assert got == want and got
