@@ -141,6 +141,9 @@ from .llm.incdedup import (IncrementalDedupConfig, build_incremental_dedup,
 from .streaming.incdedup import (StreamingDedupEntityConfig,
                                  build_streaming_incremental_dedup,
                                  streaming_incremental_dedup_oracle)
+from .streaming.stateful import (StreamingSessionEntityConfig,
+                                 build_streaming_sessions,
+                                 streaming_sessions_oracle)
 from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
                                     pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
@@ -199,6 +202,8 @@ from .sources.readers import (SourceRoundtripConfig,
                               partitioned_roundtrip_oracle)
 from .llm.privacy import (KAnonymityConfig, build_k_anonymity,
                           k_anonymity_oracle)
+from .llm.urlcuration import (UrlGateConfig, build_url_gate,
+                              url_gate_oracle)
 from .operators.compaction import (CompactionConfig, build_compaction,
                                    compaction_oracle)
 from .llm.profile import (TrendingConfig, build_trending_topk,
@@ -1254,6 +1259,15 @@ _ALL_BUNDLE_MEMBERS = (
                      "':', coalesce(CAST(CAST(round(asof_value * 100) "
                      "AS BIGINT) AS STRING), ''))",
                      ldts="ts", rsrc="'asof_incl'"),
+        # round-10: URL gate — the normalized URL (verbatim: it is the
+        # operator's whole point), the registered domain, the census
+        # count and the block verdict all drive the driver hash
+        BundleMember("docs_url_gate", "CAST(doc_id AS STRING)",
+                     "concat(url_norm, ':', domain, ':', "
+                     "CAST(n_domain_docs AS STRING), ':', "
+                     "CAST(is_blocked AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'url_gate'"),
         # packing manifest: every integer assignment cell folds in
         BundleMember("packing_manifest", "CAST(doc_id AS STRING)",
                      "concat(CAST(shard AS STRING), ':', "
@@ -1297,7 +1311,7 @@ BUNDLES = {
         "text_lm_score", "dsir_score", "quality_classifier",
         "docs_boilerplate_clean", "docs_ccnet_buckets",
         "docs_normalized", "docs_k_anonymity", "docs_length_gate",
-        "curation_strategy_diff",
+        "curation_strategy_diff", "docs_url_gate",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1817,6 +1831,16 @@ INC_DEDUP = {"dedup_incremental":
 # batch core.
 INC_DEDUP_STREAM = {"dedup_incremental_stream":
                     StreamingDedupEntityConfig("dedup_incremental_stream")}
+# round-10 (r9 advice #4): stateful streaming sessionization under the
+# driver gate — the events stream arrives as 3 time-range files plus a
+# sentinel flush file, applyInPandasWithState closes gap sessions
+# through a checkpointed availableNow run, and the sink is
+# hash-compared against the BATCH sessionize SQL (same gap as
+# event_sessions, so both engines' session semantics meet in one
+# oracle). Green == an actual stateful streaming execution verified
+# externally, not just its pytest stream==batch twin.
+SESSION_STREAMS = {"event_sessions_stream":
+                   StreamingSessionEntityConfig("event_sessions_stream")}
 
 # round-9: key-skew heavy-hitter card (llm/profile.py) — top-8 values
 # per column with ppm share over events (event_type is 5 hot values,
@@ -1985,6 +2009,31 @@ PERCENTILE_RANKS = {"docs_length_pr": PercentileRankConfig(
 # stays unit-pinned there)
 K_ANONYMITIES = {"docs_k_anonymity": KAnonymityConfig(
     "docs_k_anonymity")}
+# round-10 (r9 advice #6): URL normalization + registered-domain
+# rollup + blocklist gate. The synthetic corpus has no URL column, so
+# the fixture plants a deterministic one (the PII pattern): mixed-case
+# schemes and hosts exercise the case-fold, ~1/3 of URLs carry
+# tracking params (with a non-tracking param that must SURVIVE the
+# strip), ~1/11 carry fragments, and 3 of the 5 hosts roll up to one
+# registered domain. blocklist 'ads.net' blocks the tracker host's 20%.
+URL_GATES = {"docs_url_gate": UrlGateConfig(
+    "docs_url_gate",
+    url_expr=(
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, "
+        "'://', CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN 'WWW.Example.COM' "
+        "WHEN 1 THEN 'news.example.com' "
+        "WHEN 2 THEN 'Tracker.ADS.net' "
+        "WHEN 3 THEN 'cdn.media.org' "
+        "ELSE 'Blog.Example.com' END, "
+        "'/p/', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "concat('?utm_source=feed&utm_campaign=x&id=', "
+        "CAST(doc_id % 7 AS STRING)) "
+        "WHEN doc_id % 3 = 1 THEN '?id=9' ELSE '' END, "
+        "CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END)"),
+    blocklist=("ads.net",))}
+
 # round-10: hive-partitioned layout round-trip — documents stage
 # partitionBy(lang) to scratch parquet and read back pruned to lang =
 # 'en' (~100 docs at sf0.01); the oracle filters the original table,
@@ -2174,6 +2223,8 @@ _FAMILIES = [
      _NO_DEPS),
     (INC_DEDUP_STREAM, build_streaming_incremental_dedup,
      streaming_incremental_dedup_oracle, _NO_DEPS),
+    (SESSION_STREAMS, build_streaming_sessions,
+     streaming_sessions_oracle, _NO_DEPS),
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),
@@ -2209,6 +2260,7 @@ _FAMILIES = [
     (OHLC_BARS, build_ohlc_bars, ohlc_bars_oracle, _NO_DEPS),
     (ATTRIBUTIONS, build_attribution, attribution_oracle, _NO_DEPS),
     (K_ANONYMITIES, build_k_anonymity, k_anonymity_oracle, _NO_DEPS),
+    (URL_GATES, build_url_gate, url_gate_oracle, _NO_DEPS),
     (PARTITIONED_ROUNDTRIPS, build_partitioned_roundtrip,
      partitioned_roundtrip_oracle, _NO_DEPS),
     (COMPACTIONS, build_compaction, compaction_oracle, _NO_DEPS),

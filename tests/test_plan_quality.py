@@ -872,6 +872,10 @@ _BUNDLE_CLOSURES = {
         "dsir_score", "multimodal_decode", "quality_classifier",
         "source_stats", "text_langid", "text_line_clean",
         "text_lm_score", "text_quality", "text_repetition",
+        # round-10 deliberate widening: URL gate — scan-stage
+        # normalization + one census groupBy + AQE join-back; 1.05s
+        # warm standalone at sf0.1 (min-of-4, measured before adding)
+        "docs_url_gate",
     ]),
     "corpus_stats_bundle": frozenset([
         "corpus_shuffle", "dataset_profile", "docs_cube_census",
