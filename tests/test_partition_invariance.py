@@ -1,0 +1,52 @@
+"""Partition-count invariance (r9 advice #5): every determinism claim
+in the repo rests on salted hashes and total orders, not on partition
+layout. Pin it: representative entities must produce IDENTICAL rows at
+spark.sql.shuffle.partitions = 7 and 32 — tie-break nondeterminism
+(rank without a total order, first() over an unordered frame, float
+accumulation reordering that leaks into a folded integer) shows up
+here before the driver can ever see it.
+
+The entity set spans the shapes where layout could leak: windowed
+rank/tie-breaks (ma_sat, vocab top-k, exact sample, percentile rank),
+window-first/last aggregation (OHLC), salted draws (corpus shuffle,
+proportional sample), store replay (SCD1 merge), census ppm arithmetic
+(transitions)."""
+
+import pytest
+
+from datavault4dbt_spark import fixtures
+
+ENTITIES = (
+    "ma_sat_customer_orders",
+    "text_vocab_topk",
+    "docs_exact_sample",
+    "events_ohlc_hourly",
+    "docs_length_pr",
+    "corpus_shuffle",
+    "docs_proportional_sample",
+    "lineitem_scd1_current",
+    "event_transitions",
+)
+
+
+def _rows(spark, sf_dir, name, partitions):
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = fixtures.entity_query(name)(spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols)
+                      for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", ENTITIES)
+def test_result_invariant_under_partition_count(spark, sf_dir, name):
+    fixtures.ensure_session_conf(spark)
+    at7 = _rows(spark, sf_dir, name, 7)
+    at32 = _rows(spark, sf_dir, name, 32)
+    assert at7, name
+    assert at7 == at32, (
+        f"{name}: rows differ between shuffle.partitions=7 and 32 — "
+        f"a tie-break or accumulation-order nondeterminism")
