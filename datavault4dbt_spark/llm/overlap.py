@@ -71,7 +71,10 @@ def build_source_overlap(spark, reg: Registry, cfg: SourceOverlapConfig,
         .selectExpr(gcol, "md5(s) AS h")
         .distinct())
     # three consumers (sizes + both join sides): persist the slim
-    # (stratum, hash) index once — the ngram_jaccard pattern
+    # (stratum, hash) index once — the ngram_jaccard pattern. Released
+    # by Spark's LRU eviction (the returned frame is lazy, so an eager
+    # unpersist would defeat the cache; bench.py clearCache()s between
+    # queries)
     sh = sh.persist()
     sizes = sh.groupBy(gcol).agg(F.count(F.lit(1)).alias("n"))
     a, bb = sh.alias("a"), sh.alias("b")

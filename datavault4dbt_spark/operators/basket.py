@@ -22,9 +22,12 @@ pair stage is an equi self-join on the basket key; a declared
 ``max_basket_size`` census-filter drops pathological baskets wholesale
 (the linkage.py hot-block guard: one 100k-item basket is 5e9 pairs),
 applied to ONE join side only — the equi join on the basket key drops
-the other side for free. Pair volume is bounded by
-sum(min(basket_size, cap)^2). Everything downstream of the pair
-groupBy is census-sized.
+the other side for free. The cap is measured on the POST-apriori
+frequent-item count of the basket (a raw 100k-item basket whose items
+are all infrequent pairs nothing): frequent-item basket size is
+exactly the quantity that bounds pair volume, so pair volume is
+bounded by sum(min(frequent_size, cap)^2). Everything downstream of
+the pair groupBy is census-sized.
 
 Determinism: pairs ordered item_a < item_b; supports are counted on
 the UNCAPPED distinct level (raw per-item support), pair counts over
@@ -70,6 +73,11 @@ def build_cooccurrence(spark, reg: Registry, cfg: CooccurrenceConfig,
     items = (reg.load(spark, cfg.source)
              .select(F.col(bcol).alias("b"), F.col(icol).alias("i"))
              .distinct()
+             # persisted for its three consumers, released by Spark's
+             # LRU eviction with the session's other op caches (the
+             # returned frame is lazy, so an eager unpersist here would
+             # defeat the cache; bench.py clearCache()s between
+             # queries) — the ngram_jaccard/overlap pattern
              .persist())
     counts = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
     freq = counts.filter(F.col("n_i") >= cfg.min_item_support).select("i")

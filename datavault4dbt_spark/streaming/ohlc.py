@@ -44,10 +44,11 @@ def micro_batch_ohlc(cfg: OhlcBarsConfig, store: ParquetStore,
     return fold
 
 
-def read_ohlc_bars(spark, cfg: OhlcBarsConfig, store: ParquetStore,
+def read_ohlc_bars(cfg: OhlcBarsConfig, store: ParquetStore,
                    table: str = _TABLE):
     """Current bars: merge all stored partials and finalize — the
-    exact frame the batch operator builds over the full history."""
+    exact frame the batch operator builds over the full history. (The
+    store carries the session; no spark handle needed.)"""
     partials = store.read(table).drop("batch_id")
     return ohlc_finalize(ohlc_merge(partials, cfg), cfg)
 

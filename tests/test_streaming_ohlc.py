@@ -48,7 +48,7 @@ def test_stream_equals_batch_bars(spark, tmp_path, event_files):
                           str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
-    got = _bars(read_ohlc_bars(spark, CFG, store))
+    got = _bars(read_ohlc_bars(CFG, store))
 
     reg = Registry()
     full = spark.read.parquet(event_files + "/*/*.parquet")
@@ -65,6 +65,6 @@ def test_replayed_micro_batch_is_noop(spark, tmp_path, event_files):
     b1 = spark.read.parquet(f"{event_files}/batch_1")
     fold(b0, 0)
     fold(b1, 1)
-    once = _bars(read_ohlc_bars(spark, CFG, store))
+    once = _bars(read_ohlc_bars(CFG, store))
     fold(b1, 1)                      # epoch replay
-    assert _bars(read_ohlc_bars(spark, CFG, store)) == once
+    assert _bars(read_ohlc_bars(CFG, store)) == once
