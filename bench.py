@@ -112,6 +112,29 @@ def main():
     wall = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
 
+    # Per-member bundle attribution (r9 advice #7): time each bundle
+    # member standalone (single trial — attribution, not headline), so
+    # a bundle-line regression localizes to a member instead of one
+    # opaque number. Budget-bounded; anything skipped is COUNTED in the
+    # output (no silent caps).
+    member_budget = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_MEMBER_BUDGET", "420"))
+    bundle_members = {}
+    members_skipped = 0
+    m0 = time.time()
+    for bname, bcfg in fixtures.BUNDLES.items():
+        per = {}
+        for m in bcfg.members:
+            if time.time() - m0 > member_budget:
+                members_skipped += 1
+                continue
+            q0 = time.time()
+            fixtures.entity_query(m.entity)(spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+            per[m.entity] = round(time.time() - q0, 3)
+            spark.catalog.clearCache()
+        bundle_members[bname] = per
+
     # Composed-pipeline headline: ONE end-to-end run_project load of the
     # example vault (stage -> hub/link/sat -> snapshot -> PIT DAG) in
     # this same session. The per-query table above pays a fixed job
@@ -147,7 +170,9 @@ def main():
     print(json.dumps({"metric": "dv_load_sum_of_query_minima", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
                       "trials": trials, "wall_sec": wall,
-                      "project_e2e_sec": project_e2e}))
+                      "project_e2e_sec": project_e2e,
+                      "bundle_members": bundle_members,
+                      "bundle_members_skipped": members_skipped}))
     spark.stop()
 
 

@@ -176,6 +176,8 @@ def _llm_kinds() -> dict:
     from ..llm.profile import build_trending_topk
     from ..llm.lineclean import build_text_normalize
     from ..sources.readers import build_partitioned_roundtrip
+    from ..llm.annindex import build_ann_index_persisted
+    from ..llm.urlcuration import build_url_gate
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -284,6 +286,10 @@ def _llm_kinds() -> dict:
         # rebuild (the incremental_dedup note above applies)
         "compaction": (build_compaction, src),
         "partitioned_roundtrip": (build_partitioned_roundtrip, src),
+        "url_gate": (build_url_gate, src),
+        # stages its index store internally; the RESULT is a full
+        # rebuild (the incremental_dedup note above applies)
+        "ann_index": (build_ann_index_persisted, src),
     }
     # 'table' = full rebuild: run_pipeline never passes target= for it,
     # matching the builders' signatures. 'incremental' is rejected at

@@ -504,6 +504,8 @@ def _llm_parsers() -> dict:
     from .llm.selection import PercentileRankConfig
     from .llm.profile import TrendingConfig
     from .llm.lineclean import TextNormalizeConfig
+    from .llm.annindex import AnnIndexConfig
+    from .llm.urlcuration import UrlGateConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -591,6 +593,8 @@ def _llm_parsers() -> dict:
         "active_users": _dataclass_parser(ActiveUsersConfig),
         "proportional_sample": _dataclass_parser(
             ProportionalSampleConfig),
+        "ann_index": _dataclass_parser(AnnIndexConfig),
+        "url_gate": _dataclass_parser(UrlGateConfig),
     }
 
 

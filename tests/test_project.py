@@ -227,7 +227,9 @@ def test_run_project_analytics_pipeline(spark, sf_dir, tmp_path):
         "part_linkage", "part_cooccur", "docs_overlap", "events_ohlc",
         "events_attribution", "docs_kanon", "docs_length_pr",
         "events_trending", "docs_normalize", "events_paths",
-        "events_active", "docs_prop_sample"}
+        "events_active", "docs_prop_sample",
+        # round-10 session kinds (persisted ANN index, URL gate)
+        "embeddings_ann_index", "docs_url_gate"}
     # spot-check three stored tables against the direct fixture builds
     # (same configs modulo entity name)
     reg = fixtures.registry(spark, sf_dir)
