@@ -144,6 +144,9 @@ from .streaming.incdedup import (StreamingDedupEntityConfig,
 from .streaming.stateful import (StreamingSessionEntityConfig,
                                  build_streaming_sessions,
                                  streaming_sessions_oracle)
+from .streaming.ohlc import (OhlcStreamEntityConfig,
+                             build_streaming_ohlc,
+                             streaming_ohlc_oracle)
 from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
                                     pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
@@ -1170,6 +1173,16 @@ _ALL_BUNDLE_MEMBERS = (
                      "CAST(open_cents AS STRING), ':', "
                      "CAST(close_cents AS STRING))",
                      ldts="bar_start", rsrc="'ohlc'"),
+        # round-10: the streaming OHLC replay — identical bar fold
+        BundleMember("events_ohlc_stream",
+                     "concat(event_type, ':', CAST(bar AS STRING))",
+                     "concat(CAST(n_events AS STRING), ':', "
+                     "CAST(sum_cents AS STRING), ':', "
+                     "CAST(low_cents AS STRING), ':', "
+                     "CAST(high_cents AS STRING), ':', "
+                     "CAST(open_cents AS STRING), ':', "
+                     "CAST(close_cents AS STRING))",
+                     ldts="bar_start", rsrc="'ohlc_stream'"),
         # round-10: last-touch attribution — the credited touch, its
         # timestamp and the integer gap drive the driver hash; the
         # direct-traffic NULL branch rides the coalesce sentinels
@@ -1322,6 +1335,9 @@ BUNDLES = {
         "docs_proportional_sample", "docs_length_pr",
         "source_overlap_matrix", "docs_cube_census",
         "docs_source_lang_pivot", "packing_manifest",
+        # docs-table layout round-trips (moved from analytics_bundle
+        # to keep it <= 30 when the OHLC streaming replay joined)
+        "docs_compacted", "docs_partitioned_en",
     )),
     # Event/lineitem analytics + storage-layout round-trips.
     "analytics_bundle": _bundle("analytics_bundle", (
@@ -1336,7 +1352,7 @@ BUNDLES = {
         "events_props_extracted", "events_value_locf",
         "event_transitions", "events_active_users",
         "events_conversion_paths", "events_trending_daily",
-        "docs_compacted", "docs_partitioned_en", "events_ohlc_hourly",
+        "events_ohlc_hourly", "events_ohlc_stream",
         "events_last_touch", "part_cooccurrence", "part_name_linkage",
     )),
 }
@@ -1841,6 +1857,14 @@ INC_DEDUP_STREAM = {"dedup_incremental_stream":
 # externally, not just its pytest stream==batch twin.
 SESSION_STREAMS = {"event_sessions_stream":
                    StreamingSessionEntityConfig("event_sessions_stream")}
+# round-10: the OHLC streaming twin under the driver gate too — three
+# id-range arrival files fold through foreachBatch into batch_id
+# partitions of the partial store (epoch replays overwrite), and the
+# merged finalized bars hash-compare against the batch OHLC SQL.
+# Rides analytics_bundle (partials merge commutatively, so the batch
+# oracle certifies the whole streaming store loop).
+OHLC_STREAMS = {"events_ohlc_stream":
+                OhlcStreamEntityConfig("events_ohlc_stream")}
 
 # round-9: key-skew heavy-hitter card (llm/profile.py) — top-8 values
 # per column with ppm share over events (event_type is 5 hot values,
@@ -2225,6 +2249,8 @@ _FAMILIES = [
      streaming_incremental_dedup_oracle, _NO_DEPS),
     (SESSION_STREAMS, build_streaming_sessions,
      streaming_sessions_oracle, _NO_DEPS),
+    (OHLC_STREAMS, build_streaming_ohlc, streaming_ohlc_oracle,
+     _NO_DEPS),
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),

@@ -65,3 +65,78 @@ def start_ohlc_stream(spark, cfg: OhlcBarsConfig, store: ParquetStore,
             .foreachBatch(micro_batch_ohlc(cfg, store, table))
             .trigger(availableNow=True)
             .start())
+
+
+# ----------------------------------------------- driver-gated entity --
+#
+# Runs the real readStream -> foreachBatch(partial fold) -> merged
+# read-back path end-to-end under the driver's oracle gate: the event
+# stream arrives as n_batches id-range files, each epoch folds into
+# its own batch_id partition of the partial store, and the merged
+# finalized bars are hash-compared against the BATCH OHLC SQL. Batch
+# split needs no time ordering — partials merge commutatively (the
+# module's whole design point), which is exactly what the gate proves.
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class OhlcStreamEntityConfig:
+    """Same knobs as the batch OhlcBarsConfig — the oracle IS that
+    config's oracle."""
+
+    name: str
+    source: str = "events"
+    n_batches: int = 3
+
+    def bars(self) -> OhlcBarsConfig:
+        return OhlcBarsConfig(self.name, source=self.source)
+
+
+def build_streaming_ohlc(spark, reg, cfg: OhlcStreamEntityConfig,
+                         g=None):
+    import os
+    import shutil
+
+    from ..plans.incremental import scratch_store
+    from .staging import stage_arrival_frames
+
+    bars = cfg.bars()
+    ev = (reg.load(spark, cfg.source)
+          .select(bars.group_col,
+                  F.col(bars.ts_col).cast("timestamp")
+                  .alias(bars.ts_col),
+                  bars.id_col, "value"))
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamohlc")
+    src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
+    for p in (src_dir, ckpt_dir, store.path(_TABLE)):
+        shutil.rmtree(p, ignore_errors=True)
+    mx = ev.agg(F.max(bars.id_col)).collect()[0][0]
+    if mx is None:
+        empty = ohlc_finalize(
+            ohlc_partial(_ohlc_input(ev, bars), bars), bars)
+        return empty
+    os.makedirs(src_dir)
+    bound = int(mx) + 1
+    batch_of = F.expr(f"CAST(({bars.id_col} * {cfg.n_batches}) "
+                      f"div {bound} AS INT)")
+    stage_arrival_frames(
+        [ev.filter(batch_of == k) for k in range(cfg.n_batches)],
+        src_dir)
+    q = start_ohlc_stream(spark, bars, store, src_dir, ev.schema,
+                          ckpt_dir)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return read_ohlc_bars(bars, store)
+
+
+def streaming_ohlc_oracle(b, reg, cfg: OhlcStreamEntityConfig,
+                          g=None) -> str:
+    """Partials merge commutatively, so the converged bar table equals
+    the one-shot batch build — one oracle serves both."""
+    from ..operators.events import ohlc_bars_oracle
+
+    return ohlc_bars_oracle(b, reg, cfg.bars(), g)

@@ -242,16 +242,10 @@ def funnel_stream(events: DataFrame,
 
 def _stage_time_batches(spark, events, n_batches: int, src_dir: str,
                         sentinel_ts: str) -> None:
-    """Write the stream as n_batches single-file time-range arrivals
-    with strictly increasing mtimes, then a sentinel file (one
-    far-future event per user) that closes every open session. Each
-    batch is written DISTRIBUTED to a sibling dir and its single
-    output file renamed in — the driver never holds row data (the
-    streaming/incdedup.py staging contract)."""
-    import glob
-    import os
-    import shutil
-    import time
+    """Write the stream as n_batches single-file time-range arrivals,
+    then a sentinel file (one far-future event per user) that closes
+    every open session (streaming/staging.py does the file mechanics)."""
+    from .staging import stage_arrival_frames
 
     bounds = events.selectExpr("min(unix_micros(ts)) AS lo",
                                "max(unix_micros(ts)) AS hi").collect()[0]
@@ -263,19 +257,8 @@ def _stage_time_batches(spark, events, n_batches: int, src_dir: str,
     frames.append(events.select("user_id").distinct().selectExpr(
         "user_id", f"TIMESTAMP '{sentinel_ts}' AS ts",
         "CAST(0 AS DOUBLE) AS value"))
-    base = time.time()
-    for k, frame in enumerate(frames):
-        tmp = f"{src_dir}.__stage{k}__"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (frame.select("user_id", "ts", "value")
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = glob.glob(f"{tmp}/part-*.parquet")
-        if len(part) != 1:
-            raise RuntimeError(f"expected one staged file, got {part}")
-        dst = f"{src_dir}/batch_{k}.parquet"
-        os.replace(part[0], dst)
-        os.utime(dst, (base + 100 * k, base + 100 * k))
-        shutil.rmtree(tmp, ignore_errors=True)
+    stage_arrival_frames(
+        [f.select("user_id", "ts", "value") for f in frames], src_dir)
 
 
 from dataclasses import dataclass as _dataclass  # noqa: E402

@@ -885,9 +885,18 @@ _BUNDLE_CLOSURES = {
         "source_overlap_matrix", "source_token_budget",
         "temperature_resample", "text_fingerprint", "text_vocab_topk",
         "vocab_topk_by_lang",
+        # moved from analytics_bundle with the OHLC streaming replay
+        # (costs unchanged — same members, different union)
+        "docs_compacted", "docs_partitioned_en",
     ]),
     "analytics_bundle": frozenset([
-        "control_snap_v0", "docs_compacted", "docs_partitioned_en",
+        "control_snap_v0",
+        # round-10 deliberate widening: the OHLC streaming replay (3
+        # staged arrivals + 3 foreachBatch epochs + merged read-back);
+        # 3.8s warm standalone at sf0.1 (min-of-4, measured before
+        # adding — the cost IS the certified streaming store loop, the
+        # lineitem_scd1 adjudication)
+        "events_ohlc_stream",
         "event_cohort_retention", "event_hopping_agg", "event_sessions",
         "event_transitions", "events_active_users",
         "events_asof_click_incl", "events_asof_click_tol",
