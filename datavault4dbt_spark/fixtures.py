@@ -207,6 +207,13 @@ from .llm.privacy import (KAnonymityConfig, build_k_anonymity,
                           k_anonymity_oracle)
 from .llm.urlcuration import (UrlGateConfig, build_url_gate,
                               url_gate_oracle)
+from .llm.outliers import (TukeyOutlierConfig, build_tukey_outliers,
+                           tukey_outliers_oracle)
+from .llm.negatives import (NegativeSamplesConfig,
+                            build_negative_samples,
+                            negative_samples_oracle)
+from .llm.profile import (ProfileDriftConfig, build_profile_drift,
+                          profile_drift_oracle)
 from .operators.compaction import (CompactionConfig, build_compaction,
                                    compaction_oracle)
 from .llm.profile import (TrendingConfig, build_trending_topk,
@@ -1281,6 +1288,43 @@ _ALL_BUNDLE_MEMBERS = (
                      "CAST(is_blocked AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'url_gate'"),
+        # round-10: Tukey outlier gate — value, both fences and the
+        # verdict fold in
+        BundleMember("events_value_outliers", "CAST(event_id AS STRING)",
+                     "concat(event_type, ':', "
+                     "CAST(value_units AS STRING), ':', "
+                     "CAST(q25 AS STRING), ':', CAST(q75 AS STRING), "
+                     "':', CAST(is_outlier AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'outliers'"),
+        # round-10: negative sampling — the (anchor, rank) grain is the
+        # hk so the exact draw and its order drive the driver hash
+        BundleMember("docs_negative_samples",
+                     "concat(CAST(anchor_id AS STRING), ':', "
+                     "CAST(neg_rank AS STRING))",
+                     "concat(CAST(neg_id AS STRING), ':', "
+                     "CAST(bucket AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'negatives'"),
+        # round-10: profile drift — every per-slice census cell and
+        # both drift verdicts fold in (ppm cells via coalesce: an
+        # empty slice renders NULL)
+        BundleMember("docs_profile_drift", "col_name",
+                     "concat(CAST(n_rows_a AS STRING), ':', "
+                     "CAST(n_rows_b AS STRING), ':', "
+                     "CAST(n_nulls_a AS STRING), ':', "
+                     "CAST(n_nulls_b AS STRING), ':', "
+                     "CAST(n_distinct_a AS STRING), ':', "
+                     "CAST(n_distinct_b AS STRING), ':', "
+                     "coalesce(CAST(null_ppm_a AS STRING), ''), ':', "
+                     "coalesce(CAST(null_ppm_b AS STRING), ''), ':', "
+                     "coalesce(min_a, ''), ':', coalesce(max_a, ''), "
+                     "':', coalesce(min_b, ''), ':', "
+                     "coalesce(max_b, ''), ':', "
+                     "coalesce(CAST(null_drift AS STRING), ''), ':', "
+                     "CAST(minmax_changed AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'profile_drift'"),
         # packing manifest: every integer assignment cell folds in
         BundleMember("packing_manifest", "CAST(doc_id AS STRING)",
                      "concat(CAST(shard AS STRING), ':', "
@@ -1338,6 +1382,7 @@ BUNDLES = {
         # docs-table layout round-trips (moved from analytics_bundle
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
+        "docs_negative_samples", "docs_profile_drift",
     )),
     # Event/lineitem analytics + storage-layout round-trips.
     "analytics_bundle": _bundle("analytics_bundle", (
@@ -1354,6 +1399,7 @@ BUNDLES = {
         "events_conversion_paths", "events_trending_daily",
         "events_ohlc_hourly", "events_ohlc_stream",
         "events_last_touch", "part_cooccurrence", "part_name_linkage",
+        "events_value_outliers",
     )),
 }
 
@@ -2117,6 +2163,28 @@ LINKAGES = {"part_name_linkage": BlockedLinkageConfig(
     "part_name_linkage", block_cols=("p_brand", "p_size"),
     max_distance=3)}
 
+# round-10: Tukey-fence outlier gate — ~1% of events get a planted
+# 50x value spike (event_id % 97), so the gate genuinely fires while
+# the [q25-1.5IQR, q75+1.5IQR] body passes; integer fences by the
+# doubled-comparison trick (no DOUBLE, no overflow cliff)
+OUTLIER_GATES = {"events_value_outliers": TukeyOutlierConfig(
+    "events_value_outliers",
+    value_expr=("CAST(round((CASE WHEN event_id % 97 = 0 "
+                "THEN value * 50 ELSE value END) * 100) AS BIGINT)"))}
+# round-10: deterministic bucket-bounded negative sampling — 20
+# anchors at sf0.01 (doc_id % 25), 8 buckets x ~60 docs, k=4, so every
+# anchor draws real competition and the 48-bit score tie-break is
+# exercised across the full corpus
+NEGATIVE_SAMPLES = {"docs_negative_samples": NegativeSamplesConfig(
+    "docs_negative_samples")}
+# round-10: profile drift between two id-slices of documents — the
+# doc_id min/max genuinely differ between slices (minmax_changed
+# true) while lang/source ranges agree (false), so both flag
+# polarities carry rows; null-ratio drift on the NULL-free synthetic
+# corpus is pinned by unit tests with constructed frames
+PROFILE_DRIFTS = {"docs_profile_drift": ProfileDriftConfig(
+    "docs_profile_drift")}
+
 _NO_DEPS = lambda c: []  # noqa: E731 — LLM ops read raw tables directly
 
 
@@ -2287,6 +2355,12 @@ _FAMILIES = [
     (ATTRIBUTIONS, build_attribution, attribution_oracle, _NO_DEPS),
     (K_ANONYMITIES, build_k_anonymity, k_anonymity_oracle, _NO_DEPS),
     (URL_GATES, build_url_gate, url_gate_oracle, _NO_DEPS),
+    (OUTLIER_GATES, build_tukey_outliers, tukey_outliers_oracle,
+     _NO_DEPS),
+    (NEGATIVE_SAMPLES, build_negative_samples, negative_samples_oracle,
+     _NO_DEPS),
+    (PROFILE_DRIFTS, build_profile_drift, profile_drift_oracle,
+     _NO_DEPS),
     (PARTITIONED_ROUNDTRIPS, build_partitioned_roundtrip,
      partitioned_roundtrip_oracle, _NO_DEPS),
     (COMPACTIONS, build_compaction, compaction_oracle, _NO_DEPS),

@@ -520,3 +520,126 @@ def trending_topk_oracle(b: SqlBuilder, reg: Registry,
         f"CAST(row_number() OVER (PARTITION BY bucket "
         f"ORDER BY cnt DESC, value) AS INT) AS rnk FROM {census}) "
         f"WHERE rnk <= {cfg.k}")
+
+
+# -------------------------------------------------------- profile drift --
+
+@dataclass(frozen=True)
+class ProfileDriftConfig:
+    """Schema/stats drift report between two slices of one source —
+    the monitor a daily ingest runs against yesterday's batch before
+    training consumes today's (null-ratio shifts, distinct-count
+    collapse, min/max range changes are the classic upstream-breakage
+    signatures).
+
+    ``split_expr`` is a SQL boolean valid in both dialects: TRUE rows
+    form slice A, FALSE rows slice B (typically two batch-id ranges).
+    Exactness: all counts are exact; null ratios compare in integer
+    ppm (BIGINT div); min/max render through the same portable-type
+    contract as the data-card profile.
+
+    Scale design (100 TB): ONE pass — every per-slice statistic is a
+    conditional aggregate in a single map-side-combined agg (the
+    dataset_profile shape; no second scan, no join between slices);
+    the stacked per-column report is columns-sized.
+    """
+
+    name: str
+    source: str = "documents"
+    split_expr: str = "doc_id % 3 = 0"
+    columns: tuple = (("doc_id", "bigint"), ("lang", "string"),
+                      ("source", "string"), ("n_chars", "bigint"))
+    null_drift_ppm: int = 10_000    # flag when null ratio shifts > 1%
+
+    def __post_init__(self):
+        if not self.columns:
+            raise ValueError(f"{self.name}: columns must be non-empty")
+        if self.null_drift_ppm < 0:
+            raise ValueError(f"{self.name}: null_drift_ppm must be >= 0")
+        import re as _re
+        for c, _typ in self.columns:
+            if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise ValueError(
+                    f"{self.name}: column {c!r} must be a plain "
+                    f"identifier — it is interpolated into both "
+                    f"dialects' SQL")
+
+
+def _drift_aggs(cfg: ProfileDriftConfig, distinct_kw: str) -> list:
+    """Conditional per-slice aggregates — expression text valid in
+    both dialects (CASE WHEN filters; COUNT/MIN/MAX/DISTINCT agree)."""
+    s = f"({cfg.split_expr})"
+    aggs = [f"count(CASE WHEN {s} THEN 1 END) AS __n_a",
+            f"count(CASE WHEN NOT {s} THEN 1 END) AS __n_b"]
+    for c, typ in cfg.columns:
+        for tag, pred in (("a", s), ("b", f"NOT {s}")):
+            aggs += [
+                f"count(CASE WHEN {pred} THEN {c} END) AS __nn_{tag}_{c}",
+                f"count({distinct_kw} CASE WHEN {pred} THEN {c} END) "
+                f"AS __nd_{tag}_{c}"]
+            if _minmax_ok(typ):
+                aggs += [
+                    f"CAST(min(CASE WHEN {pred} THEN {c} END) AS STRING)"
+                    f" AS __min_{tag}_{c}",
+                    f"CAST(max(CASE WHEN {pred} THEN {c} END) AS STRING)"
+                    f" AS __max_{tag}_{c}"]
+    return aggs
+
+
+def _drift_row(cfg: ProfileDriftConfig, c: str, typ: str,
+               dialect: str) -> str:
+    idiv = " div " if dialect == "spark" else " // "
+    cells = {}
+    for tag in ("a", "b"):
+        cells[f"nulls_{tag}"] = f"(__n_{tag} - __nn_{tag}_{c})"
+        cells[f"ppm_{tag}"] = (
+            f"(CASE WHEN __n_{tag} > 0 THEN "
+            f"((__n_{tag} - __nn_{tag}_{c}) * 1000000){idiv}__n_{tag} "
+            f"END)")
+        if _minmax_ok(typ):
+            cells[f"min_{tag}"] = f"__min_{tag}_{c}"
+            cells[f"max_{tag}"] = f"__max_{tag}_{c}"
+        else:
+            cells[f"min_{tag}"] = "CAST(NULL AS STRING)"
+            cells[f"max_{tag}"] = "CAST(NULL AS STRING)"
+    null_drift = (f"(abs({cells['ppm_a']} - {cells['ppm_b']}) "
+                  f"> {cfg.null_drift_ppm})")
+    mm = (f"(({cells['min_a']} IS DISTINCT FROM {cells['min_b']}) OR "
+          f"({cells['max_a']} IS DISTINCT FROM {cells['max_b']}))")
+    return (f"'{c}', __n_a, __n_b, {cells['nulls_a']}, "
+            f"{cells['nulls_b']}, __nd_a_{c}, __nd_b_{c}, "
+            f"{cells['ppm_a']}, {cells['ppm_b']}, {cells['min_a']}, "
+            f"{cells['max_a']}, {cells['min_b']}, {cells['max_b']}, "
+            f"{null_drift}, {mm}")
+
+
+_DRIFT_COLS = ("col_name, n_rows_a, n_rows_b, n_nulls_a, n_nulls_b, "
+               "n_distinct_a, n_distinct_b, null_ppm_a, null_ppm_b, "
+               "min_a, max_a, min_b, max_b, null_drift, minmax_changed")
+
+
+def build_profile_drift(spark, reg: Registry, cfg: ProfileDriftConfig,
+                        g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    wide = df.selectExpr("*").agg(
+        *[F.expr(a) for a in _drift_aggs(cfg, "DISTINCT")])
+    rows = [_drift_row(cfg, c, typ, "spark") for c, typ in cfg.columns]
+    return wide.selectExpr(
+        f"stack({len(rows)}, {', '.join(rows)}) AS ({_DRIFT_COLS})")
+
+
+def profile_drift_oracle(b: SqlBuilder, reg: Registry,
+                         cfg: ProfileDriftConfig,
+                         g: GlobalConfig = DEFAULT) -> str:
+    src = reg.duckdb_relation(cfg.source)
+    wide = b.cte(f"{cfg.name}__w",
+                 f"SELECT {', '.join(_drift_aggs(cfg, 'DISTINCT'))} "
+                 f"FROM {src}")
+    selects = [
+        f"SELECT {_drift_row(cfg, c, typ, 'duck')} FROM {wide}"
+        for c, typ in cfg.columns]
+    named = ", ".join(_DRIFT_COLS.split(", "))
+    return b.cte(
+        cfg.name,
+        f"SELECT * FROM (\n" + "\nUNION ALL\n".join(selects) +
+        f"\n) AS d({named})")

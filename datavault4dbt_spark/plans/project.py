@@ -178,6 +178,9 @@ def _llm_kinds() -> dict:
     from ..sources.readers import build_partitioned_roundtrip
     from ..llm.annindex import build_ann_index_persisted
     from ..llm.urlcuration import build_url_gate
+    from ..llm.outliers import build_tukey_outliers
+    from ..llm.negatives import build_negative_samples
+    from ..llm.profile import build_profile_drift
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -287,6 +290,9 @@ def _llm_kinds() -> dict:
         "compaction": (build_compaction, src),
         "partitioned_roundtrip": (build_partitioned_roundtrip, src),
         "url_gate": (build_url_gate, src),
+        "tukey_outliers": (build_tukey_outliers, src),
+        "negative_samples": (build_negative_samples, src),
+        "profile_drift": (build_profile_drift, src),
         # stages its index store internally; the RESULT is a full
         # rebuild (the incremental_dedup note above applies)
         "ann_index": (build_ann_index_persisted, src),

@@ -506,6 +506,9 @@ def _llm_parsers() -> dict:
     from .llm.lineclean import TextNormalizeConfig
     from .llm.annindex import AnnIndexConfig
     from .llm.urlcuration import UrlGateConfig
+    from .llm.outliers import TukeyOutlierConfig
+    from .llm.negatives import NegativeSamplesConfig
+    from .llm.profile import ProfileDriftConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -595,6 +598,9 @@ def _llm_parsers() -> dict:
             ProportionalSampleConfig),
         "ann_index": _dataclass_parser(AnnIndexConfig),
         "url_gate": _dataclass_parser(UrlGateConfig),
+        "tukey_outliers": _dataclass_parser(TukeyOutlierConfig),
+        "negative_samples": _dataclass_parser(NegativeSamplesConfig),
+        "profile_drift": _dataclass_parser(ProfileDriftConfig),
     }
 
 

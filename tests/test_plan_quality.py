@@ -888,6 +888,11 @@ _BUNDLE_CLOSURES = {
         # moved from analytics_bundle with the OHLC streaming replay
         # (costs unchanged — same members, different union)
         "docs_compacted", "docs_partitioned_en",
+        # round-10 deliberate widening: bucket-bounded negative
+        # sampling (one bucket equi-join + WindowGroupLimit) and the
+        # one-pass profile-drift census; 1.11s / 0.88s warm standalone
+        # at sf0.1 (min-of-4, measured before adding)
+        "docs_negative_samples", "docs_profile_drift",
     ]),
     "analytics_bundle": frozenset([
         "control_snap_v0",
@@ -913,6 +918,10 @@ _BUNDLE_CLOSURES = {
         "part_name_linkage", "ref_hub_nation", "sat_nation_s",
         "sat_part_s", "stage_nation", "stage_part", "stage_supplier",
         "vault_checks",
+        # round-10 deliberate widening: Tukey-fence outlier gate (one
+        # bounded-histogram groupBy + census join-back); 1.13s warm
+        # standalone at sf0.1 (min-of-4, measured before adding)
+        "events_value_outliers",
     ]),
 }
 

@@ -228,8 +228,10 @@ def test_run_project_analytics_pipeline(spark, sf_dir, tmp_path):
         "events_attribution", "docs_kanon", "docs_length_pr",
         "events_trending", "docs_normalize", "events_paths",
         "events_active", "docs_prop_sample",
-        # round-10 session kinds (persisted ANN index, URL gate)
-        "embeddings_ann_index", "docs_url_gate"}
+        # round-10 session kinds (persisted ANN index, URL gate,
+        # outlier gate, negative sampling, profile drift)
+        "embeddings_ann_index", "docs_url_gate", "events_outliers",
+        "docs_negatives", "docs_drift"}
     # spot-check three stored tables against the direct fixture builds
     # (same configs modulo entity name)
     reg = fixtures.registry(spark, sf_dir)
