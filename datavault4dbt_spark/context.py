@@ -114,6 +114,21 @@ class GlobalConfig:
                 f"got {self.hash_case_fold!r}")
         if self.hash.upper() not in _HASH_DEFAULTS:
             raise ValueError(f"unsupported hash algorithm {self.hash!r}")
+        if self.hash_datatype.upper() not in ("STRING", "VARCHAR",
+                                              "BINARY", "VARBINARY",
+                                              "BLOB"):
+            raise ValueError(
+                f"unsupported hash_datatype {self.hash_datatype!r} — "
+                f"STRING (databricks dialect) or BINARY/VARBINARY "
+                f"(fabric/sqlserver dialects)")
+
+    @property
+    def hash_is_binary(self) -> bool:
+        """True for the fabric/sqlserver-style VARBINARY hash layout
+        (reference: macros/supporting/hash.sql:396,678); the default
+        STRING follows the authoritative databricks dialect."""
+        return self.hash_datatype.upper() in ("BINARY", "VARBINARY",
+                                              "BLOB")
 
     @property
     def unknown_key(self) -> str:

@@ -51,9 +51,13 @@ def ghost_value_sql(dtype: str, kind: str, g: GlobalConfig = DEFAULT) -> str:
 
 
 def ghost_hash_sql(kind: str, g: GlobalConfig = DEFAULT) -> str:
-    """Ghost value for a hash column (reference: stage.sql:595-600)."""
+    """Ghost value for a hash column (reference: stage.sql:595-600).
+    Binary vaults get the zero-key's raw bytes (unhex, identical in
+    Spark and DuckDB) — a CAST would encode the hex TEXT instead."""
     key = g.unknown_key if kind == "unknown" else g.error_key
-    return f"CAST({sql_str(key)} AS {'STRING' if g.hash_datatype == 'STRING' else g.hash_datatype})"
+    if g.hash_is_binary:
+        return f"unhex({sql_str(key)})"
+    return f"CAST({sql_str(key)} AS STRING)"
 
 
 def ghost_ldts_sql(kind: str, g: GlobalConfig = DEFAULT) -> str:

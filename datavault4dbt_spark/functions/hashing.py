@@ -183,7 +183,19 @@ def hash_expr_sql(spec: HashSpec, g: GlobalConfig = DEFAULT, dialect: str = SPAR
             row = f"STRING_AGG({row}, ',' ORDER BY {keys})"
     alg = g.hash_alg_spark if dialect == SPARK else g.hash_alg_duckdb
     hashed = alg.format(x=row)
-    out = f"IFNULL(LOWER({hashed}), {sql_str(g.unknown_key)})"
+    if g.hash_is_binary:
+        # fabric/sqlserver dialects emit VARBINARY hashkeys (reference:
+        # macros/supporting/hash.sql:396,678); `unhex` is the same
+        # function in Spark and DuckDB, so the hex digest converts to
+        # the identical 16/20/32 raw bytes in both engines. The
+        # driver-checked fixtures stay STRING (the authoritative
+        # databricks dialect): engines RENDER binary differently
+        # (bytearray vs bytes) even when the bytes agree, so binary
+        # vaults are verified by the hashlib byte-equality tests.
+        out = (f"IFNULL(unhex(LOWER({hashed})), "
+               f"unhex({sql_str(g.unknown_key)}))")
+    else:
+        out = f"IFNULL(LOWER({hashed}), {sql_str(g.unknown_key)})"
     if alias:
         out = f"{out} AS {spec.name}"
     return out

@@ -228,3 +228,51 @@ def test_rtrim_folds_trim_chars_with_case_insensitive_hashdiff(spark):
         f"SELECT {hash_expr_sql(spec, g, DUCKDB)} "
         f"FROM (SELECT 'x' AS a, NULL AS b)").fetchone()[0]
     assert pair == d
+
+
+def test_binary_hash_datatype_bytes_match_string_digest(spark):
+    """BINARY hash layout (fabric/sqlserver dialects, reference
+    hash.sql:396,678): the emitted bytes must be exactly the unhexed
+    STRING digest — for real values, the all-NULL zero key, and the
+    ghost sentinels — and Spark/DuckDB must agree byte-for-byte
+    (unhex is the same function in both)."""
+    import duckdb
+
+    from datavault4dbt_spark.functions.ghost import ghost_hash_sql
+
+    gs = DEFAULT
+    gb = GlobalConfig(hash_datatype="BINARY")
+    spec = HashSpec("hk", ("a", "b"))
+    df = spark.createDataFrame(
+        [("x", "y"), (None, None)], "a string, b string")
+    df.createOrReplaceTempView("t_bin")
+    rows = spark.sql(
+        f"SELECT {hash_expr_sql(spec, gs, SPARK, alias=False)} AS s, "
+        f"{hash_expr_sql(spec, gb, SPARK, alias=False)} AS b "
+        f"FROM t_bin").collect()
+    for r in rows:
+        assert bytes(r.b) == bytes.fromhex(r.s)
+    # all-NULL row hashed to the zero key, so its bytes are 16 zeros
+    null_row = [r for r in rows if bytes(r.b) == b"\x00" * 16]
+    assert len(null_row) == 1
+    # ghost sentinel: raw zero-key bytes, not the hex TEXT's utf8
+    ghost = spark.sql(
+        f"SELECT {ghost_hash_sql('unknown', gb)} AS g").collect()[0]
+    assert bytes(ghost.g) == b"\x00" * 16
+    # DuckDB produces identical bytes from the same config
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'x' AS a, 'y' AS b "
+                "UNION ALL SELECT NULL, NULL")
+    duck = con.execute(
+        f"SELECT {hash_expr_sql(spec, gs, DUCKDB, alias=False)} AS s, "
+        f"{hash_expr_sql(spec, gb, DUCKDB, alias=False)} AS b "
+        f"FROM t").fetchall()
+    assert sorted(bytes(b) for _s, b in duck) == \
+        sorted(bytes(r.b) for r in rows)
+    for s, b in duck:
+        assert bytes(b) == bytes.fromhex(s)
+
+
+def test_hash_datatype_validated():
+    with pytest.raises(ValueError, match="hash_datatype"):
+        GlobalConfig(hash_datatype="UUID")
