@@ -26,6 +26,9 @@ ENTITIES = (
     "docs_proportional_sample",
     "lineitem_scd1_current",
     "event_transitions",
+    # round-10 additions: salted-hash ranks and fence joins
+    "docs_negative_samples",
+    "events_value_outliers",
 )
 
 

@@ -830,6 +830,53 @@ def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_negative_samples_bucket_join_no_cartesian(spark, sf_dir):
+    """Negatives pair ONLY through the bucket equi-join (never a
+    cartesian), and the per-anchor top-k runs as WindowGroupLimit
+    heaps — the two properties that bound the operator at scale."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_negative_samples")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tukey_outliers_histogram_window_is_bounded(spark, sf_dir):
+    """The fence derivation windows over the BOUNDED (group, value)
+    histogram, never the corpus: the only Window sits above a
+    HashAggregate, and the row-level verdict is a join-back (no
+    row-level window)."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("events_value_outliers")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # exactly one Window (the cumulative histogram sum)
+    assert plan.count("Window ") <= 2, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_profile_drift_is_single_pass(spark, sf_dir):
+    """The two-slice census is ONE aggregate over one scan — no join
+    between slices, no second scan of the source."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_profile_drift")(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_url_gate_census_join_back(spark, sf_dir):
+    """URL normalization stays in the scan stage; the only exchanges
+    are the domain census groupBy and its AQE-decided join-back — no
+    sort, no cartesian."""
+    fixtures.ensure_session_conf(spark)
+    df = fixtures.entity_query("docs_url_gate")(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "regexp_replace" in plan, plan
+
+
 # Each bundle's dependency closure is FROZEN (round-7 advice #2): a new
 # member whose dependencies are not already in its bundle's set is paid
 # as a fresh subtree on EVERY bench run (the vault_checks lesson: one
