@@ -147,6 +147,7 @@ from .streaming.stateful import (StreamingSessionEntityConfig,
 from .streaming.ohlc import (OhlcStreamEntityConfig,
                              build_streaming_ohlc,
                              streaming_ohlc_oracle)
+from .streaming.scd1 import build_streaming_scd1
 from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
                                     pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
@@ -1288,6 +1289,19 @@ _ALL_BUNDLE_MEMBERS = (
                      "CAST(is_blocked AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'url_gate'"),
+        # round-10: the SCD1 streaming replay — same fold as the batch
+        # member, so a streamed upsert diverging from the one-shot rule
+        # fails the gate
+        BundleMember("lineitem_scd1_stream",
+                     "CAST(l_orderkey AS STRING)",
+                     "concat(CAST(version_seq AS STRING), ':', "
+                     "CAST(l_linenumber AS STRING), ':', "
+                     "CAST(l_partkey AS STRING), ':', "
+                     "CAST(l_suppkey AS STRING), ':', "
+                     "CAST(CAST(round(l_quantity * 100) AS BIGINT) "
+                     "AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'scd1_stream'"),
         # round-10: Tukey outlier gate — value, both fences and the
         # verdict fold in
         BundleMember("events_value_outliers", "CAST(event_id AS STRING)",
@@ -1383,6 +1397,9 @@ BUNDLES = {
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
         "docs_negative_samples", "docs_profile_drift",
+        # non-parquet source round-trips (moved from analytics_bundle
+        # to keep it <= 30 when the SCD1 streaming replay joined)
+        "events_source_json", "events_source_csv", "events_source_orc",
     )),
     # Event/lineitem analytics + storage-layout round-trips.
     "analytics_bundle": _bundle("analytics_bundle", (
@@ -1391,8 +1408,8 @@ BUNDLES = {
         "event_cohort_retention", "events_asof_click_tol",
         "events_asof_click_incl", "lineitem_rollup_census",
         "events_skew_profile", "lineitem_scd1_current",
-        "lineitem_scd1_cdc", "events_source_json", "events_source_csv",
-        "events_source_orc", "lineitem_quarantine",
+        "lineitem_scd1_cdc", "lineitem_scd1_stream",
+        "lineitem_quarantine",
         "lineitem_qty_price_stats", "events_rolling_value",
         "events_props_extracted", "events_value_locf",
         "event_transitions", "events_active_users",
@@ -1911,6 +1928,17 @@ SESSION_STREAMS = {"event_sessions_stream":
 # oracle certifies the whole streaming store loop).
 OHLC_STREAMS = {"events_ohlc_stream":
                 OhlcStreamEntityConfig("events_ohlc_stream")}
+# round-10: the SCD1 streaming twin under the driver gate — the same
+# Scd1MergeConfig knobs as lineitem_scd1_current, executed through an
+# actual readStream -> foreachBatch(merge_scd1_batch) -> checkpointed
+# availableNow run (one arrival file per ascending version group);
+# certified by the identical one-shot latest-per-key SQL. Fourth
+# driver-gated streaming path; analytics_bundle rider.
+SCD1_STREAMS = {"lineitem_scd1_stream": Scd1MergeConfig(
+    "lineitem_scd1_stream", "lineitem", key_cols=("l_orderkey",),
+    version_expr="l_linenumber % 3",
+    tie_cols=("l_linenumber", "l_partkey", "l_suppkey"),
+    payload_cols=("l_quantity",))}
 
 # round-9: key-skew heavy-hitter card (llm/profile.py) — top-8 values
 # per column with ppm share over events (event_type is 5 hot values,
@@ -2319,6 +2347,7 @@ _FAMILIES = [
      streaming_sessions_oracle, _NO_DEPS),
     (OHLC_STREAMS, build_streaming_ohlc, streaming_ohlc_oracle,
      _NO_DEPS),
+    (SCD1_STREAMS, build_streaming_scd1, scd1_merge_oracle, _NO_DEPS),
     (ASOF, build_asof_join, asof_join_oracle, _NO_DEPS),
     (SESSIONS, build_sessionize, sessionize_oracle, _NO_DEPS),
     (HOPPING, build_hopping_agg, hopping_agg_oracle, _NO_DEPS),

@@ -63,3 +63,55 @@ def start_scd1_stream(spark, cfg: Scd1MergeConfig, store: ParquetStore,
             .foreachBatch(micro_batch_scd1(cfg, store, table))
             .trigger(availableNow=True)
             .start())
+
+
+# ----------------------------------------------- driver-gated entity --
+#
+# Runs the real readStream -> foreachBatch(upsert) path end-to-end
+# under the driver's oracle gate: the versioned source arrives as one
+# file per ascending version group, each epoch upserts into the
+# persisted current-state table through merge_scd1_batch, and the
+# converged table is hash-compared against the one-shot
+# latest-(version, tie)-per-key SQL — the same oracle that certifies
+# the batch replay (operators/merge.py), now certifying an actual
+# checkpointed streaming execution. The entity CONFIG IS an
+# Scd1MergeConfig: same knobs, same oracle, different executor.
+
+def build_streaming_scd1(spark, reg, cfg: Scd1MergeConfig, g=None):
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.incremental import scratch_store
+    from .staging import stage_arrival_frames
+
+    cols = list(dict.fromkeys(
+        (*cfg.key_cols, *cfg.tie_cols, *cfg.payload_cols)))
+    src = reg.load(spark, cfg.source).select(*cols)
+    ver = F.expr(f"CAST({cfg.version_expr} AS BIGINT)")
+    versions = [r[0] for r in
+                src.select(ver.alias("v")).distinct().collect()]
+    if any(v is None for v in versions):
+        raise ValueError(f"{cfg.name}: version_expr produced NULL")
+    versions.sort()
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_scd1stream")
+    src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
+    for p in (src_dir, ckpt_dir, store.path("current")):
+        shutil.rmtree(p, ignore_errors=True)
+    if not versions:
+        return src.selectExpr(
+            *cfg.key_cols,
+            f"CAST(NULL AS BIGINT) AS {cfg.version_alias}",
+            *cfg.tie_cols, *cfg.payload_cols)
+    os.makedirs(src_dir)
+    stage_arrival_frames([src.filter(ver == v) for v in versions],
+                         src_dir)
+    q = start_scd1_stream(spark, cfg, store, src_dir, src.schema,
+                          ckpt_dir)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return store.read("current").select(*cfg.out_cols)

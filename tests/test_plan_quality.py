@@ -933,8 +933,10 @@ _BUNDLE_CLOSURES = {
         "temperature_resample", "text_fingerprint", "text_vocab_topk",
         "vocab_topk_by_lang",
         # moved from analytics_bundle with the OHLC streaming replay
-        # (costs unchanged — same members, different union)
+        # and the SCD1 streaming replay (costs unchanged — same
+        # members, different union)
         "docs_compacted", "docs_partitioned_en",
+        "events_source_json", "events_source_csv", "events_source_orc",
         # round-10 deliberate widening: bucket-bounded negative
         # sampling (one bucket equi-join + WindowGroupLimit) and the
         # one-pass profile-drift census; 1.11s / 0.88s warm standalone
@@ -955,8 +957,7 @@ _BUNDLE_CLOSURES = {
         "events_conversion_paths", "events_in_snapshot_day",
         "events_last_touch", "events_ohlc_hourly",
         "events_props_extracted", "events_rolling_value",
-        "events_skew_profile", "events_source_csv",
-        "events_source_json", "events_source_orc",
+        "events_skew_profile",
         "events_trending_daily", "events_value_locf", "hub_nation",
         "hub_supplier", "lineitem_qty_price_stats",
         "lineitem_quarantine", "lineitem_rollup_census",
@@ -969,6 +970,11 @@ _BUNDLE_CLOSURES = {
         # bounded-histogram groupBy + census join-back); 1.13s warm
         # standalone at sf0.1 (min-of-4, measured before adding)
         "events_value_outliers",
+        # round-10 deliberate widening: the SCD1 streaming replay —
+        # same 3-upsert store loop as lineitem_scd1_current driven
+        # through an actual checkpointed stream; 6.1s (under a concurrent bench run; idle is lower) warm
+        # standalone at sf0.1 (min-of-4, measured before adding)
+        "lineitem_scd1_stream",
     ]),
 }
 
