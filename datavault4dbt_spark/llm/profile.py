@@ -539,9 +539,14 @@ class ProfileDriftConfig:
     contract as the data-card profile.
 
     Scale design (100 TB): ONE pass — every per-slice statistic is a
-    conditional aggregate in a single map-side-combined agg (the
-    dataset_profile shape; no second scan, no join between slices);
-    the stacked per-column report is columns-sized.
+    conditional aggregate in a single agg (the dataset_profile shape;
+    no second scan, no join between slices); the stacked per-column
+    report is columns-sized. Caveat shared with dataset_profile: the
+    2 x columns COUNT(DISTINCT ...) aggregates plan as one Expand
+    (row multiplier = number of distinct aggs) before the partial
+    aggregation — the standard Spark shape for exact multi-distinct;
+    swap n_distinct for approx_count_distinct when an estimate is
+    acceptable and the Expand dominates.
     """
 
     name: str
