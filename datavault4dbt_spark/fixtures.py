@@ -67,7 +67,10 @@ from .llm.textstats import (
 from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              build_multimodal_features,
                              build_multimodal_decode, multimodal_oracle,
-                             multimodal_decode_oracle)
+                             multimodal_decode_oracle,
+                             MultimodalFrameSampleConfig,
+                             build_multimodal_framesample,
+                             multimodal_framesample_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1280,6 +1283,19 @@ _ALL_BUNDLE_MEMBERS = (
                      "':', coalesce(CAST(CAST(round(asof_value * 100) "
                      "AS BIGINT) AS STRING), ''))",
                      ldts="ts", rsrc="'asof_incl'"),
+        # round-10: frame sampling — the (doc, frame) grain is the hk;
+        # header fields, stride arithmetic and the corrupt-row NULL
+        # branch all fold (coalesce sentinels for the NULL row)
+        BundleMember("multimodal_framesample",
+                     "concat(CAST(doc_id AS STRING), ':', "
+                     "coalesce(CAST(frame_idx AS STRING), ''))",
+                     "concat(CAST(n_bytes AS STRING), ':', "
+                     "coalesce(CAST(fps AS STRING), ''), ':', "
+                     "coalesce(CAST(duration_ms AS STRING), ''), ':', "
+                     "coalesce(CAST(n_frames AS STRING), ''), ':', "
+                     "coalesce(CAST(frame_ts_ms AS STRING), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'framesample'"),
         # round-10: URL gate — the normalized URL (verbatim: it is the
         # operator's whole point), the registered domain, the census
         # count and the block verdict all drive the driver hash
@@ -1383,6 +1399,7 @@ BUNDLES = {
         "docs_boilerplate_clean", "docs_ccnet_buckets",
         "docs_normalized", "docs_k_anonymity", "docs_length_gate",
         "curation_strategy_diff", "docs_url_gate",
+        "multimodal_framesample",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1619,6 +1636,12 @@ MULTIMODAL = {"multimodal_features": MultimodalConfig("multimodal_features")}
 # features; rides vault_dims_bundle so the exposed surface stays at 50
 MULTIMODAL_DECODE = {
     "multimodal_decode": MultimodalDecodeConfig("multimodal_decode")}
+# round-10: the 1 -> N Arrow fan-out shape (video frame sampling) —
+# FVID header parse + stride-bounded frame rows; ~1/7 of payloads are
+# headerless (one NULL row each), docs span 1..30 fps x 1..10 s so the
+# stride/cap branches all carry rows. Rides curation_bundle.
+MULTIMODAL_FRAMES = {"multimodal_framesample":
+                     MultimodalFrameSampleConfig("multimodal_framesample")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2289,6 +2312,8 @@ _FAMILIES = [
     (MULTIMODAL, build_multimodal_features, multimodal_oracle, _NO_DEPS),
     (MULTIMODAL_DECODE, build_multimodal_decode, multimodal_decode_oracle,
      _NO_DEPS),
+    (MULTIMODAL_FRAMES, build_multimodal_framesample,
+     multimodal_framesample_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

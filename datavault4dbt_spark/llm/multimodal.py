@@ -287,3 +287,178 @@ def multimodal_oracle(b: SqlBuilder, reg: Registry, cfg: MultimodalConfig,
                  f"SELECT doc_id, n_bytes, {hex_byte(1)} AS width, "
                  f"{hex_byte(3)} AS height, '{cfg.modality}' AS modality "
                  f"FROM {hcte}")
+
+
+# ----------------------------------------------------- frame sampling --
+
+@dataclass(frozen=True)
+class MultimodalFrameSampleConfig:
+    """Video frame-sampling plumbing (round-10): payloads carry an
+    FVID container — magic + 2-digit fps + 6-digit duration_ms, then
+    the body — and the sampler parses the header and emits up to
+    ``max_frames`` uniformly-strided (frame_idx, frame_ts_ms) rows per
+    document: the 1 -> N Arrow batch shape a real frame extractor has
+    (the decode entities above are 1 -> 1). The codec step itself is
+    STUBBED by the header parse (no video libs in this container) — a
+    real deployment replaces the body of `_video_header` + the
+    per-frame loop with e.g. PyAV keyframe extraction; schema,
+    partitioning, mapInPandas signature and the bounded fan-out
+    contract stay identical.
+
+    Corrupt payloads (headerless rows, ``id % corrupt_every == 0``)
+    emit exactly ONE row with NULL frame fields — visible, never
+    silently dropped (the `_pil_decode` NULL contract, row-shaped).
+
+    Scale design (100 TB): project (id, payload) only; per-doc fan-out
+    is hard-bounded by ``max_frames`` (uniform stride over the parsed
+    frame count), so output rows <= max_frames x docs regardless of
+    video length; no shuffle at all. All frame arithmetic is integer
+    (exact in SQL), so the full sampling plan is value-gated."""
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    payload_from: str = "text"
+    corrupt_every: int = 7
+    max_frames: int = 8
+
+    def __post_init__(self):
+        if self.corrupt_every < 2:
+            raise ValueError(
+                f"{self.name}: corrupt_every must be >= 2")
+        if self.max_frames < 1:
+            raise ValueError(f"{self.name}: max_frames must be >= 1")
+
+
+_VMAGIC = b"FVID"
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("fps", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_ts_ms", IntegerType()),
+])
+
+
+def _video_header(payload: bytes) -> tuple:
+    """Parse the FVID header (magic + 2-digit fps + 6-digit ms);
+    anything else is corrupt -> None (one NULL row downstream)."""
+    if payload is None or len(payload) < 12 or payload[:4] != _VMAGIC:
+        return None
+    fps, dur = payload[4:6], payload[6:12]
+    if not (fps.isdigit() and dur.isdigit()):
+        return None
+    return int(fps), int(dur)
+
+
+def _synth_video_expr(cfg: MultimodalFrameSampleConfig) -> str:
+    fps = f"lpad(CAST(1 + ({cfg.id_col} * 13) % 30 AS STRING), 2, '0')"
+    dur = f"lpad(CAST(1000 + ({cfg.id_col} * 53) % 9000 AS STRING), 6, '0')"
+    return (f"CASE WHEN {cfg.id_col} % {cfg.corrupt_every} = 0 "
+            f"THEN CAST({cfg.payload_from} AS BINARY) "
+            f"ELSE CAST(concat('FVID', {fps}, {dur}, "
+            f"{cfg.payload_from}) AS BINARY) END")
+
+
+def build_multimodal_framesample(spark, reg: Registry,
+                                 cfg: MultimodalFrameSampleConfig,
+                                 g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    payloads = df.selectExpr(
+        f"{cfg.id_col} AS doc_id",
+        f"{_synth_video_expr(cfg)} AS payload")
+    mx = cfg.max_frames
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "fps": [],
+                   "duration_ms": [], "n_frames": [], "frame_idx": [],
+                   "frame_ts_ms": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                nb = None if p is None else len(p)
+                hdr = _video_header(p)
+                if hdr is None:
+                    for k, v in (("doc_id", doc_id), ("n_bytes", nb),
+                                 ("fps", None), ("duration_ms", None),
+                                 ("n_frames", None), ("frame_idx", None),
+                                 ("frame_ts_ms", None)):
+                        out[k].append(v)
+                    continue
+                fps, dur = hdr
+                n_frames = (fps * dur) // 1000
+                stride = max(1, n_frames // mx)
+                cnt = min(mx, (n_frames + stride - 1) // stride)
+                for j in range(cnt):
+                    idx = j * stride
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(nb)
+                    out["fps"].append(fps)
+                    out["duration_ms"].append(dur)
+                    out["n_frames"].append(n_frames)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append((idx * 1000) // fps)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="Int64"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="Int64"),
+                "fps": pd.Series(out["fps"], dtype="Int32"),
+                "duration_ms": pd.Series(out["duration_ms"],
+                                         dtype="Int32"),
+                "n_frames": pd.Series(out["n_frames"], dtype="Int32"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="Int32"),
+                "frame_ts_ms": pd.Series(out["frame_ts_ms"],
+                                         dtype="Int32"),
+            })
+
+    return payloads.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def multimodal_framesample_oracle(b: SqlBuilder, reg: Registry,
+                                  cfg: MultimodalFrameSampleConfig,
+                                  g: GlobalConfig = DEFAULT) -> str:
+    """The container grammar + frame arithmetic replayed in SQL: parse
+    with substr + strict digit regexp, fan out with generate_series
+    bounded by the same stride/cap integers."""
+    src = reg.duckdb_relation(cfg.source)
+    fps = f"lpad(CAST(1 + ({cfg.id_col} * 13) % 30 AS VARCHAR), 2, '0')"
+    dur = (f"lpad(CAST(1000 + ({cfg.id_col} * 53) % 9000 AS VARCHAR), "
+           f"6, '0')")
+    payload = (f"CASE WHEN {cfg.id_col} % {cfg.corrupt_every} = 0 "
+               f"THEN {cfg.payload_from} "
+               f"ELSE 'FVID' || {fps} || {dur} || {cfg.payload_from} END")
+    pcte = b.cte(f"{cfg.name}__p",
+                 f"SELECT {cfg.id_col} AS doc_id, {payload} AS p "
+                 f"FROM {src}")
+    ok = ("p IS NOT NULL AND octet_length(CAST(p AS BLOB)) >= 12 "
+          "AND substr(p, 1, 4) = 'FVID' "
+          "AND regexp_matches(substr(p, 5, 8), '^[0-9]{8}$')")
+    mx = cfg.max_frames
+    parsed = b.cte(
+        f"{cfg.name}__h",
+        f"SELECT doc_id, "
+        f"CAST(octet_length(CAST(p AS BLOB)) AS BIGINT) AS n_bytes, "
+        f"CASE WHEN {ok} THEN CAST(substr(p, 5, 2) AS INT) END AS fps, "
+        f"CASE WHEN {ok} THEN CAST(substr(p, 7, 6) AS INT) END "
+        f"AS duration_ms FROM {pcte}")
+    derived = b.cte(
+        f"{cfg.name}__d",
+        f"SELECT *, (fps * duration_ms) // 1000 AS n_frames, "
+        f"greatest(1, ((fps * duration_ms) // 1000) // {mx}) AS stride "
+        f"FROM {parsed}")
+    counted = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT *, CASE WHEN fps IS NULL THEN 1 ELSE "
+        f"least({mx}, (n_frames + stride - 1) // stride) END AS cnt "
+        f"FROM {derived}")
+    return b.cte(
+        cfg.name,
+        f"SELECT doc_id, n_bytes, fps, duration_ms, "
+        f"CAST(n_frames AS INT) AS n_frames, "
+        f"CASE WHEN fps IS NOT NULL THEN CAST(j * stride AS INT) END "
+        f"AS frame_idx, "
+        f"CASE WHEN fps IS NOT NULL THEN "
+        f"CAST((j * stride * 1000) // fps AS INT) END AS frame_ts_ms "
+        f"FROM (SELECT *, unnest(generate_series(0, cnt - 1)) AS j "
+        f"FROM {counted}) t")

@@ -509,6 +509,7 @@ def _llm_parsers() -> dict:
     from .llm.outliers import TukeyOutlierConfig
     from .llm.negatives import NegativeSamplesConfig
     from .llm.profile import ProfileDriftConfig
+    from .llm.multimodal import MultimodalFrameSampleConfig
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -601,6 +602,7 @@ def _llm_parsers() -> dict:
         "tukey_outliers": _dataclass_parser(TukeyOutlierConfig),
         "negative_samples": _dataclass_parser(NegativeSamplesConfig),
         "profile_drift": _dataclass_parser(ProfileDriftConfig),
+        "frame_sample": _dataclass_parser(MultimodalFrameSampleConfig),
     }
 
 

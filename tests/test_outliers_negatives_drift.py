@@ -106,3 +106,38 @@ def test_profile_drift_flags_both_polarities(spark):
     assert x.minmax_changed            # 0..49 vs 51..99
     y = out["y"]
     assert not y.null_drift and not y.minmax_changed
+
+
+# ------------------------------------------------------ frame sampling --
+
+def test_frame_sample_stride_cap_and_corrupt_row(spark):
+    """Constructed payload edges: a long video hits the max_frames cap
+    with a real stride; a short one emits every frame; a corrupt
+    (headerless) payload emits exactly ONE NULL-fields row."""
+    from datavault4dbt_spark.llm.multimodal import (
+        MultimodalFrameSampleConfig, build_multimodal_framesample)
+    # id 7 -> corrupt (7 % 7 == 0); ids 1, 2 parse
+    df = spark.createDataFrame(
+        [(1, "body"), (2, "body"), (7, "body")], "doc_id long, t string")
+    cfg = MultimodalFrameSampleConfig("f", source="t", payload_from="t",
+                                      corrupt_every=7, max_frames=4)
+    rows = build_multimodal_framesample(
+        spark, _reg("t", df), cfg).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: fps = 1 + 13 % 30 = 14, dur = 1000 + 53 = 1053 ->
+    # n_frames = 14742 // 1000 = 14; stride = 14 // 4 = 3;
+    # cnt = min(4, ceil(14/3)=5) = 4 -> idx 0,3,6,9
+    d1 = sorted(r.frame_idx for r in by_doc[1])
+    assert d1 == [0, 3, 6, 9]
+    assert all(r.n_frames == 14 and r.fps == 14 for r in by_doc[1])
+    ts1 = {r.frame_idx: r.frame_ts_ms for r in by_doc[1]}
+    assert ts1[9] == 9 * 1000 // 14
+    # doc 2: fps = 27, dur = 1106 -> n_frames = 29; stride = 7;
+    # cnt = min(4, ceil(29/7)=5) = 4
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 7, 14, 21]
+    # doc 7: one row, NULL frame fields, n_bytes = len("body")
+    assert len(by_doc[7]) == 1
+    c = by_doc[7][0]
+    assert c.fps is None and c.frame_idx is None and c.n_bytes == 4

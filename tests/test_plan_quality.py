@@ -923,6 +923,11 @@ _BUNDLE_CLOSURES = {
         # normalization + one census groupBy + AQE join-back; 1.05s
         # warm standalone at sf0.1 (min-of-4, measured before adding)
         "docs_url_gate",
+        # round-10 deliberate widening: video frame sampling — one
+        # shuffle-free Arrow mapInPandas fan-out bounded by max_frames;
+        # 0.87s (under a concurrent slow-suite run; idle is lower) warm standalone at sf0.1 (min-of-4, measured
+        # before adding)
+        "multimodal_framesample",
     ]),
     "corpus_stats_bundle": frozenset([
         "corpus_shuffle", "dataset_profile", "docs_cube_census",
