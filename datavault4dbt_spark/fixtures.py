@@ -70,7 +70,10 @@ from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              multimodal_decode_oracle,
                              MultimodalFrameSampleConfig,
                              build_multimodal_framesample,
-                             multimodal_framesample_oracle)
+                             multimodal_framesample_oracle,
+                             MultimodalResizeConfig,
+                             build_multimodal_resize,
+                             multimodal_resize_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1296,6 +1299,16 @@ _ALL_BUNDLE_MEMBERS = (
                      "coalesce(CAST(frame_ts_ms AS STRING), ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'framesample'"),
+        # round-10: resize geometry — both geometries, the branch flag
+        # and the corrupt NULLs all fold
+        BundleMember("multimodal_resize", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(CAST(width AS STRING), ''), ':', "
+                     "coalesce(CAST(height AS STRING), ''), ':', "
+                     "coalesce(CAST(out_w AS STRING), ''), ':', "
+                     "coalesce(CAST(out_h AS STRING), ''), ':', "
+                     "coalesce(is_scaled, ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'resize'"),
         # round-10: URL gate — the normalized URL (verbatim: it is the
         # operator's whole point), the registered domain, the census
         # count and the block verdict all drive the driver hash
@@ -1399,7 +1412,7 @@ BUNDLES = {
         "docs_boilerplate_clean", "docs_ccnet_buckets",
         "docs_normalized", "docs_k_anonymity", "docs_length_gate",
         "curation_strategy_diff", "docs_url_gate",
-        "multimodal_framesample",
+        "multimodal_framesample", "multimodal_resize",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1642,6 +1655,12 @@ MULTIMODAL_DECODE = {
 # stride/cap branches all carry rows. Rides curation_bundle.
 MULTIMODAL_FRAMES = {"multimodal_framesample":
                      MultimodalFrameSampleConfig("multimodal_framesample")}
+# round-10: fit-in-box resize geometry over the FIMG grammar — dims
+# span 1..1920 x 1..1080 against box=256, so scaled, pass-through
+# (small dims) and both long-side branches all carry rows; ~1/7
+# corrupt rows drive the NULL branch. Rides curation_bundle.
+MULTIMODAL_RESIZES = {"multimodal_resize":
+                      MultimodalResizeConfig("multimodal_resize")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2314,6 +2333,8 @@ _FAMILIES = [
      _NO_DEPS),
     (MULTIMODAL_FRAMES, build_multimodal_framesample,
      multimodal_framesample_oracle, _NO_DEPS),
+    (MULTIMODAL_RESIZES, build_multimodal_resize,
+     multimodal_resize_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

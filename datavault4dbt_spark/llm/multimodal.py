@@ -462,3 +462,146 @@ def multimodal_framesample_oracle(b: SqlBuilder, reg: Registry,
         f"CAST((j * stride * 1000) // fps AS INT) END AS frame_ts_ms "
         f"FROM (SELECT *, unnest(generate_series(0, cnt - 1)) AS j "
         f"FROM {counted}) t")
+
+
+# -------------------------------------------------------------- resize --
+
+@dataclass(frozen=True)
+class MultimodalResizeConfig:
+    """Image resize plumbing (fit-in-box, aspect preserved): parse the
+    FIMG header, compute the target dimensions for a ``box``-bounded
+    thumbnail with exact integer arithmetic (long side -> box, short
+    side scaled by the same integer ratio; images already inside the
+    box pass through unscaled), and report both geometries. The pixel
+    resample itself is the stubbed codec step — a real deployment adds
+    ``img.resize((out_w, out_h))`` inside the same Arrow worker and
+    returns the bytes; geometry schema, corrupt -> NULL contract and
+    the shuffle-free plan stay identical.
+
+    Scale design (100 TB): identical to the decode entities — project
+    (id, payload), parse per Arrow batch, no shuffle; the geometry
+    arithmetic is integer division, so the SQL oracle value-gates it.
+    """
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    payload_from: str = "text"
+    corrupt_every: int = 7
+    box: int = 256
+
+    def __post_init__(self):
+        if self.corrupt_every < 2:
+            raise ValueError(f"{self.name}: corrupt_every must be >= 2")
+        if self.box < 1:
+            raise ValueError(f"{self.name}: box must be >= 1")
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("is_scaled", StringType()),
+])
+
+
+def _fit_box(w: int, h: int, box: int) -> tuple:
+    """Aspect-preserving fit: long side -> box (never upscale); the
+    short side scales by the same ratio via integer division, floored
+    at 1 (a 1xN sliver must not round to zero pixels)."""
+    long_side = max(w, h)
+    if long_side <= box:
+        return w, h, False
+    if w >= h:
+        return box, max(1, (h * box) // w), True
+    return max(1, (w * box) // h), box, True
+
+
+def build_multimodal_resize(spark, reg: Registry,
+                            cfg: MultimodalResizeConfig,
+                            g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    dcfg = MultimodalDecodeConfig(
+        cfg.name, source=cfg.source, id_col=cfg.id_col,
+        payload_from=cfg.payload_from, corrupt_every=cfg.corrupt_every)
+    payloads = df.selectExpr(
+        f"{cfg.id_col} AS doc_id",
+        f"{_synth_payload_expr(dcfg)} AS payload")
+    box = cfg.box
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "out_w": [], "out_h": [], "is_scaled": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = _header_decode(p)
+                if w is None:
+                    ow = oh = None
+                    scaled = None
+                else:
+                    ow, oh, s = _fit_box(w, h, box)
+                    scaled = "true" if s else "false"
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["is_scaled"].append(scaled)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="Int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "out_w": pd.Series(rows["out_w"], dtype="Int32"),
+                "out_h": pd.Series(rows["out_h"], dtype="Int32"),
+                "is_scaled": pd.Series(rows["is_scaled"], dtype=object),
+            })
+
+    return payloads.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def multimodal_resize_oracle(b: SqlBuilder, reg: Registry,
+                             cfg: MultimodalResizeConfig,
+                             g: GlobalConfig = DEFAULT) -> str:
+    """The FIMG grammar + fit-in-box integer arithmetic replayed in
+    SQL (is_scaled rides as the STRING 'true'/'false' the Python side
+    emits — a BOOLEAN would render identically, but the UDF returns
+    strings to keep the NULL corrupt branch untyped-safe in Arrow)."""
+    src = reg.duckdb_relation(cfg.source)
+    w4 = f"lpad(CAST(1 + ({cfg.id_col} * 37) % 1920 AS VARCHAR), 4, '0')"
+    h4 = f"lpad(CAST(1 + ({cfg.id_col} * 101) % 1080 AS VARCHAR), 4, '0')"
+    payload = (f"CASE WHEN {cfg.id_col} % {cfg.corrupt_every} = 0 "
+               f"THEN {cfg.payload_from} "
+               f"ELSE 'FIMG' || {w4} || {h4} || {cfg.payload_from} END")
+    pcte = b.cte(f"{cfg.name}__p",
+                 f"SELECT {cfg.id_col} AS doc_id, {payload} AS p "
+                 f"FROM {src}")
+    ok = ("p IS NOT NULL AND octet_length(CAST(p AS BLOB)) >= 12 "
+          "AND substr(p, 1, 4) = 'FIMG' "
+          "AND regexp_matches(substr(p, 5, 8), '^[0-9]{8}$')")
+    parsed = b.cte(
+        f"{cfg.name}__d",
+        f"SELECT doc_id, "
+        f"CASE WHEN {ok} THEN CAST(substr(p, 5, 4) AS INT) END AS w, "
+        f"CASE WHEN {ok} THEN CAST(substr(p, 9, 4) AS INT) END AS h "
+        f"FROM {pcte}")
+    box = cfg.box
+    return b.cte(
+        cfg.name,
+        # the w IS NULL guard leads every CASE: DuckDB's greatest()
+        # IGNORES NULL arguments (greatest(1, NULL) = 1), so without it
+        # the corrupt branch would fabricate a 1 x box geometry
+        f"SELECT doc_id, w AS width, h AS height, "
+        f"CAST(CASE WHEN w IS NULL THEN NULL "
+        f"WHEN greatest(w, h) <= {box} THEN w "
+        f"WHEN w >= h THEN {box} "
+        f"ELSE greatest(1, (w * {box}) // h) END AS INT) AS out_w, "
+        f"CAST(CASE WHEN w IS NULL THEN NULL "
+        f"WHEN greatest(w, h) <= {box} THEN h "
+        f"WHEN w >= h THEN greatest(1, (h * {box}) // w) "
+        f"ELSE {box} END AS INT) AS out_h, "
+        f"CASE WHEN w IS NULL THEN NULL "
+        f"WHEN greatest(w, h) <= {box} THEN 'false' "
+        f"ELSE 'true' END AS is_scaled "
+        f"FROM {parsed}")

@@ -181,7 +181,8 @@ def _llm_kinds() -> dict:
     from ..llm.outliers import build_tukey_outliers
     from ..llm.negatives import build_negative_samples
     from ..llm.profile import build_profile_drift
-    from ..llm.multimodal import build_multimodal_framesample
+    from ..llm.multimodal import (build_multimodal_framesample,
+                                  build_multimodal_resize)
 
     src = lambda c: [c.source]                       # noqa: E731
     kinds = {
@@ -295,6 +296,7 @@ def _llm_kinds() -> dict:
         "negative_samples": (build_negative_samples, src),
         "profile_drift": (build_profile_drift, src),
         "frame_sample": (build_multimodal_framesample, src),
+        "image_resize": (build_multimodal_resize, src),
         # stages its index store internally; the RESULT is a full
         # rebuild (the incremental_dedup note above applies)
         "ann_index": (build_ann_index_persisted, src),

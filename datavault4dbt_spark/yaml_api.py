@@ -509,7 +509,8 @@ def _llm_parsers() -> dict:
     from .llm.outliers import TukeyOutlierConfig
     from .llm.negatives import NegativeSamplesConfig
     from .llm.profile import ProfileDriftConfig
-    from .llm.multimodal import MultimodalFrameSampleConfig
+    from .llm.multimodal import (MultimodalFrameSampleConfig,
+                                 MultimodalResizeConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -603,6 +604,7 @@ def _llm_parsers() -> dict:
         "negative_samples": _dataclass_parser(NegativeSamplesConfig),
         "profile_drift": _dataclass_parser(ProfileDriftConfig),
         "frame_sample": _dataclass_parser(MultimodalFrameSampleConfig),
+        "image_resize": _dataclass_parser(MultimodalResizeConfig),
     }
 
 

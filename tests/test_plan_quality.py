@@ -928,6 +928,11 @@ _BUNDLE_CLOSURES = {
         # 0.87s (under a concurrent slow-suite run; idle is lower) warm standalone at sf0.1 (min-of-4, measured
         # before adding)
         "multimodal_framesample",
+        # round-10 deliberate widening: fit-in-box resize geometry —
+        # the multimodal_decode plan shape (shuffle-free Arrow parse);
+        # 4.6s under a concurrent full-verify run (the identical-shape framesample reads 0.87s on the same host when quieter; idle is ~1s) warm standalone at sf0.1 (min-of-4, measured
+        # before adding)
+        "multimodal_resize",
     ]),
     "corpus_stats_bundle": frozenset([
         "corpus_shuffle", "dataset_profile", "docs_cube_census",
