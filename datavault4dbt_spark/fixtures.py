@@ -164,7 +164,8 @@ from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
                             QuantileGateConfig, build_quantile_gate,
                             quantile_gate_oracle,
                             PercentileRankConfig, build_percentile_rank,
-                            percentile_rank_oracle)
+                            percentile_rank_oracle,
+                            KFoldConfig, build_kfold, kfold_oracle)
 from .operators.asof import (AsofJoinConfig, build_asof_join,
                              asof_join_oracle)
 from .operators.events import (SessionizeConfig, HoppingAggConfig,
@@ -1349,6 +1350,13 @@ _ALL_BUNDLE_MEMBERS = (
                      "CAST(bucket AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'negatives'"),
+        # round-10: k-fold — the assignment and the balance census
+        # both fold
+        BundleMember("docs_kfold", "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(fold AS STRING), ':', "
+                     "CAST(n_fold_docs AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'kfold'"),
         # round-10: profile drift — every per-slice census cell and
         # both drift verdicts fold in (ppm cells via coalesce: an
         # empty slice renders NULL)
@@ -1426,7 +1434,7 @@ BUNDLES = {
         # docs-table layout round-trips (moved from analytics_bundle
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
-        "docs_negative_samples", "docs_profile_drift",
+        "docs_negative_samples", "docs_profile_drift", "docs_kfold",
         # non-parquet source round-trips (moved from analytics_bundle
         # to keep it <= 30 when the SCD1 streaming replay joined)
         "events_source_json", "events_source_csv", "events_source_orc",
@@ -2247,6 +2255,10 @@ OUTLIER_GATES = {"events_value_outliers": TukeyOutlierConfig(
 # exercised across the full corpus
 NEGATIVE_SAMPLES = {"docs_negative_samples": NegativeSamplesConfig(
     "docs_negative_samples")}
+# round-10: stratified k-fold assignment — 5 langs x 5 folds with
+# genuinely varied per-cell counts at every sf; fold stability under
+# corpus growth is the split operator's salted-hash contract
+KFOLDS = {"docs_kfold": KFoldConfig("docs_kfold")}
 # round-10: profile drift between two id-slices of documents — the
 # doc_id min/max genuinely differ between slices (minmax_changed
 # true) while lang/source ranges agree (false), so both flag
@@ -2436,6 +2448,7 @@ _FAMILIES = [
      _NO_DEPS),
     (PROFILE_DRIFTS, build_profile_drift, profile_drift_oracle,
      _NO_DEPS),
+    (KFOLDS, build_kfold, kfold_oracle, _NO_DEPS),
     (PARTITIONED_ROUNDTRIPS, build_partitioned_roundtrip,
      partitioned_roundtrip_oracle, _NO_DEPS),
     (COMPACTIONS, build_compaction, compaction_oracle, _NO_DEPS),

@@ -387,3 +387,72 @@ def percentile_rank_oracle(b: SqlBuilder, reg: Registry,
         f"SELECT {cfg.id_col}, {s}, value, rnk, n, "
         f"((rnk - 1) * 1000000) // greatest(n - 1, 1) AS pr_ppm "
         f"FROM {marked}")
+
+
+# --------------------------------------------------------------- k-fold --
+
+@dataclass(frozen=True)
+class KFoldConfig:
+    """Deterministic stratified k-fold assignment: every document gets
+    a fold from its salted 48-bit hash (stable under corpus growth —
+    adding documents never moves existing ones between folds, the
+    stratified-split contract), plus the per-(stratum, fold) census a
+    cross-validation harness consumes to verify balance. The standard
+    CV-fold / multi-epoch-shard assignment step.
+
+    Scale design (100 TB): the fold is a scan-stage expression; the
+    only exchange is the census groupBy on the bounded
+    (stratum, fold) level, joined back AQE-decided (broadcast in
+    practice — strata x k rows).
+    """
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    strata_col: str = "lang"
+    k: int = 5
+    salt: str = "kfold"
+
+    def __post_init__(self):
+        _ident(self.id_col, "id_col", self.name)
+        _ident(self.strata_col, "strata_col", self.name)
+        if self.k < 2:
+            raise ValueError(f"{self.name}: k must be >= 2")
+        if "'" in self.salt or "\\" in self.salt:
+            raise ValueError(f"{self.name}: salt must not contain "
+                             f"quotes or backslashes")
+
+
+def build_kfold(spark, reg: Registry, cfg: KFoldConfig,
+                g: GlobalConfig = DEFAULT) -> DataFrame:
+    from .sampling import _shuffle_key
+
+    assigned = reg.load(spark, cfg.source).selectExpr(
+        cfg.id_col, cfg.strata_col,
+        f"CAST({_shuffle_key(cfg.id_col, cfg.salt)} % {cfg.k} AS INT) "
+        f"AS fold")
+    census = (assigned.groupBy(cfg.strata_col, "fold")
+              .agg(F.count(F.lit(1)).alias("n_fold_docs")))
+    return assigned.join(census, [cfg.strata_col, "fold"]).select(
+        cfg.id_col, cfg.strata_col, "fold", "n_fold_docs")
+
+
+def kfold_oracle(b: SqlBuilder, reg: Registry, cfg: KFoldConfig,
+                 g: GlobalConfig = DEFAULT) -> str:
+    from .sampling import _shuffle_key
+
+    src = reg.duckdb_relation(cfg.source)
+    assigned = b.cte(
+        f"{cfg.name}__a",
+        f"SELECT {cfg.id_col}, {cfg.strata_col}, "
+        f"CAST({_shuffle_key(cfg.id_col, cfg.salt)} % {cfg.k} AS INT) "
+        f"AS fold FROM {src}")
+    census = b.cte(
+        f"{cfg.name}__c",
+        f"SELECT {cfg.strata_col}, fold, count(*) AS n_fold_docs "
+        f"FROM {assigned} GROUP BY {cfg.strata_col}, fold")
+    return b.cte(
+        cfg.name,
+        f"SELECT {cfg.id_col}, a.{cfg.strata_col}, a.fold, n_fold_docs "
+        f"FROM {assigned} a JOIN {census} c "
+        f"USING ({cfg.strata_col}, fold)")

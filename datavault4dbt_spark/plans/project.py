@@ -172,7 +172,7 @@ def _llm_kinds() -> dict:
     from ..operators.compaction import build_compaction
     from ..llm.overlap import build_source_overlap
     from ..llm.privacy import build_k_anonymity
-    from ..llm.selection import build_percentile_rank
+    from ..llm.selection import build_percentile_rank, build_kfold
     from ..llm.profile import build_trending_topk
     from ..llm.lineclean import build_text_normalize
     from ..sources.readers import build_partitioned_roundtrip
@@ -297,6 +297,7 @@ def _llm_kinds() -> dict:
         "profile_drift": (build_profile_drift, src),
         "frame_sample": (build_multimodal_framesample, src),
         "image_resize": (build_multimodal_resize, src),
+        "kfold": (build_kfold, src),
         # stages its index store internally; the RESULT is a full
         # rebuild (the incremental_dedup note above applies)
         "ann_index": (build_ann_index_persisted, src),

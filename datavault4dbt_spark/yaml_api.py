@@ -478,7 +478,7 @@ def _llm_parsers() -> dict:
     from .llm.profile import ProfileConfig, GroupedQuantilesConfig
     from .llm.lineclean import LineCleanConfig
     from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
-                                SourceCapConfig)
+                                SourceCapConfig, KFoldConfig)
     from .llm.incdedup import IncrementalDedupConfig
     from .llm.profile import (HeavyHittersConfig, HistogramConfig,
                               SufficientStatsConfig)
@@ -605,6 +605,7 @@ def _llm_parsers() -> dict:
         "profile_drift": _dataclass_parser(ProfileDriftConfig),
         "frame_sample": _dataclass_parser(MultimodalFrameSampleConfig),
         "image_resize": _dataclass_parser(MultimodalResizeConfig),
+        "kfold": _dataclass_parser(KFoldConfig),
     }
 
 

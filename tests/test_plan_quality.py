@@ -952,6 +952,10 @@ _BUNDLE_CLOSURES = {
         # one-pass profile-drift census; 1.11s / 0.88s warm standalone
         # at sf0.1 (min-of-4, measured before adding)
         "docs_negative_samples", "docs_profile_drift",
+        # round-10 deliberate widening: stratified k-fold assignment —
+        # scan-stage fold + bounded census join-back; 1.7s (still-settling host; idle is lower) warm
+        # standalone at sf0.1 (min-of-4, measured before adding)
+        "docs_kfold",
     ]),
     "analytics_bundle": frozenset([
         "control_snap_v0",

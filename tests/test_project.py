@@ -231,7 +231,8 @@ def test_run_project_analytics_pipeline(spark, sf_dir, tmp_path):
         # round-10 session kinds (persisted ANN index, URL gate,
         # outlier gate, negative sampling, profile drift)
         "embeddings_ann_index", "docs_url_gate", "events_outliers",
-        "docs_negatives", "docs_drift", "docs_frames", "docs_resize"}
+        "docs_negatives", "docs_drift", "docs_frames", "docs_resize",
+        "docs_kfold"}
     # spot-check three stored tables against the direct fixture builds
     # (same configs modulo entity name)
     reg = fixtures.registry(spark, sf_dir)
