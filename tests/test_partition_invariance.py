@@ -29,6 +29,8 @@ ENTITIES = (
     # round-10 additions: salted-hash ranks and fence joins
     "docs_negative_samples",
     "events_value_outliers",
+    "docs_kfold",
+    "multimodal_framesample",
 )
 
 
