@@ -92,9 +92,9 @@ def source_stats_oracle(b: SqlBuilder, reg: Registry,
     agg = b.cte(
         f"{cfg.name}__agg",
         f"SELECT {cfg.source_col}, count(*) AS n_docs, "
-        f"sum(n_tok) AS n_tokens, "
-        f"sum(CASE WHEN n_tok < {cfg.short_doc_tokens} THEN 1 ELSE 0 END)"
-        f" AS n_short_docs, "
+        f"CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+        f"CAST(sum(CASE WHEN n_tok < {cfg.short_doc_tokens} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs, "
         f"count(h) - count(DISTINCT h) AS n_dup_docs "
         f"FROM {per} GROUP BY {cfg.source_col}")
     return b.cte(

@@ -113,11 +113,16 @@ def sessionize_oracle(b: SqlBuilder, reg: Registry, cfg: SessionizeConfig,
         f"SELECT {u}, {t}, {v}, SUM(nw) OVER (PARTITION BY {u} "
         f"ORDER BY {t} ROWS UNBOUNDED PRECEDING) AS session_seq "
         f"FROM {marked}")
+    # outer CASTs: DuckDB SUM over integers returns HUGEINT, which
+    # pandas renders as float64 ('655.0' vs Spark's '655') and breaks
+    # the driver's value hash — same contract as roll_sum_cents below
     return b.cte(
         cfg.name,
-        f"SELECT {u}, session_seq, min({t}) AS session_start, "
+        f"SELECT {u}, CAST(session_seq AS BIGINT) AS session_seq, "
+        f"min({t}) AS session_start, "
         f"max({t}) AS session_end, count(*) AS n_events, "
-        f"SUM(CAST(round({v} * 100) AS BIGINT)) AS sum_value_cents "
+        f"CAST(SUM(CAST(round({v} * 100) AS BIGINT)) AS BIGINT) "
+        f"AS sum_value_cents "
         f"FROM {sid} GROUP BY {u}, session_seq")
 
 
@@ -186,7 +191,8 @@ def hopping_agg_oracle(b: SqlBuilder, reg: Registry, cfg: HoppingAggConfig,
         f"SELECT window_start, "
         f"window_start + INTERVAL {cfg.width_seconds} SECOND "
         f"AS window_end, {gcol}, count(*) AS n_events, "
-        f"SUM(CAST(round({v} * 100) AS BIGINT)) AS sum_value_cents "
+        f"CAST(SUM(CAST(round({v} * 100) AS BIGINT)) AS BIGINT) "
+        f"AS sum_value_cents "
         f"FROM {exploded} GROUP BY 1, 2, 3")
 
 
@@ -430,8 +436,9 @@ def transition_matrix_oracle(b: SqlBuilder, reg: Registry,
         f"SELECT from_event, to_event, n_transitions, "
         f"CAST(sum(n_transitions) OVER (PARTITION BY from_event) "
         f"AS BIGINT) AS from_total, "
-        f"(n_transitions * 1000000) // "
-        f"sum(n_transitions) OVER (PARTITION BY from_event) AS p_ppm "
+        f"CAST((n_transitions * 1000000) // "
+        f"sum(n_transitions) OVER (PARTITION BY from_event) AS BIGINT) "
+        f"AS p_ppm "
         f"FROM {census}")
 
 

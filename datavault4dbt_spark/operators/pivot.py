@@ -96,9 +96,9 @@ def pivot_oracle(b: SqlBuilder, reg: Registry, cfg: PivotConfig,
                     f"AS n_{v}")
         if cfg.sum_expr:
             cols.append(
-                f"coalesce(sum(CAST(round(({cfg.sum_expr}) * 100) "
+                f"CAST(coalesce(sum(CAST(round(({cfg.sum_expr}) * 100) "
                 f"AS BIGINT)) FILTER (WHERE {cfg.pivot_col} = '{v}'), 0) "
-                f"AS sum_{v}_cents")
+                f"AS BIGINT) AS sum_{v}_cents")
     return b.cte(
         cfg.name,
         f"SELECT {cfg.group_col}, {', '.join(cols)} FROM {src} "

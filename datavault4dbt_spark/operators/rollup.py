@@ -104,7 +104,8 @@ def grouping_sets_oracle(b: SqlBuilder, reg: Registry,
     gflags = ", ".join(
         f"CAST(GROUPING({c}) AS INT) AS g_{c}" for c in cfg.group_cols)
     sums = "".join(
-        f", SUM(CAST(round(({expr}) * 100) AS BIGINT)) AS {alias}"
+        f", CAST(SUM(CAST(round(({expr}) * 100) AS BIGINT)) "
+        f"AS BIGINT) AS {alias}"
         for alias, expr in cfg.sum_cents)
     return b.cte(
         cfg.name,
