@@ -149,7 +149,10 @@ from .streaming.incdedup import (StreamingDedupEntityConfig,
                                  streaming_incremental_dedup_oracle)
 from .streaming.stateful import (StreamingSessionEntityConfig,
                                  build_streaming_sessions,
-                                 streaming_sessions_oracle)
+                                 streaming_sessions_oracle,
+                                 StreamingFunnelEntityConfig,
+                                 build_streaming_funnel,
+                                 streaming_funnel_oracle)
 from .streaming.ohlc import (OhlcStreamEntityConfig,
                              build_streaming_ohlc,
                              streaming_ohlc_oracle)
@@ -1385,6 +1388,61 @@ _ALL_BUNDLE_MEMBERS = (
                      "CAST(bin_offset_tokens AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'packing_manifest'"),
+        # round-11 rotations IN (previously exposed since r4-r6,
+        # redundant as standalone slots; their freed slots back the
+        # round-11 streaming funnel gate and the four rotated-out
+        # members). DOUBLE ratio columns fold as fixed-point ppm ints
+        # (CAST(round(x * 1e6) AS BIGINT)): the two engines' doubles
+        # are bit-identical (the entities hash-matched the driver for
+        # ten rounds), so the ppm rendering is exact and portable where
+        # a raw DOUBLE string is not.
+        BundleMember("text_langid", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_tokens AS STRING), ':', "
+                     "coalesce(predicted_lang, ''), ':', "
+                     "CAST(CAST(round(hit_ratio * 1000000) AS BIGINT) "
+                     "AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'langid'"),
+        BundleMember("text_quality", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_chars_measured AS STRING), ':', "
+                     "CAST(n_tokens AS STRING), ':', "
+                     "CAST(CAST(round(avg_token_len * 1000000) "
+                     "AS BIGINT) AS STRING), ':', "
+                     "CAST(CAST(round(stopword_ratio * 1000000) "
+                     "AS BIGINT) AS STRING), ':', "
+                     "CAST(CAST(round(quality_score * 1000000) "
+                     "AS BIGINT) AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'quality'"),
+        BundleMember("text_token_count", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_ws_tokens AS STRING), ':', "
+                     "CAST(n_bpe_tokens AS STRING), ':', "
+                     "CAST(n_char_est AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'token_count'"),
+        # repetition: integer census + ppm ratios + the boolean flag
+        # (both engines render 'true'/'false'); NULL-text gini rides
+        # the coalesce sentinel
+        BundleMember("text_repetition", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_tokens AS STRING), ':', "
+                     "CAST(CAST(round(distinct_token_ratio * 1000000) "
+                     "AS BIGINT) AS STRING), ':', "
+                     "CAST(CAST(round(dup_ngram_fraction * 1000000) "
+                     "AS BIGINT) AS STRING), ':', "
+                     "CAST(CAST(round(top_ngram_share * 1000000) "
+                     "AS BIGINT) AS STRING), ':', "
+                     "CAST(is_repetitive AS STRING), ':', "
+                     "coalesce(CAST(CAST(round(gini_diversity * 1000000)"
+                     " AS BIGINT) AS STRING), ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'repetition'"),
+        # strict as-of (the tol/incl members' fold shape: matched ts +
+        # value as exact cents through coalesce sentinels)
+        BundleMember("events_asof_click", "CAST(event_id AS STRING)",
+                     "concat(coalesce(CAST(asof_ts AS STRING), ''), "
+                     "':', coalesce(CAST(CAST(round(asof_value * 100) "
+                     "AS BIGINT) AS STRING), ''))",
+                     ldts="ts", rsrc="'asof_strict'"),
 )
 
 _BM = {m.entity: m for m in _ALL_BUNDLE_MEMBERS}
@@ -1421,6 +1479,8 @@ BUNDLES = {
         "docs_normalized", "docs_k_anonymity", "docs_length_gate",
         "curation_strategy_diff", "docs_url_gate",
         "multimodal_framesample", "multimodal_resize",
+        # round-11 rotation IN (exposed since r4)
+        "text_repetition",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1429,12 +1489,16 @@ BUNDLES = {
         "source_token_budget", "source_len_quantiles",
         "docs_length_histogram", "docs_exact_sample",
         "docs_proportional_sample", "docs_length_pr",
-        "source_overlap_matrix", "docs_cube_census",
+        # round-11: source_overlap_matrix and docs_kfold rotate OUT to
+        # exposed slots (their first standalone pandas-path exposure);
+        # the long-exposed text-stat trio rotates IN
+        "docs_cube_census",
         "docs_source_lang_pivot", "packing_manifest",
+        "text_langid", "text_quality", "text_token_count",
         # docs-table layout round-trips (moved from analytics_bundle
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
-        "docs_negative_samples", "docs_profile_drift", "docs_kfold",
+        "docs_negative_samples", "docs_profile_drift",
         # non-parquet source round-trips (moved from analytics_bundle
         # to keep it <= 30 when the SCD1 streaming replay joined)
         "events_source_json", "events_source_csv", "events_source_orc",
@@ -1452,9 +1516,11 @@ BUNDLES = {
         "events_props_extracted", "events_value_locf",
         "event_transitions", "events_active_users",
         "events_conversion_paths", "events_trending_daily",
-        "events_ohlc_hourly", "events_ohlc_stream",
-        "events_last_touch", "part_cooccurrence", "part_name_linkage",
-        "events_value_outliers",
+        # round-11: events_ohlc_hourly and part_name_linkage rotate OUT
+        # to exposed slots; the long-exposed strict as-of rotates IN
+        "events_ohlc_stream",
+        "events_last_touch", "part_cooccurrence",
+        "events_value_outliers", "events_asof_click",
     )),
 }
 
@@ -1970,6 +2036,15 @@ INC_DEDUP_STREAM = {"dedup_incremental_stream":
 # externally, not just its pytest stream==batch twin.
 SESSION_STREAMS = {"event_sessions_stream":
                    StreamingSessionEntityConfig("event_sessions_stream")}
+# round-11 (r10 advice #5): the funnel stateful streaming twin under
+# the driver gate — the events stream arrives as 3 time-range files,
+# applyInPandasWithState advances per-user first-touch funnels through
+# a checkpointed availableNow run, the per-batch snapshots reduce by
+# set-once MAX, and the result is hash-compared against the BATCH
+# funnel SQL (same steps as event_funnel). Fifth driver-gated
+# streaming path; no sentinel needed (a funnel never closes).
+FUNNEL_STREAMS = {"event_funnel_stream":
+                  StreamingFunnelEntityConfig("event_funnel_stream")}
 # round-10: the OHLC streaming twin under the driver gate too — three
 # id-range arrival files fold through foreachBatch into batch_id
 # partitions of the partial store (epoch replays overwrite), and the
@@ -2403,6 +2478,8 @@ _FAMILIES = [
      streaming_incremental_dedup_oracle, _NO_DEPS),
     (SESSION_STREAMS, build_streaming_sessions,
      streaming_sessions_oracle, _NO_DEPS),
+    (FUNNEL_STREAMS, build_streaming_funnel,
+     streaming_funnel_oracle, _NO_DEPS),
     (OHLC_STREAMS, build_streaming_ohlc, streaming_ohlc_oracle,
      _NO_DEPS),
     (SCD1_STREAMS, build_streaming_scd1, scd1_merge_oracle, _NO_DEPS),

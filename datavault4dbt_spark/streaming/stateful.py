@@ -240,6 +240,20 @@ def funnel_stream(events: DataFrame,
 # rendered as DOUBLE (integer-valued doubles sum exactly in any
 # order), so sum_value_cents is bit-equal to the batch SUM.
 
+def _time_range_frames(events, n_batches: int) -> list:
+    """Split a frame into n_batches contiguous event-time ranges —
+    arrival in range order means event time never goes backwards across
+    micro-batch epochs (ties land in the same range: integer division),
+    which is the exactness contract both stateful gates rely on."""
+    bounds = events.selectExpr("min(unix_micros(ts)) AS lo",
+                               "max(unix_micros(ts)) AS hi").collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    span = hi - lo + 1
+    return [events.filter(F.expr(
+        f"CAST(((unix_micros(ts) - {lo}) * {n_batches}) div {span} "
+        f"AS INT) = {k}")) for k in range(n_batches)]
+
+
 def _stage_time_batches(spark, events, n_batches: int, src_dir: str,
                         sentinel_ts: str) -> None:
     """Write the stream as n_batches single-file time-range arrivals,
@@ -247,13 +261,7 @@ def _stage_time_batches(spark, events, n_batches: int, src_dir: str,
     every open session (streaming/staging.py does the file mechanics)."""
     from .staging import stage_arrival_frames
 
-    bounds = events.selectExpr("min(unix_micros(ts)) AS lo",
-                               "max(unix_micros(ts)) AS hi").collect()[0]
-    lo, hi = int(bounds.lo), int(bounds.hi)
-    span = hi - lo + 1
-    frames = [events.filter(F.expr(
-        f"CAST(((unix_micros(ts) - {lo}) * {n_batches}) div {span} "
-        f"AS INT) = {k}")) for k in range(n_batches)]
+    frames = _time_range_frames(events, n_batches)
     frames.append(events.select("user_id").distinct().selectExpr(
         "user_id", f"TIMESTAMP '{sentinel_ts}' AS ts",
         "CAST(0 AS DOUBLE) AS value"))
@@ -348,3 +356,96 @@ def streaming_sessions_oracle(b, reg, cfg: StreamingSessionEntityConfig,
     return sessionize_oracle(
         b, reg, SessionizeConfig(cfg.name, source=cfg.source,
                                  gap_seconds=cfg.gap_seconds), g)
+
+
+# ------------------------------------ driver-gated entity: funnel --
+#
+# Same recipe as the sessions gate above, for funnel_stream: stage the
+# event stream as contiguous time-range arrival files, run the REAL
+# applyInPandasWithState funnel end-to-end through a checkpointed
+# availableNow execution into a parquet sink, then reduce the per-batch
+# snapshots to the final per-user funnel and hash-compare against the
+# BATCH funnel SQL (operators/events.py funnel_oracle).
+#
+# Exactness argument: with event time never going backwards across
+# epochs (ties share a range), the greedy first-incomplete-step state
+# machine consumes exactly the conditional-MIN chain the batch window
+# formulation computes — for each step i the first qualifying event in
+# time order IS MIN(ts | type = step_i AND ts > step_{i-1}); strict `>`
+# makes tie order irrelevant. No sentinel is needed: a funnel never
+# closes, and the per-batch snapshot rows are reduced below.
+#
+# Snapshot reduction: step columns are SET-ONCE (null until consumed,
+# then constant across later snapshots), so MAX(step_i_ts) per user is
+# the final value and MAX(depth) the final depth — a deterministic
+# aggregate, no "latest row" ordering dependence.
+
+@_dataclass(frozen=True)
+class StreamingFunnelEntityConfig:
+    """Same steps as the batch FunnelConfig — the oracle IS the batch
+    operator's oracle, so the two entities certify first-touch funnels
+    through both execution engines."""
+
+    name: str
+    source: str = "events"
+    steps: tuple = ("view", "click", "purchase")
+    n_batches: int = 3
+
+
+def build_streaming_funnel(spark, reg, cfg: StreamingFunnelEntityConfig,
+                           g=None):
+    """Stage -> stream -> reduce the snapshot sink to the batch funnel's
+    output shape. Scratch dirs are cleared per run so repeated
+    driver/bench invocations re-execute the full streaming load."""
+    import os
+    import shutil
+
+    from ..plans.incremental import scratch_store
+    from .staging import stage_arrival_frames
+
+    k = len(cfg.steps)
+    step_cols = [f"step{i}_ts" for i in range(1, k + 1)]
+    ev = (reg.load(spark, cfg.source)
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type"))
+    if ev.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "user_id long, "
+                + ", ".join(f"{c} timestamp" for c in step_cols)
+                + ", depth int")
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamfun")
+    src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
+    out_dir = store.path("funnel")
+    for p in (src_dir, ckpt_dir, out_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src_dir)
+    stage_arrival_frames(_time_range_frames(ev, cfg.n_batches), src_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    snaps = funnel_stream(stream, steps=cfg.steps)
+    q = (snaps.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return (spark.read.parquet(out_dir)
+            .groupBy("user_id")
+            .agg(*[F.max(c).alias(c) for c in step_cols],
+                 F.max("depth").alias("depth")))
+
+
+def streaming_funnel_oracle(b, reg, cfg: StreamingFunnelEntityConfig,
+                            g=None) -> str:
+    """Time-ordered epochs make the greedy state machine equal the batch
+    conditional-MIN chain (module note), so the batch funnel SQL is the
+    oracle."""
+    from ..operators.events import FunnelConfig, funnel_oracle
+
+    return funnel_oracle(
+        b, reg, FunnelConfig(cfg.name, source=cfg.source,
+                             steps=cfg.steps), g)

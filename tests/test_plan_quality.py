@@ -939,9 +939,15 @@ _BUNDLE_CLOSURES = {
         "docs_exact_sample", "docs_length_histogram", "docs_length_pr",
         "docs_proportional_sample", "docs_source_lang_pivot",
         "packing_manifest", "source_len_quantiles",
-        "source_overlap_matrix", "source_token_budget",
+        "source_token_budget",
         "temperature_resample", "text_fingerprint", "text_vocab_topk",
         "vocab_topk_by_lang",
+        # round-11 rotations IN (long-exposed text stats; standalone
+        # sf0.1 minima from the r9 driver bench while exposed: 0.47s /
+        # 0.49s / 0.31s — previously-measured bench lines, not new
+        # subtrees; source_overlap_matrix and docs_kfold rotated OUT
+        # to exposed slots)
+        "text_langid", "text_quality", "text_token_count",
         # moved from analytics_bundle with the OHLC streaming replay
         # and the SCD1 streaming replay (costs unchanged — same
         # members, different union)
@@ -952,10 +958,6 @@ _BUNDLE_CLOSURES = {
         # one-pass profile-drift census; 1.11s / 0.88s warm standalone
         # at sf0.1 (min-of-4, measured before adding)
         "docs_negative_samples", "docs_profile_drift",
-        # round-10 deliberate widening: stratified k-fold assignment —
-        # scan-stage fold + bounded census join-back; 1.7s (still-settling host; idle is lower) warm
-        # standalone at sf0.1 (min-of-4, measured before adding)
-        "docs_kfold",
     ]),
     "analytics_bundle": frozenset([
         "control_snap_v0",
@@ -969,15 +971,20 @@ _BUNDLE_CLOSURES = {
         "event_transitions", "events_active_users",
         "events_asof_click_incl", "events_asof_click_tol",
         "events_conversion_paths", "events_in_snapshot_day",
-        "events_last_touch", "events_ohlc_hourly",
+        "events_last_touch",
         "events_props_extracted", "events_rolling_value",
         "events_skew_profile",
+        # round-11 rotation IN (long-exposed strict as-of; 0.48s
+        # standalone sf0.1 minimum from the r9 driver bench while
+        # exposed; events_ohlc_hourly and part_name_linkage rotated
+        # OUT to exposed slots)
+        "events_asof_click",
         "events_trending_daily", "events_value_locf", "hub_nation",
         "hub_supplier", "lineitem_qty_price_stats",
         "lineitem_quarantine", "lineitem_rollup_census",
         "lineitem_scd1_cdc", "lineitem_scd1_current",
         "link_supplier_nation", "part_cooccurrence",
-        "part_name_linkage", "ref_hub_nation", "sat_nation_s",
+        "ref_hub_nation", "sat_nation_s",
         "sat_part_s", "stage_nation", "stage_part", "stage_supplier",
         "vault_checks",
         # round-10 deliberate widening: Tukey-fence outlier gate (one
