@@ -73,7 +73,9 @@ from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              multimodal_framesample_oracle,
                              MultimodalResizeConfig,
                              build_multimodal_resize,
-                             multimodal_resize_oracle)
+                             multimodal_resize_oracle,
+                             WavDecodeConfig, build_wav_decode,
+                             wav_decode_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1436,6 +1438,18 @@ _ALL_BUNDLE_MEMBERS = (
                      " AS BIGINT) AS STRING), ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'repetition'"),
+        # round-11: WAV/RIFF decode — every parsed header field folds
+        # (all integers); corrupt-row NULLs ride coalesce sentinels
+        BundleMember("multimodal_wav_decode", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(CAST(n_bytes AS STRING), ''), "
+                     "':', coalesce(CAST(sample_rate AS STRING), ''), "
+                     "':', coalesce(CAST(n_channels AS STRING), ''), "
+                     "':', coalesce(CAST(bits_per_sample AS STRING), "
+                     "''), ':', coalesce(CAST(n_samples AS STRING), "
+                     "''), ':', coalesce(CAST(duration_ms AS STRING), "
+                     "''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'wav_decode'"),
         # strict as-of (the tol/incl members' fold shape: matched ts +
         # value as exact cents through coalesce sentinels)
         BundleMember("events_asof_click", "CAST(event_id AS STRING)",
@@ -1481,6 +1495,8 @@ BUNDLES = {
         "multimodal_framesample", "multimodal_resize",
         # round-11 rotation IN (exposed since r4)
         "text_repetition",
+        # round-11 deliberate widening: WAV/RIFF audio decode
+        "multimodal_wav_decode",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1735,6 +1751,15 @@ MULTIMODAL_FRAMES = {"multimodal_framesample":
 # corrupt rows drive the NULL branch. Rides curation_bundle.
 MULTIMODAL_RESIZES = {"multimodal_resize":
                       MultimodalResizeConfig("multimodal_resize")}
+# round-11 (r10 advice #7 — multimodal depth over new analytics
+# kinds): REAL audio codec through the Arrow path — stdlib-wave
+# encoded RIFF/WAVE PCM payloads parsed back by an independent
+# hand-rolled chunk-walk parser; id-derived rates/channels/frames
+# replayed in SQL give the full decode a value-level oracle, and ~1/7
+# corrupt (non-RIFF) rows drive the NULL contract. Rides
+# curation_bundle.
+MULTIMODAL_WAVS = {"multimodal_wav_decode":
+                   WavDecodeConfig("multimodal_wav_decode")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2422,6 +2447,7 @@ _FAMILIES = [
      multimodal_framesample_oracle, _NO_DEPS),
     (MULTIMODAL_RESIZES, build_multimodal_resize,
      multimodal_resize_oracle, _NO_DEPS),
+    (MULTIMODAL_WAVS, build_wav_decode, wav_decode_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

@@ -510,7 +510,8 @@ def _llm_parsers() -> dict:
     from .llm.negatives import NegativeSamplesConfig
     from .llm.profile import ProfileDriftConfig
     from .llm.multimodal import (MultimodalFrameSampleConfig,
-                                 MultimodalResizeConfig)
+                                 MultimodalResizeConfig,
+                                 WavDecodeConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -605,6 +606,7 @@ def _llm_parsers() -> dict:
         "profile_drift": _dataclass_parser(ProfileDriftConfig),
         "frame_sample": _dataclass_parser(MultimodalFrameSampleConfig),
         "image_resize": _dataclass_parser(MultimodalResizeConfig),
+        "wav_decode": _dataclass_parser(WavDecodeConfig),
         "kfold": _dataclass_parser(KFoldConfig),
     }
 

@@ -933,6 +933,13 @@ _BUNDLE_CLOSURES = {
         # 4.6s under a concurrent full-verify run (the identical-shape framesample reads 0.87s on the same host when quieter; idle is ~1s) warm standalone at sf0.1 (min-of-4, measured
         # before adding)
         "multimodal_resize",
+        # round-11 deliberate widening: WAV/RIFF audio decode —
+        # shuffle-free Arrow encode+parse; 0.53s warm standalone at
+        # sf0.1 (min-of-4, measured before adding). text_repetition
+        # also rotated IN as a member this round (1.65s standalone
+        # sf0.1 minimum from the r9 driver bench) — already in this
+        # closure above as docs_curated's dependency.
+        "multimodal_wav_decode",
     ]),
     "corpus_stats_bundle": frozenset([
         "corpus_shuffle", "dataset_profile", "docs_cube_census",
