@@ -718,7 +718,10 @@ def _riff_parse(payload: bytes) -> tuple:
             rate = int.from_bytes(body[4:8], "little")
             bits = le16(body[14:16])
         elif cid == b"data":
-            data_size = size
+            # clamp to the bytes actually present: a truncated file's
+            # declared size is a lie, and frame counts derived from it
+            # would overreport the audio that can be decoded
+            data_size = min(size, len(body))
         pos += 8 + size + (size % 2)      # chunks are word-aligned
     if not rate or not ch or not bits or data_size is None:
         return none

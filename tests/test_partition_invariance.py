@@ -31,6 +31,11 @@ ENTITIES = (
     "events_value_outliers",
     "docs_kfold",
     "multimodal_framesample",
+    # round-11 additions: Arrow encode+parse roundtrip (WAV) and the
+    # stateful streaming funnel gate (state-store layout + snapshot
+    # reduction must not leak into the reduced result)
+    "multimodal_wav_decode",
+    "event_funnel_stream",
 )
 
 

@@ -65,3 +65,48 @@ def test_encoder_parser_roundtrip_matches_params():
         assert len(buf) == 44 + frames * ch * 2
         assert _riff_parse(buf) == (rate, ch, 16, frames,
                                     frames * 1000 // rate)
+
+
+def test_parser_never_raises_on_arbitrary_bytes():
+    """Robustness fuzz: at 100 TB every byte soup appears; the parser's
+    contract is NULL features, never an exception (hypothesis when
+    available, seeded random otherwise)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=200))
+        def check(buf):
+            out = _riff_parse(buf)
+            assert isinstance(out, tuple) and len(out) == 5
+            # a random buffer that parses must carry sane positive fields
+            if out[0] is not None:
+                assert all(v is not None and v >= 0 for v in out)
+
+        check()
+    except ImportError:
+        import random
+        rng = random.Random(11)
+        for _ in range(300):
+            buf = bytes(rng.randrange(256)
+                        for _ in range(rng.randrange(200)))
+            out = _riff_parse(buf)
+            assert isinstance(out, tuple) and len(out) == 5
+
+
+def test_parser_rejects_riff_with_lying_chunk_sizes():
+    """Chunk sizes larger than the remaining buffer must not read out
+    of bounds or loop: the truncated fmt body fails the >=16 check."""
+    buf = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 4096) + b"\x01\x00\x02\x00")
+    assert _riff_parse(buf) == (None,) * 5
+
+
+def test_truncated_data_chunk_clamps_to_present_bytes():
+    """A data chunk declaring more bytes than the buffer holds counts
+    only the frames actually present (truncated-download contract)."""
+    buf = _wav([_chunk(b"fmt ", _fmt(ch=1, rate=8000))])
+    # declare 4000 data bytes but append only 8: mono 16-bit is 2
+    # bytes per frame, so exactly 4 decodable frames are present
+    buf += b"data" + struct.pack("<I", 4000) + b"\x00" * 8
+    assert _riff_parse(buf) == (8000, 1, 16, 4, 0)
