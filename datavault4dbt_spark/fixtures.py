@@ -75,7 +75,9 @@ from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              build_multimodal_resize,
                              multimodal_resize_oracle,
                              WavDecodeConfig, build_wav_decode,
-                             wav_decode_oracle)
+                             wav_decode_oracle,
+                             WavStatsConfig, build_wav_stats,
+                             wav_stats_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1450,6 +1452,18 @@ _ALL_BUNDLE_MEMBERS = (
                      "''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'wav_decode'"),
+        # round-11: sample-level audio DSP — the whole integer signal
+        # census folds; corrupt-row NULLs ride coalesce sentinels
+        BundleMember("multimodal_wav_stats", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(CAST(n_samples_total AS STRING), "
+                     "''), ':', coalesce(CAST(peak_abs AS STRING), ''), "
+                     "':', coalesce(CAST(n_clipped AS STRING), ''), "
+                     "':', coalesce(CAST(sum_abs AS STRING), ''), "
+                     "':', coalesce(CAST(sum_sq AS STRING), ''), "
+                     "':', coalesce(CAST(n_sign_changes AS STRING), "
+                     "''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'wav_stats'"),
         # strict as-of (the tol/incl members' fold shape: matched ts +
         # value as exact cents through coalesce sentinels)
         BundleMember("events_asof_click", "CAST(event_id AS STRING)",
@@ -1495,8 +1509,9 @@ BUNDLES = {
         "multimodal_framesample", "multimodal_resize",
         # round-11 rotation IN (exposed since r4)
         "text_repetition",
-        # round-11 deliberate widening: WAV/RIFF audio decode
-        "multimodal_wav_decode",
+        # round-11 deliberate widening: WAV/RIFF audio decode +
+        # sample-level PCM DSP census
+        "multimodal_wav_decode", "multimodal_wav_stats",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1760,6 +1775,14 @@ MULTIMODAL_RESIZES = {"multimodal_resize":
 # curation_bundle.
 MULTIMODAL_WAVS = {"multimodal_wav_decode":
                    WavDecodeConfig("multimodal_wav_decode")}
+# round-11: sample-level audio DSP — numpy decode of the REAL int16
+# PCM frames (not just the header) into the exact integer signal
+# census (peak/clipping/|s|/s^2 sums, zero crossings); the synthetic
+# patterned signal is replayed per-sample by the oracle's
+# generate_series SQL, so decode->DSP is value-gated end to end.
+# Rides curation_bundle.
+MULTIMODAL_WAV_STATS = {"multimodal_wav_stats":
+                        WavStatsConfig("multimodal_wav_stats")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2448,6 +2471,7 @@ _FAMILIES = [
     (MULTIMODAL_RESIZES, build_multimodal_resize,
      multimodal_resize_oracle, _NO_DEPS),
     (MULTIMODAL_WAVS, build_wav_decode, wav_decode_oracle, _NO_DEPS),
+    (MULTIMODAL_WAV_STATS, build_wav_stats, wav_stats_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

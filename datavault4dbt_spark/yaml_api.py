@@ -511,7 +511,7 @@ def _llm_parsers() -> dict:
     from .llm.profile import ProfileDriftConfig
     from .llm.multimodal import (MultimodalFrameSampleConfig,
                                  MultimodalResizeConfig,
-                                 WavDecodeConfig)
+                                 WavDecodeConfig, WavStatsConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -607,6 +607,7 @@ def _llm_parsers() -> dict:
         "frame_sample": _dataclass_parser(MultimodalFrameSampleConfig),
         "image_resize": _dataclass_parser(MultimodalResizeConfig),
         "wav_decode": _dataclass_parser(WavDecodeConfig),
+        "wav_stats": _dataclass_parser(WavStatsConfig),
         "kfold": _dataclass_parser(KFoldConfig),
     }
 

@@ -940,6 +940,10 @@ _BUNDLE_CLOSURES = {
         # sf0.1 minimum from the r9 driver bench) — already in this
         # closure above as docs_curated's dependency.
         "multimodal_wav_decode",
+        # round-11 deliberate widening: sample-level PCM DSP census —
+        # same shuffle-free Arrow shape; 1.27s warm standalone at
+        # sf0.1 (min-of-4, measured before adding)
+        "multimodal_wav_stats",
     ]),
     "corpus_stats_bundle": frozenset([
         "corpus_shuffle", "dataset_profile", "docs_cube_census",

@@ -110,3 +110,34 @@ def test_truncated_data_chunk_clamps_to_present_bytes():
     # bytes per frame, so exactly 4 decodable frames are present
     buf += b"data" + struct.pack("<I", 4000) + b"\x00" * 8
     assert _riff_parse(buf) == (8000, 1, 16, 4, 0)
+
+
+def test_pcm16_sample_decode_and_stats():
+    import numpy as np
+
+    from datavault4dbt_spark.llm.multimodal import (_riff_pcm16,
+                                                    _pcm16_stats)
+
+    # golden: 4 mono 16-bit samples [100, -200, 300, -32768]
+    data = struct.pack("<4h", 100, -200, 300, -32768)
+    buf = _wav([_chunk(b"fmt ", _fmt(ch=1, rate=8000)),
+                _chunk(b"data", data)])
+    a = _riff_pcm16(buf)
+    assert list(a) == [100, -200, 300, -32768]
+    n, peak, clipped, sabs, ssq, zc = _pcm16_stats(a)
+    assert (n, peak, clipped) == (4, 32768, 1)
+    assert sabs == 100 + 200 + 300 + 32768
+    assert ssq == 100**2 + 200**2 + 300**2 + 32768**2
+    assert zc == 3          # +,-,+,- alternates at every step
+
+    # odd data length truncates to whole samples
+    buf = _wav([_chunk(b"fmt ", _fmt(ch=1, rate=8000)),
+                _chunk(b"data", data + b"\x7f")])
+    assert list(_riff_pcm16(buf)) == [100, -200, 300, -32768]
+
+    # non-16-bit PCM refuses sample decode (header parse still works)
+    buf8 = _wav([_chunk(b"fmt ", _fmt(ch=1, rate=8000, bits=8)),
+                 _chunk(b"data", b"\x80\x7f")])
+    assert _riff_pcm16(buf8) is None
+    assert _riff_pcm16(b"junk") is None
+    assert isinstance(a, np.ndarray)
