@@ -1033,3 +1033,20 @@ def test_bundle_dependency_closures_are_frozen():
         assert not gone, (
             f"frozen closure entries no longer built by {bundle}: "
             f"{sorted(gone)} — update _BUNDLE_CLOSURES to match")
+
+
+def test_wav_entities_are_shuffle_free_arrow_scans(spark, sf_dir):
+    """Round-11 audio path: both WAV entities are (project -> Arrow
+    mapInPandas) over the documents scan — ZERO exchanges (the 100 TB
+    contract: payload decode never shuffles payload bytes), exactly one
+    ArrowEvalPython/MapInPandas stage, and the scan reads only the two
+    consumed columns (pruning reaches parquet)."""
+    for name in ("multimodal_wav_decode", "multimodal_wav_stats"):
+        df = fixtures.entity_query(name)(spark, sf_dir)
+        plan = _plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "MapInPandas" in plan, (name, plan)
+        fmt = _formatted(df)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+        assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
+            == {"doc_id", "text"}, (name, fmt)
