@@ -77,7 +77,9 @@ from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              WavDecodeConfig, build_wav_decode,
                              wav_decode_oracle,
                              WavStatsConfig, build_wav_stats,
-                             wav_stats_oracle)
+                             wav_stats_oracle,
+                             UlawStatsConfig, build_ulaw_stats,
+                             ulaw_stats_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1452,6 +1454,17 @@ _ALL_BUNDLE_MEMBERS = (
                      "''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'wav_decode'"),
+        # round-11: mu-law decode census — same all-integer fold
+        BundleMember("multimodal_ulaw_stats", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(CAST(n_samples_total AS STRING), "
+                     "''), ':', coalesce(CAST(peak_abs AS STRING), ''), "
+                     "':', coalesce(CAST(n_silent AS STRING), ''), "
+                     "':', coalesce(CAST(sum_abs AS STRING), ''), "
+                     "':', coalesce(CAST(sum_sq AS STRING), ''), "
+                     "':', coalesce(CAST(n_sign_changes AS STRING), "
+                     "''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'ulaw_stats'"),
         # round-11: sample-level audio DSP — the whole integer signal
         # census folds; corrupt-row NULLs ride coalesce sentinels
         BundleMember("multimodal_wav_stats", "CAST(doc_id AS STRING)",
@@ -1530,6 +1543,8 @@ BUNDLES = {
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
         "docs_negative_samples", "docs_profile_drift",
+        # round-11 deliberate widening: G.711 mu-law decode census
+        "multimodal_ulaw_stats",
         # non-parquet source round-trips (moved from analytics_bundle
         # to keep it <= 30 when the SCD1 streaming replay joined)
         "events_source_json", "events_source_csv", "events_source_orc",
@@ -1783,6 +1798,13 @@ MULTIMODAL_WAVS = {"multimodal_wav_decode":
 # Rides curation_bundle.
 MULTIMODAL_WAV_STATS = {"multimodal_wav_stats":
                         WavStatsConfig("multimodal_wav_stats")}
+# round-11: compressed-audio decode — format-7 (G.711 mu-law) WAV
+# payloads expanded to linear int16 by the standard integer formula
+# (table pinned exhaustively against stdlib audioop in unit tests)
+# and censused; the oracle replays the expansion per-sample in SQL.
+# Rides corpus_stats_bundle.
+MULTIMODAL_ULAW = {"multimodal_ulaw_stats":
+                   UlawStatsConfig("multimodal_ulaw_stats")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2472,6 +2494,7 @@ _FAMILIES = [
      multimodal_resize_oracle, _NO_DEPS),
     (MULTIMODAL_WAVS, build_wav_decode, wav_decode_oracle, _NO_DEPS),
     (MULTIMODAL_WAV_STATS, build_wav_stats, wav_stats_oracle, _NO_DEPS),
+    (MULTIMODAL_ULAW, build_ulaw_stats, ulaw_stats_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

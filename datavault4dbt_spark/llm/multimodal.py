@@ -958,3 +958,204 @@ def wav_stats_oracle(b: SqlBuilder, reg: Registry, cfg: WavStatsConfig,
         f"SELECT d.doc_id, a.n_samples_total, a.peak_abs, a.n_clipped, "
         f"a.sum_abs, a.sum_sq, a.n_sign_changes "
         f"FROM {docs} d LEFT JOIN {agg} a USING (doc_id)")
+
+
+# -------------------------------------------- G.711 mu-law WAV decode --
+
+@dataclass(frozen=True)
+class UlawStatsConfig:
+    """REAL compressed-audio decode (round-11): payloads are format-7
+    (G.711 mu-law) RIFF/WAVE files — telephony's 8-bit companded
+    codec — and the decoder expands each mu-law byte to linear int16
+    with the standard integer formula (complement, 3-bit exponent,
+    4-bit mantissa, bias 0x84), then computes the same signal census
+    as the linear-PCM entity. The expansion table is pinned
+    EXHAUSTIVELY against stdlib ``audioop.ulaw2lin`` (an independent
+    known-good implementation) for all 256 byte values in unit tests,
+    and the id-derived mu-law byte pattern is replayed per-sample by
+    the oracle's SQL (the formula is pure integer arithmetic), so the
+    whole decompress->DSP plan is value-gated end to end.
+
+    Corrupt rows (``id % corrupt_every == 0``: utf-8 text) carry NULL
+    stats; linear-PCM WAVs are also refused (format must be 7).
+
+    Scale design (100 TB): identical to the PCM stats entity — pruned
+    (id, text) projection, per-Arrow-batch numpy table lookup +
+    reductions, no shuffle.
+    """
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    corrupt_every: int = 7
+
+    def __post_init__(self):
+        if self.corrupt_every < 2:
+            raise ValueError(
+                f"{self.name}: corrupt_every must be >= 2")
+
+
+def _ulaw_table():
+    """The 256-entry G.711 mu-law -> linear int16 expansion table
+    (complement, exponent/mantissa unpack, bias 0x84) — the hand-rolled
+    side that tests pin against audioop.ulaw2lin byte for byte."""
+    import numpy as np
+
+    out = []
+    for b in range(256):
+        u = ~b & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        out.append(-x if u & 0x80 else x)
+    return np.array(out, dtype=np.int16)
+
+
+def _ulaw_params(doc_id: int) -> tuple:
+    """(n_channels, n_frames) — G.711 is always 8 kHz."""
+    return 1 + doc_id % 2, 1 + (doc_id * 13) % 400
+
+
+def _ulaw_byte(doc_id: int, k: int) -> int:
+    """The k-th mu-law byte of doc_id's synthetic stream (replayed by
+    the oracle)."""
+    return (doc_id * 31 + k * 17) % 256
+
+
+def _ulaw_encode(doc_id: int) -> bytes:
+    """Hand-built format-7 RIFF/WAVE container (the stdlib wave module
+    writes linear PCM only): canonical fmt chunk with audio_format=7,
+    8 bits per sample, one byte per sample of the deterministic
+    pattern."""
+    import struct
+
+    ch, frames = _ulaw_params(doc_id)
+    n = frames * ch
+    data = bytes(_ulaw_byte(doc_id, k) for k in range(n))
+    fmt = struct.pack("<HHIIHH", 7, ch, 8000, 8000 * ch, ch, 8)
+    chunks = b"".join(
+        cid + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) % 2 else b"")
+        for cid, body in ((b"fmt ", fmt), (b"data", data)))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _riff_ulaw(payload: bytes):
+    """The mu-law byte array of a well-formed format-7 WAV, or None.
+    Same chunk walk and corrupt->NULL contract as `_riff_pcm16`, with
+    the format gate inverted (mu-law only, 8-bit only)."""
+    import numpy as np
+
+    le16 = lambda b: int.from_bytes(b, "little")  # noqa: E731
+    ok = False
+    data = None
+    for cid, body in _riff_chunks(payload):
+        if cid == b"fmt " and len(body) >= 16:
+            ok = le16(body[0:2]) == 7 and le16(body[14:16]) == 8
+        elif cid == b"data":
+            data = body
+    if not ok or data is None:
+        return None
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def _ulaw_stats(u, table) -> tuple:
+    """Expand (vectorized table lookup) and census: n, peak |lin|,
+    silent samples (lin == 0), sum|lin|, sum lin^2, sign changes."""
+    import numpy as np
+
+    a = table[u]
+    a64 = a.astype(np.int64)
+    ab = np.abs(a64)
+    neg = a < 0
+    return (int(a.size), int(ab.max()), int((a == 0).sum()),
+            int(ab.sum()), int((a64 * a64).sum()),
+            int((neg[1:] != neg[:-1]).sum()))
+
+
+ULAW_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples_total", LongType()),
+    StructField("peak_abs", IntegerType()),
+    StructField("n_silent", LongType()),
+    StructField("sum_abs", LongType()),
+    StructField("sum_sq", LongType()),
+    StructField("n_sign_changes", LongType()),
+])
+
+
+def build_ulaw_stats(spark, reg: Registry, cfg: UlawStatsConfig,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    rows = df.selectExpr(f"{cfg.id_col} AS doc_id",
+                         f"{cfg.text_col} AS __txt")
+    every = cfg.corrupt_every
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = _ulaw_table()          # once per worker batch stream
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["__txt"]):
+                p = ((None if t is None else str(t).encode("utf-8"))
+                     if i % every == 0 else _ulaw_encode(i))
+                u = _riff_ulaw(p)
+                out.append((i,) + ((None,) * 6 if u is None or u.size == 0
+                                   else _ulaw_stats(u, table)))
+            cols = [f.name for f in ULAW_STATS_SCHEMA]
+            pdf_out = pd.DataFrame(out, columns=cols)
+            for c, dt in (("n_samples_total", "Int64"),
+                          ("peak_abs", "Int32"), ("n_silent", "Int64"),
+                          ("sum_abs", "Int64"), ("sum_sq", "Int64"),
+                          ("n_sign_changes", "Int64")):
+                pdf_out[c] = pdf_out[c].astype(dt)
+            yield pdf_out
+
+    return rows.mapInPandas(fn, ULAW_STATS_SCHEMA)
+
+
+def _ulaw_lin_sql(ub: str) -> str:
+    """DuckDB SQL for the mu-law expansion of byte expression ``ub`` —
+    the same integer formula as `_ulaw_table`, CASE-unrolled exponent."""
+    u = f"(255 - ({ub}))"
+    mag = (f"((({u}) % 16) * 8 + 132) * (CASE (({u}) // 16) % 8 "
+           f"WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 "
+           f"WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 "
+           f"ELSE 128 END) - 132")
+    return f"(CASE WHEN ({u}) >= 128 THEN -({mag}) ELSE ({mag}) END)"
+
+
+def ulaw_stats_oracle(b: SqlBuilder, reg: Registry, cfg: UlawStatsConfig,
+                      g: GlobalConfig = DEFAULT) -> str:
+    """Per-sample replay: the id-derived mu-law byte, expanded with the
+    same integer formula, aggregated exactly. The previous sample for
+    the sign-change census is computable in-row from (id, k-1)."""
+    src = reg.duckdb_relation(cfg.source)
+    docs = b.cte(
+        f"{cfg.name}__d",
+        f"SELECT {cfg.id_col} AS doc_id, "
+        f"{cfg.id_col} % {cfg.corrupt_every} = 0 AS corrupt, "
+        f"(1 + ({cfg.id_col} * 13) % 400) * (1 + {cfg.id_col} % 2) "
+        f"AS n FROM {src}")
+    samples = b.cte(
+        f"{cfg.name}__s",
+        f"SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k "
+        f"FROM {docs} WHERE NOT corrupt")
+    v = _ulaw_lin_sql("(doc_id * 31 + k * 17) % 256")
+    vp = _ulaw_lin_sql("(doc_id * 31 + (k - 1) * 17) % 256")
+    agg = b.cte(
+        f"{cfg.name}__a",
+        f"SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples_total, "
+        f"CAST(max(abs({v})) AS INT) AS peak_abs, "
+        f"CAST(sum(CASE WHEN {v} = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_silent, "
+        f"CAST(sum(abs({v})) AS BIGINT) AS sum_abs, "
+        f"CAST(sum(({v}) * ({v})) AS BIGINT) AS sum_sq, "
+        f"CAST(sum(CASE WHEN k > 0 AND (({v}) < 0) <> (({vp}) < 0) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_changes "
+        f"FROM {samples} GROUP BY doc_id")
+    return b.cte(
+        cfg.name,
+        f"SELECT d.doc_id, a.n_samples_total, a.peak_abs, a.n_silent, "
+        f"a.sum_abs, a.sum_sq, a.n_sign_changes "
+        f"FROM {docs} d LEFT JOIN {agg} a USING (doc_id)")

@@ -511,7 +511,8 @@ def _llm_parsers() -> dict:
     from .llm.profile import ProfileDriftConfig
     from .llm.multimodal import (MultimodalFrameSampleConfig,
                                  MultimodalResizeConfig,
-                                 WavDecodeConfig, WavStatsConfig)
+                                 WavDecodeConfig, WavStatsConfig,
+                                 UlawStatsConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -608,6 +609,7 @@ def _llm_parsers() -> dict:
         "image_resize": _dataclass_parser(MultimodalResizeConfig),
         "wav_decode": _dataclass_parser(WavDecodeConfig),
         "wav_stats": _dataclass_parser(WavStatsConfig),
+        "ulaw_stats": _dataclass_parser(UlawStatsConfig),
         "kfold": _dataclass_parser(KFoldConfig),
     }
 

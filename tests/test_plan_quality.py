@@ -969,6 +969,10 @@ _BUNDLE_CLOSURES = {
         # one-pass profile-drift census; 1.11s / 0.88s warm standalone
         # at sf0.1 (min-of-4, measured before adding)
         "docs_negative_samples", "docs_profile_drift",
+        # round-11 deliberate widening: G.711 mu-law decode census —
+        # shuffle-free Arrow table-lookup expansion; 0.72s warm
+        # standalone at sf0.1 (min-of-4, measured before adding)
+        "multimodal_ulaw_stats",
     ]),
     "analytics_bundle": frozenset([
         "control_snap_v0",
@@ -1041,7 +1045,8 @@ def test_wav_entities_are_shuffle_free_arrow_scans(spark, sf_dir):
     contract: payload decode never shuffles payload bytes), exactly one
     ArrowEvalPython/MapInPandas stage, and the scan reads only the two
     consumed columns (pruning reaches parquet)."""
-    for name in ("multimodal_wav_decode", "multimodal_wav_stats"):
+    for name in ("multimodal_wav_decode", "multimodal_wav_stats",
+                 "multimodal_ulaw_stats"):
         df = fixtures.entity_query(name)(spark, sf_dir)
         plan = _plan(df)
         assert "Exchange" not in plan, (name, plan)

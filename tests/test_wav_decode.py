@@ -141,3 +141,50 @@ def test_pcm16_sample_decode_and_stats():
     assert _riff_pcm16(buf8) is None
     assert _riff_pcm16(b"junk") is None
     assert isinstance(a, np.ndarray)
+
+
+def test_ulaw_expansion_matches_audioop_exhaustively():
+    """The hand-rolled G.711 table must equal stdlib audioop.ulaw2lin
+    (an independent implementation) for ALL 256 byte values; golden
+    spot values pin the spec if audioop is ever absent."""
+    from datavault4dbt_spark.llm.multimodal import _ulaw_table
+
+    table = _ulaw_table()
+    # golden spec points: 0xFF/0x7F are zero, 0x00 is the negative
+    # extreme (-8031 << 2), 0x80 the positive extreme
+    assert table[0xFF] == 0 and table[0x7F] == 0
+    assert table[0x00] == -32124 and table[0x80] == 32124
+    try:
+        import audioop
+
+        ref = audioop.ulaw2lin(bytes(range(256)), 2)
+        want = struct.unpack("<256h", ref)
+        assert list(table) == list(want)
+    except ImportError:
+        pass   # golden points above still pin the formula
+
+
+def test_ulaw_container_decode_and_stats():
+    import numpy as np
+
+    from datavault4dbt_spark.llm.multimodal import (
+        _riff_ulaw, _ulaw_encode, _ulaw_params, _ulaw_byte,
+        _ulaw_table, _ulaw_stats)
+
+    for doc_id in (1, 2, 3, 9, 100, 399):
+        ch, frames = _ulaw_params(doc_id)
+        buf = _ulaw_encode(doc_id)
+        u = _riff_ulaw(buf)
+        assert u is not None and u.size == frames * ch
+        assert list(u) == [_ulaw_byte(doc_id, k) for k in range(u.size)]
+        n, peak, silent, sabs, ssq, zc = _ulaw_stats(u, _ulaw_table())
+        assert n == u.size and 0 <= peak <= 32124
+        assert sabs >= peak and ssq >= peak * peak
+        assert 0 <= zc < n and silent >= 0
+
+    # a linear-PCM WAV must be refused (format gate inverted)
+    pcm = _wav([_chunk(b"fmt ", _fmt(ch=1, rate=8000)),
+                _chunk(b"data", b"\x00" * 8)])
+    assert _riff_ulaw(pcm) is None
+    assert _riff_ulaw(b"not riff") is None
+    assert isinstance(_ulaw_table(), np.ndarray)
