@@ -36,6 +36,7 @@ ENTITIES = (
     # reduction must not leak into the reduced result)
     "multimodal_wav_decode",
     "event_funnel_stream",
+    "multimodal_ulaw_stats",
 )
 
 
