@@ -79,7 +79,9 @@ from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              WavStatsConfig, build_wav_stats,
                              wav_stats_oracle,
                              UlawStatsConfig, build_ulaw_stats,
-                             ulaw_stats_oracle)
+                             ulaw_stats_oracle,
+                             PngDecodeConfig, build_png_decode,
+                             png_decode_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1454,6 +1456,17 @@ _ALL_BUNDLE_MEMBERS = (
                      "''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'wav_decode'"),
+        # round-11: PNG decode — geometry + the three-way decode_ok
+        # verdict fold (the CRC-gate branch included)
+        BundleMember("multimodal_png_decode", "CAST(doc_id AS STRING)",
+                     "concat(coalesce(CAST(width AS STRING), ''), "
+                     "':', coalesce(CAST(height AS STRING), ''), "
+                     "':', coalesce(CAST(bit_depth AS STRING), ''), "
+                     "':', coalesce(CAST(color_type AS STRING), ''), "
+                     "':', coalesce(CAST(n_pixels AS STRING), ''), "
+                     "':', coalesce(decode_ok, ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'png_decode'"),
         # round-11: mu-law decode census — same all-integer fold
         BundleMember("multimodal_ulaw_stats", "CAST(doc_id AS STRING)",
                      "concat(coalesce(CAST(n_samples_total AS STRING), "
@@ -1543,8 +1556,9 @@ BUNDLES = {
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
         "docs_negative_samples", "docs_profile_drift",
-        # round-11 deliberate widening: G.711 mu-law decode census
-        "multimodal_ulaw_stats",
+        # round-11 deliberate widening: G.711 mu-law decode census +
+        # real PNG decode (zlib inflate + CRC gate)
+        "multimodal_ulaw_stats", "multimodal_png_decode",
         # non-parquet source round-trips (moved from analytics_bundle
         # to keep it <= 30 when the SCD1 streaming replay joined)
         "events_source_json", "events_source_csv", "events_source_orc",
@@ -1805,6 +1819,14 @@ MULTIMODAL_WAV_STATS = {"multimodal_wav_stats":
 # Rides corpus_stats_bundle.
 MULTIMODAL_ULAW = {"multimodal_ulaw_stats":
                    UlawStatsConfig("multimodal_ulaw_stats")}
+# round-11: REAL PNG decode — genuine PNG containers (signature,
+# big-endian chunks, per-chunk CRC-32, zlib-deflated scanlines)
+# validated/inflated with stdlib zlib; ~1/7 non-PNG rows drive the
+# NULL branch and ~1/11 rows carry ONE FLIPPED BIT in the IDAT body,
+# externally proving the CRC gate fires (decode_ok='false').
+# Rides corpus_stats_bundle.
+MULTIMODAL_PNG = {"multimodal_png_decode":
+                  PngDecodeConfig("multimodal_png_decode")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2495,6 +2517,7 @@ _FAMILIES = [
     (MULTIMODAL_WAVS, build_wav_decode, wav_decode_oracle, _NO_DEPS),
     (MULTIMODAL_WAV_STATS, build_wav_stats, wav_stats_oracle, _NO_DEPS),
     (MULTIMODAL_ULAW, build_ulaw_stats, ulaw_stats_oracle, _NO_DEPS),
+    (MULTIMODAL_PNG, build_png_decode, png_decode_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

@@ -1159,3 +1159,212 @@ def ulaw_stats_oracle(b: SqlBuilder, reg: Registry, cfg: UlawStatsConfig,
         f"SELECT d.doc_id, a.n_samples_total, a.peak_abs, a.n_silent, "
         f"a.sum_abs, a.sum_sq, a.n_sign_changes "
         f"FROM {docs} d LEFT JOIN {agg} a USING (doc_id)")
+
+
+# ----------------------------------------------------- PNG real decode --
+
+@dataclass(frozen=True)
+class PngDecodeConfig:
+    """REAL image codec for the PNG container (round-11): payloads are
+    genuine PNG files — 8-byte signature, big-endian chunk layout,
+    CRC-32 per chunk, zlib-compressed scanlines — and the decoder does
+    what a real PNG reader does before pixel work: validate the
+    signature, verify every chunk CRC (stdlib ``zlib.crc32`` — an
+    independent implementation of the polynomial), parse IHDR, inflate
+    the IDAT stream (stdlib ``zlib.decompress`` — the actual PNG
+    decompression) and check the raw scanline byte count against the
+    header geometry. Three payload classes, all externally verified:
+
+    - ``id % corrupt_every == 0``: raw utf-8 text (not PNG) -> all-NULL
+      features;
+    - else ``id % crc_corrupt_every == 0``: a well-formed PNG with ONE
+      BIT FLIPPED inside the IDAT body -> the CRC gate must fire:
+      header fields parse but ``decode_ok = 'false'`` (silent pixel
+      corruption is the failure mode CRCs exist for — this branch
+      proves the gate is actually checked, driver-visibly);
+    - else: fully valid -> ``decode_ok = 'true'``.
+
+    Width/height/color type are id-derived, so every output column is
+    replayed by the oracle's integer SQL. Scale design: identical to
+    the other codec entities — pruned (id, text) projection, per-batch
+    encode+decode inside ``mapInPandas``, no shuffle.
+    """
+
+    name: str
+    source: str = "documents"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    corrupt_every: int = 7
+    crc_corrupt_every: int = 11
+
+    def __post_init__(self):
+        if self.corrupt_every < 2 or self.crc_corrupt_every < 2:
+            raise ValueError(
+                f"{self.name}: corrupt cadences must be >= 2")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int) -> tuple:
+    """(width, height, color_type): grayscale for odd ids, truecolor
+    for even — both scanline layouts exercised."""
+    return (1 + (doc_id * 29) % 64, 1 + (doc_id * 41) % 48,
+            2 if doc_id % 2 == 0 else 0)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _png_encode(doc_id: int) -> bytes:
+    """A genuine minimal PNG: IHDR + one zlib-deflated IDAT of
+    filter-0 scanlines + IEND, correct CRCs throughout."""
+    import struct
+    import zlib
+
+    w, h, ct = _png_dims(doc_id)
+    channels = 3 if ct == 2 else 1
+    raw = (b"\x00" + bytes((doc_id + i) % 256
+                           for i in range(w * channels))) * h
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_bitflip(buf: bytes) -> bytes:
+    """Flip one bit inside the first IDAT chunk's body (never its
+    length/type/CRC fields), yielding a structurally intact PNG whose
+    IDAT CRC check must fail."""
+    import struct
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(buf):
+        size = struct.unpack(">I", buf[pos:pos + 4])[0]
+        if buf[pos + 4:pos + 8] == b"IDAT" and size > 0:
+            i = pos + 8 + size // 2
+            return buf[:i] + bytes([buf[i] ^ 0x01]) + buf[i + 1:]
+        pos += 12 + size
+    return buf
+
+
+def _png_decode(payload: bytes) -> tuple:
+    """(width, height, bit_depth, color_type, decode_ok) — decode_ok is
+    'true'/'false' (or None with the header when nothing parses).
+    Every chunk CRC is verified; IDAT is inflated and length-checked
+    against the IHDR geometry. Any structural failure before a valid
+    IHDR -> all-None; after one -> header fields with 'false'."""
+    import struct
+    import zlib
+
+    none = (None, None, None, None, None)
+    if payload is None or len(payload) < 16 \
+            or payload[:8] != _PNG_SIG:
+        return none
+    w = h = depth = ct = None
+    idat = b""
+    ok = True
+    pos = 8
+    while pos + 12 <= len(payload):
+        size = struct.unpack(">I", payload[pos:pos + 4])[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        crc = payload[pos + 8 + size:pos + 12 + size]
+        if len(body) < size or len(crc) < 4:
+            ok = False
+            break
+        if zlib.crc32(ctype + body) != struct.unpack(">I", crc)[0]:
+            ok = False                 # corrupt chunk: CRC gate fires
+            if ctype == b"IHDR":
+                return none            # cannot even trust the header
+        elif ctype == b"IHDR" and size >= 13:
+            w, h, depth, ct = struct.unpack(">IIBB", body[:10])
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + size
+    if w is None:
+        return none
+    if ok:
+        channels = 3 if ct == 2 else 1
+        try:
+            raw = zlib.decompress(idat)
+            ok = len(raw) == h * (1 + w * channels)
+        except zlib.error:
+            ok = False
+    return w, h, depth, ct, "true" if ok else "false"
+
+
+PNG_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("color_type", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("decode_ok", StringType()),
+])
+
+
+def build_png_decode(spark, reg: Registry, cfg: PngDecodeConfig,
+                     g: GlobalConfig = DEFAULT) -> DataFrame:
+    df = reg.load(spark, cfg.source)
+    rows = df.selectExpr(f"{cfg.id_col} AS doc_id",
+                         f"{cfg.text_col} AS __txt")
+    every, crc_every = cfg.corrupt_every, cfg.crc_corrupt_every
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["__txt"]):
+                if i % every == 0:
+                    p = None if t is None else str(t).encode("utf-8")
+                else:
+                    p = _png_encode(i)
+                    if i % crc_every == 0:
+                        p = _png_bitflip(p)
+                w, h, depth, ct, ok = _png_decode(p)
+                out.append((i, w, h, depth, ct,
+                            None if w is None else w * h, ok))
+            cols = [f.name for f in PNG_FEATURE_SCHEMA]
+            pdf_out = pd.DataFrame(out, columns=cols)
+            for c in ("width", "height", "bit_depth", "color_type"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            pdf_out["n_pixels"] = pdf_out["n_pixels"].astype("Int64")
+            yield pdf_out
+
+    return rows.mapInPandas(fn, PNG_FEATURE_SCHEMA)
+
+
+def png_decode_oracle(b: SqlBuilder, reg: Registry, cfg: PngDecodeConfig,
+                      g: GlobalConfig = DEFAULT) -> str:
+    """Integer replay of the id-derived geometry and the three payload
+    classes (NULL / crc-flipped 'false' / valid 'true')."""
+    src = reg.duckdb_relation(cfg.source)
+    w, h = f"1 + ({cfg.id_col} * 29) % 64", f"1 + ({cfg.id_col} * 41) % 48"
+    p = b.cte(
+        f"{cfg.name}__p",
+        f"SELECT {cfg.id_col} AS doc_id, "
+        f"{cfg.id_col} % {cfg.corrupt_every} = 0 AS corrupt, "
+        f"{cfg.id_col} % {cfg.crc_corrupt_every} = 0 AS flipped, "
+        f"{w} AS w, {h} AS h, "
+        f"CASE WHEN {cfg.id_col} % 2 = 0 THEN 2 ELSE 0 END AS ct "
+        f"FROM {src}")
+    return b.cte(
+        cfg.name,
+        f"SELECT doc_id, "
+        f"CAST(CASE WHEN corrupt THEN NULL ELSE w END AS INT) AS width, "
+        f"CAST(CASE WHEN corrupt THEN NULL ELSE h END AS INT) AS height, "
+        f"CAST(CASE WHEN corrupt THEN NULL ELSE 8 END AS INT) "
+        f"AS bit_depth, "
+        f"CAST(CASE WHEN corrupt THEN NULL ELSE ct END AS INT) "
+        f"AS color_type, "
+        f"CAST(CASE WHEN corrupt THEN NULL ELSE w * h END AS BIGINT) "
+        f"AS n_pixels, "
+        f"CASE WHEN corrupt THEN NULL WHEN flipped THEN 'false' "
+        f"ELSE 'true' END AS decode_ok "
+        f"FROM {p}")

@@ -512,7 +512,7 @@ def _llm_parsers() -> dict:
     from .llm.multimodal import (MultimodalFrameSampleConfig,
                                  MultimodalResizeConfig,
                                  WavDecodeConfig, WavStatsConfig,
-                                 UlawStatsConfig)
+                                 UlawStatsConfig, PngDecodeConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -610,6 +610,7 @@ def _llm_parsers() -> dict:
         "wav_decode": _dataclass_parser(WavDecodeConfig),
         "wav_stats": _dataclass_parser(WavStatsConfig),
         "ulaw_stats": _dataclass_parser(UlawStatsConfig),
+        "png_decode": _dataclass_parser(PngDecodeConfig),
         "kfold": _dataclass_parser(KFoldConfig),
     }
 

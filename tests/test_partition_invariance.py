@@ -37,6 +37,7 @@ ENTITIES = (
     "multimodal_wav_decode",
     "event_funnel_stream",
     "multimodal_ulaw_stats",
+    "multimodal_png_decode",
 )
 
 

@@ -973,6 +973,11 @@ _BUNDLE_CLOSURES = {
         # shuffle-free Arrow table-lookup expansion; 0.72s warm
         # standalone at sf0.1 (min-of-4, measured before adding)
         "multimodal_ulaw_stats",
+        # round-11 deliberate widening: real PNG decode (zlib inflate
+        # + per-chunk CRC gate) — same shuffle-free Arrow shape;
+        # 1.14s warm standalone at sf0.1 (min-of-4, measured before
+        # adding; first trials carried JIT/settle noise)
+        "multimodal_png_decode",
     ]),
     "analytics_bundle": frozenset([
         "control_snap_v0",
@@ -1046,7 +1051,7 @@ def test_wav_entities_are_shuffle_free_arrow_scans(spark, sf_dir):
     ArrowEvalPython/MapInPandas stage, and the scan reads only the two
     consumed columns (pruning reaches parquet)."""
     for name in ("multimodal_wav_decode", "multimodal_wav_stats",
-                 "multimodal_ulaw_stats"):
+                 "multimodal_ulaw_stats", "multimodal_png_decode"):
         df = fixtures.entity_query(name)(spark, sf_dir)
         plan = _plan(df)
         assert "Exchange" not in plan, (name, plan)
