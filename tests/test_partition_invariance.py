@@ -35,6 +35,7 @@ ENTITIES = (
     # stateful streaming funnel gate (state-store layout + snapshot
     # reduction must not leak into the reduced result)
     "multimodal_wav_decode",
+    "multimodal_wav_stats",
     "event_funnel_stream",
     "multimodal_ulaw_stats",
     "multimodal_png_decode",
