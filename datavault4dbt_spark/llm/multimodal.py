@@ -743,6 +743,12 @@ def _riff_parse(payload: bytes) -> tuple:
             data_size = len(body)         # clamped by the walker
     if not rate or not ch or not bits or data_size is None:
         return none
+    # sub-byte or non-byte-aligned bits_per_sample (1..7, 9, ...) is
+    # not decodable PCM here; without the guard `ch * (bits // 8)` can
+    # be zero and the never-raise contract would break on a crafted
+    # fmt chunk (r11 advice)
+    if bits < 8 or bits % 8 != 0:
+        return none
     n_samples = data_size // (ch * (bits // 8))
     return rate, ch, bits, n_samples, n_samples * 1000 // rate
 

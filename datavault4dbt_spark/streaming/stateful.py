@@ -245,8 +245,16 @@ def _time_range_frames(events, n_batches: int) -> list:
     arrival in range order means event time never goes backwards across
     micro-batch epochs (ties land in the same range: integer division),
     which is the exactness contract both stateful gates rely on."""
-    bounds = events.selectExpr("min(unix_micros(ts)) AS lo",
-                               "max(unix_micros(ts)) AS hi").collect()[0]
+    bounds = events.selectExpr(
+        "min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi",
+        "sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null").collect()[0]
+    if bounds.n_null:
+        # a NULL ts row passes no range filter, so it would silently
+        # vanish from the staged stream while the batch oracle still
+        # counts its user (r11 advice) — fail loudly instead
+        raise ValueError(
+            f"{bounds.n_null} NULL-ts rows cannot be staged as "
+            "time-range arrivals; filter or repair them upstream")
     lo, hi = int(bounds.lo), int(bounds.hi)
     span = hi - lo + 1
     return [events.filter(F.expr(

@@ -186,3 +186,24 @@ def test_stream_funnel_ignores_null_event_times(spark, tmp_path):
     last = max(rows_out, key=lambda r: r.depth)
     assert (last.step1_ts, last.step2_ts, last.depth) == (
         TS("2024-01-01 10:00:00"), TS("2024-01-01 11:00:00"), 2)
+
+
+def test_time_range_staging_rejects_null_ts(spark):
+    """A NULL-ts row passes NO time-range filter, so it would silently
+    vanish from the staged stream while the batch oracle still counts
+    its user — staging must fail loudly instead (r11 advice)."""
+    import datetime
+
+    import pytest as _pytest
+
+    from datavault4dbt_spark.streaming.stateful import _time_range_frames
+
+    TS = datetime.datetime.fromisoformat
+    ev = spark.createDataFrame(
+        [(1, TS("2024-01-01 10:00:00"), 1.0), (2, None, 2.0)],
+        "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    with _pytest.raises(ValueError, match="NULL-ts"):
+        _time_range_frames(ev, 3)
+    # the clean frame still splits into contiguous covering ranges
+    frames = _time_range_frames(ev.filter("ts IS NOT NULL"), 3)
+    assert sum(f.count() for f in frames) == 1

@@ -58,6 +58,29 @@ def test_corrupt_payloads_yield_nulls():
     assert _riff_parse("not a wav at all".encode()) == none
 
 
+def test_sub_byte_bits_per_sample_yields_nulls_not_zerodiv():
+    # r11 advice: a valid RIFF/WAVE+fmt whose fmt declares 1..7 (or any
+    # non-byte-multiple) bits_per_sample made ch*(bits//8) == 0 and the
+    # parser raised ZeroDivisionError, breaking the never-raise
+    # contract. Structured fuzz over the whole sub-byte/misaligned
+    # range; random-bytes fuzz can't reach this branch (valid magics).
+    none = (None,) * 5
+    for bits in (1, 2, 3, 4, 5, 6, 7, 9, 12, 17, 24 + 1):
+        buf = _wav([_chunk(b"fmt ", struct.pack(
+                        "<HHIIHH", 1, 1, 8000, 8000, 1, bits)),
+                    _chunk(b"data", b"\x00" * 16)])
+        assert _riff_parse(buf) == none, bits
+    # byte-aligned widths other than 16 still parse (8/24/32-bit PCM)
+    for bits in (8, 24, 32):
+        buf = _wav([_chunk(b"fmt ", struct.pack(
+                        "<HHIIHH", 1, 1, 8000, 8000 * bits // 8,
+                        bits // 8, bits)),
+                    _chunk(b"data", b"\x00" * 48)])
+        frames = 48 // (bits // 8)
+        assert _riff_parse(buf) == (8000, 1, bits, frames,
+                                    frames * 1000 // 8000)
+
+
 def test_encoder_parser_roundtrip_matches_params():
     for doc_id in (0, 1, 2, 3, 7, 100, 479, 12345):
         rate, ch, frames = _wav_params(doc_id)
