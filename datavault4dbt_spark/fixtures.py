@@ -165,6 +165,8 @@ from .streaming.ohlc import (OhlcStreamEntityConfig,
                              build_streaming_ohlc,
                              streaming_ohlc_oracle)
 from .streaming.scd1 import build_streaming_scd1
+from .streaming.ingest import (StreamingVaultIngestEntityConfig,
+                               build_streaming_vault_ingest)
 from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
                                     pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
@@ -1490,6 +1492,51 @@ _ALL_BUNDLE_MEMBERS = (
                      "''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'wav_stats'"),
+        # round-12 rotations IN (previously exposed since r5, redundant
+        # as standalone slots; their freed slots back the streaming
+        # vault-ingest gate and the three rotated-out members). Same
+        # fold rules as the round-11 batch: integers raw, DOUBLEs as
+        # exact fixed-point ppm (u_sample is already round(.,6), so the
+        # ppm rendering is lossless), booleans via CAST (both engines
+        # render 'true'/'false'), NULLs behind coalesce sentinels.
+        # Standalone min-of-4 at sf0.1 measured before adding:
+        # dataset_mix 0.34s, gopher_rules 0.61s, sequence_packing
+        # 0.62s, temperature_mix 0.71s (loadavg 1.4-1.9).
+        BundleMember("dataset_mix", "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', "
+                     "CAST(CAST(round(u_sample * 1000000) AS BIGINT) "
+                     "AS STRING), ':', "
+                     "CAST(CAST(round(sample_weight * 1000000) "
+                     "AS BIGINT) AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'dataset_mix'"),
+        BundleMember("temperature_mix", "CAST(doc_id AS STRING)",
+                     "concat(lang, ':', CAST(rate_ppm AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'temperature_mix'"),
+        BundleMember("sequence_packing",
+                     "concat(CAST(shard AS STRING), ':', "
+                     "CAST(bin AS STRING))",
+                     "concat(CAST(n_docs AS STRING), ':', "
+                     "CAST(bin_tokens AS STRING), ':', "
+                     "CAST(first_doc AS STRING), ':', "
+                     "CAST(is_full AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'sequence_packing'"),
+        BundleMember("gopher_rules", "CAST(doc_id AS STRING)",
+                     "concat(CAST(n_words AS STRING), ':', "
+                     "coalesce(CAST(mean_wlen_e2 AS STRING), ''), ':', "
+                     "CAST(n_symbol_words AS STRING), ':', "
+                     "CAST(n_alpha_words AS STRING), ':', "
+                     "CAST(n_stop AS STRING), ':', "
+                     "CAST(pass_word_count AS STRING), ':', "
+                     "CAST(pass_mean_word_len AS STRING), ':', "
+                     "CAST(pass_symbol_ratio AS STRING), ':', "
+                     "CAST(pass_alpha_words AS STRING), ':', "
+                     "CAST(pass_stopwords AS STRING), ':', "
+                     "CAST(keep AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'gopher_rules'"),
         # strict as-of (the tol/incl members' fold shape: matched ts +
         # value as exact cents through coalesce sentinels)
         BundleMember("events_asof_click", "CAST(event_id AS STRING)",
@@ -1535,9 +1582,12 @@ BUNDLES = {
         "multimodal_framesample", "multimodal_resize",
         # round-11 rotation IN (exposed since r4)
         "text_repetition",
-        # round-11 deliberate widening: WAV/RIFF audio decode +
-        # sample-level PCM DSP census
-        "multimodal_wav_decode", "multimodal_wav_stats",
+        # round-11 deliberate widening: WAV/RIFF audio decode
+        # (multimodal_wav_stats rotated OUT to an exposed slot in
+        # round 12 — its first standalone pandas-path exposure)
+        "multimodal_wav_decode",
+        # round-12 rotation IN (exposed since r5)
+        "gopher_rules",
     )),
     # Corpus profiling / sampling / vocabulary statistics.
     "corpus_stats_bundle": _bundle("corpus_stats_bundle", (
@@ -1556,9 +1606,12 @@ BUNDLES = {
         # to keep it <= 30 when the OHLC streaming replay joined)
         "docs_compacted", "docs_partitioned_en",
         "docs_negative_samples", "docs_profile_drift",
-        # round-11 deliberate widening: G.711 mu-law decode census +
-        # real PNG decode (zlib inflate + CRC gate)
-        "multimodal_ulaw_stats", "multimodal_png_decode",
+        # round-11 deliberate widening: G.711 mu-law decode census
+        # (multimodal_png_decode rotated OUT to an exposed slot in
+        # round 12 — its first standalone pandas-path exposure)
+        "multimodal_ulaw_stats",
+        # round-12 rotations IN (exposed since r5)
+        "dataset_mix", "temperature_mix", "sequence_packing",
         # non-parquet source round-trips (moved from analytics_bundle
         # to keep it <= 30 when the SCD1 streaming replay joined)
         "events_source_json", "events_source_csv", "events_source_orc",
@@ -1570,7 +1623,10 @@ BUNDLES = {
         "event_cohort_retention", "events_asof_click_tol",
         "events_asof_click_incl", "lineitem_rollup_census",
         "events_skew_profile", "lineitem_scd1_current",
-        "lineitem_scd1_cdc", "lineitem_scd1_stream",
+        # lineitem_scd1_cdc rotated OUT to an exposed slot in round 12
+        # (tombstone semantics get their first standalone pandas-path
+        # row; previously only hash-checked through this VARCHAR fold)
+        "lineitem_scd1_stream",
         "lineitem_quarantine",
         "lineitem_qty_price_stats", "events_rolling_value",
         "events_props_extracted", "events_value_locf",
@@ -2137,6 +2193,34 @@ SESSION_STREAMS = {"event_sessions_stream":
 # streaming path; no sentinel needed (a funnel never closes).
 FUNNEL_STREAMS = {"event_funnel_stream":
                   StreamingFunnelEntityConfig("event_funnel_stream")}
+# round-12 (r11 verdict #1): the streaming VAULT LOAD itself under the
+# driver gate — the sixth and most on-theme streaming path: the events
+# source arrives as 3 time-range files, readStream -> foreachBatch runs
+# the REAL stage -> hub_user -> nh_sat_user_event loads per micro-batch
+# (streaming/ingest.py micro_batch_loader: state in the target tables,
+# insert-only anti-joins, the reference's own multi-batch contract,
+# macros/tables/hub.sql:7) through a checkpointed availableNow run, and
+# the loaded store folds bundle-style against the one-shot BATCH
+# hub/nh_sat SQL (the oracle IS bundle_oracle over the same members).
+# The nh_sat hd folds value as exact fixed-point cents beside the full
+# categorical payload, so a streaming-path payload corruption is
+# driver-visible.
+VAULT_INGEST_STREAMS = {"events_vault_ingest_stream":
+    StreamingVaultIngestEntityConfig(
+        "events_vault_ingest_stream",
+        stage=STAGES["stage_events"],
+        hubs=(HUBS["hub_user"],),
+        nh_sats=(NH_SATS["nh_sat_user_event"],),
+        members=(
+            BundleMember("hub_user", "hk_user_h",
+                         "CAST(user_id AS STRING)"),
+            BundleMember("nh_sat_user_event", "hk_event_nl",
+                         "concat(CAST(user_id AS STRING), ':', "
+                         "event_type, ':', "
+                         "coalesce(CAST(CAST(round(value * 100) "
+                         "AS BIGINT) AS STRING), ''), ':', "
+                         "coalesce(props, ''))"),
+        ))}
 # round-10: the OHLC streaming twin under the driver gate too — three
 # id-range arrival files fold through foreachBatch into batch_id
 # partitions of the partial store (epoch replays overwrite), and the
@@ -2576,6 +2660,11 @@ _FAMILIES = [
      streaming_sessions_oracle, _NO_DEPS),
     (FUNNEL_STREAMS, build_streaming_funnel,
      streaming_funnel_oracle, _NO_DEPS),
+    # oracle = bundle_oracle over the batch entities: the walker builds
+    # the hub/nh_sat CTEs first (deps), the fold unions them — the
+    # Spark side never touches those batch plans (it streams)
+    (VAULT_INGEST_STREAMS, build_streaming_vault_ingest, bundle_oracle,
+     lambda c: [m.entity for m in c.members]),
     (OHLC_STREAMS, build_streaming_ohlc, streaming_ohlc_oracle,
      _NO_DEPS),
     (SCD1_STREAMS, build_streaming_scd1, scd1_merge_oracle, _NO_DEPS),

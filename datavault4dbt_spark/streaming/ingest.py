@@ -195,3 +195,87 @@ def windowed_event_counts(events: DataFrame, g: GlobalConfig = DEFAULT,
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "user_id", "event_type", "n_events", "sum_value"))
+
+
+# ----------------------------------------------- driver-gated entity --
+#
+# Runs the REAL foreachBatch vault load end-to-end under the driver's
+# oracle gate (r11 verdict #1) — the most on-theme of the streaming
+# gates: the reference's own entity surface (hub + non-historized
+# satellite, macros/tables/hub.sql:7 "multiple deltas per batch") fed
+# by an actual checkpointed availableNow stream. The events source is
+# staged as n_batches contiguous time-range arrival files, readStream
+# delivers them as micro-batch epochs through micro_batch_loader (stage
+# -> hub earliest-arrival insert -> nh_sat anti-join insert, state in
+# the TARGET tables), and the loaded store folds bundle-style into
+# (entity, hk, hd, ldts, rsrc) rows hash-compared against the one-shot
+# BATCH hub/nh_sat SQL.
+#
+# Exactness argument: both loads are idempotent inserts keyed on the
+# hashkey, so the stream==batch equality needs only that the FIRST
+# micro-batch containing a key holds that key's earliest-ldts row —
+# which time-range arrival gives (ldts = a monotone function of ts,
+# so min-over-first-batch == global min), and within a batch the
+# earliest-arrival window dedup is the batch operator itself. The
+# anti-join then makes later re-deliveries no-ops, which is the
+# reference's own multi-batch contract under at-least-once streaming.
+
+@dataclass(frozen=True)
+class StreamingVaultIngestEntityConfig:
+    """Hub + nh_sat configs to load per micro-batch, plus the
+    bundle-style folds that shape the driver-checked result. The oracle
+    IS operators.bundle.bundle_oracle over the same members, so the
+    gate certifies streaming-loaded store tables against the batch
+    entities through one hash."""
+
+    name: str
+    stage: object                 # StageConfig for the arriving source
+    hubs: tuple = ()              # HubConfig, loaded per micro-batch
+    nh_sats: tuple = ()           # NhSatConfig
+    members: tuple = ()           # operators.bundle.BundleMember folds
+    source: str = "events"
+    ts_col: str = "ts"
+    n_batches: int = 3
+
+
+def build_streaming_vault_ingest(spark, reg: Registry,
+                                 cfg: StreamingVaultIngestEntityConfig,
+                                 g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Stage -> stream the real vault load -> fold the store tables.
+    Scratch dirs are cleared per run so repeated driver/bench
+    invocations re-execute the full streaming load."""
+    import os
+    import shutil
+    from functools import reduce
+
+    from ..operators.bundle import _member_exprs
+    from ..plans.incremental import scratch_store
+    from .staging import stage_arrival_frames
+    from .stateful import _time_range_frames
+
+    ev = reg.load(spark, cfg.source).withColumn(
+        cfg.ts_col, F.col(cfg.ts_col).cast("timestamp"))
+    if ev.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "entity string, hk string, hd string, "
+                "ldts timestamp, rsrc string")
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamvault")
+    src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
+    tables = [e.name for e in (*cfg.hubs, *cfg.nh_sats)]
+    for p in (src_dir, ckpt_dir, *[store.path(t) for t in tables]):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src_dir)
+    stage_arrival_frames(_time_range_frames(ev, cfg.n_batches), src_dir)
+
+    ingest = StreamIngestConfig(
+        source_dir=src_dir, source_name=cfg.source, stage=cfg.stage,
+        hubs=cfg.hubs, nh_sats=cfg.nh_sats, max_files_per_trigger=1)
+    q = start_ingest(spark, ingest, store, ev.schema, ckpt_dir, g)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    parts = [store.read(m.entity).selectExpr(*_member_exprs(m, g))
+             for m in cfg.members]
+    return reduce(lambda a, b: a.unionByName(b), parts)
