@@ -81,7 +81,9 @@ from .llm.multimodal import (MultimodalConfig, MultimodalDecodeConfig,
                              UlawStatsConfig, build_ulaw_stats,
                              ulaw_stats_oracle,
                              PngDecodeConfig, build_png_decode,
-                             png_decode_oracle)
+                             png_decode_oracle,
+                             GifFramesConfig, build_gif_frames,
+                             gif_frames_oracle)
 from .llm.scrub import (RepetitionConfig, PiiRedactConfig, build_repetition,
                         build_pii_redact, repetition_oracle, pii_redact_oracle)
 from .llm.sampling import (DatasetMixConfig, SequencePackingConfig,
@@ -1492,6 +1494,22 @@ _ALL_BUNDLE_MEMBERS = (
                      "''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'wav_stats'"),
+        # round-12 deliberate widening: REAL animated-GIF LZW decode —
+        # every frame row's census cell folds; corrupt-row NULLs ride
+        # coalesce sentinels and the truncated class's 'false' verdict
+        # + missing last frame drive the partial-stream branch.
+        # 1.05s standalone at sf0.1 (min-of-4, loadavg 0.9, measured
+        # before adding).
+        BundleMember("multimodal_gif_frames",
+                     "concat(CAST(doc_id AS STRING), ':', "
+                     "coalesce(CAST(frame_id AS STRING), ''))",
+                     "concat(coalesce(CAST(delay_cs AS STRING), ''), "
+                     "':', coalesce(CAST(n_pixels AS STRING), ''), "
+                     "':', coalesce(CAST(sum_idx AS STRING), ''), "
+                     "':', coalesce(CAST(n_idx0 AS STRING), ''), "
+                     "':', coalesce(decode_ok, ''))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'gif_frames'"),
         # round-12 rotations IN (previously exposed since r5, redundant
         # as standalone slots; their freed slots back the streaming
         # vault-ingest gate and the three rotated-out members). Same
@@ -1610,6 +1628,8 @@ BUNDLES = {
         # (multimodal_png_decode rotated OUT to an exposed slot in
         # round 12 — its first standalone pandas-path exposure)
         "multimodal_ulaw_stats",
+        # round-12 deliberate widening: real animated-GIF LZW decode
+        "multimodal_gif_frames",
         # round-12 rotations IN (exposed since r5)
         "dataset_mix", "temperature_mix", "sequence_packing",
         # non-parquet source round-trips (moved from analytics_bundle
@@ -1883,6 +1903,18 @@ MULTIMODAL_ULAW = {"multimodal_ulaw_stats":
 # Rides corpus_stats_bundle.
 MULTIMODAL_PNG = {"multimodal_png_decode":
                   PngDecodeConfig("multimodal_png_decode")}
+# round-12 (r11 verdict #5): REAL video codec — genuine animated
+# GIF89a containers (logical screen descriptor, 4-color global table,
+# per-frame GCE + image descriptor, LZW-COMPRESSED pixel data from a
+# hand-rolled compressor) decoded by an independent block-walk + LZW
+# decompressor; per-frame pixel censuses replay through closed-form
+# mod-4 SQL. ~1/7 non-GIF rows drive the NULL branch and ~1/11 rows
+# are structurally TRUNCATED inside the last frame's data, externally
+# proving partial-stream recovery (frames 0..n-2 decode, verdict
+# 'false'). Rides corpus_stats_bundle. The video modality now carries
+# a real inter-frame codec beside the FVID sampling plumbing.
+MULTIMODAL_GIF = {"multimodal_gif_frames":
+                  GifFramesConfig("multimodal_gif_frames")}
 CURATION = {"docs_curated": CurationConfig(
     "docs_curated", repetition_entity="text_repetition"),
             # round-7: the keep-best-quality variant — duplicate-group
@@ -2602,6 +2634,7 @@ _FAMILIES = [
     (MULTIMODAL_WAV_STATS, build_wav_stats, wav_stats_oracle, _NO_DEPS),
     (MULTIMODAL_ULAW, build_ulaw_stats, ulaw_stats_oracle, _NO_DEPS),
     (MULTIMODAL_PNG, build_png_decode, png_decode_oracle, _NO_DEPS),
+    (MULTIMODAL_GIF, build_gif_frames, gif_frames_oracle, _NO_DEPS),
     (CURATION, build_curation, curation_oracle,
      lambda c: [c.quality_entity, c.langid_entity]
                + ([c.canonical_entity] if c.canonical_entity

@@ -39,6 +39,12 @@ ENTITIES = (
     "event_funnel_stream",
     "multimodal_ulaw_stats",
     "multimodal_png_decode",
+    # round-12 additions: the animated-GIF LZW frame decode (per-frame
+    # fan-out inside Arrow batches must not depend on batch layout)
+    # and the streaming vault-ingest gate (micro-batch file boundaries
+    # + per-batch anti-joins must not leak into the loaded tables)
+    "multimodal_gif_frames",
+    "events_vault_ingest_stream",
 )
 
 

@@ -940,10 +940,12 @@ _BUNDLE_CLOSURES = {
         # sf0.1 minimum from the r9 driver bench) — already in this
         # closure above as docs_curated's dependency.
         "multimodal_wav_decode",
-        # round-11 deliberate widening: sample-level PCM DSP census —
-        # same shuffle-free Arrow shape; 1.27s warm standalone at
-        # sf0.1 (min-of-4, measured before adding)
-        "multimodal_wav_stats",
+        # (multimodal_wav_stats rotated OUT to an exposed slot in
+        # round 12)
+        # round-12 rotation IN (exposed since r5): Gopher quality
+        # rules — scan-stage word censuses; 0.61s warm standalone at
+        # sf0.1 (min-of-4, loadavg 1.4-1.9, measured before adding)
+        "gopher_rules",
     ]),
     "corpus_stats_bundle": frozenset([
         "corpus_shuffle", "dataset_profile", "docs_cube_census",
@@ -973,11 +975,18 @@ _BUNDLE_CLOSURES = {
         # shuffle-free Arrow table-lookup expansion; 0.72s warm
         # standalone at sf0.1 (min-of-4, measured before adding)
         "multimodal_ulaw_stats",
-        # round-11 deliberate widening: real PNG decode (zlib inflate
-        # + per-chunk CRC gate) — same shuffle-free Arrow shape;
-        # 1.14s warm standalone at sf0.1 (min-of-4, measured before
-        # adding; first trials carried JIT/settle noise)
-        "multimodal_png_decode",
+        # (multimodal_png_decode rotated OUT to an exposed slot in
+        # round 12)
+        # round-12 deliberate widening: real animated-GIF LZW decode —
+        # the same shuffle-free Arrow encode+parse shape; 1.05s warm
+        # standalone at sf0.1 (min-of-4, loadavg 0.9, measured before
+        # adding)
+        "multimodal_gif_frames",
+        # round-12 rotations IN (exposed since r5; scan-stage salted
+        # draws / integer apportionment / one packing groupBy):
+        # 0.34s / 0.71s / 0.62s warm standalone at sf0.1 (min-of-4,
+        # loadavg 1.4-1.9, measured before adding)
+        "dataset_mix", "temperature_mix", "sequence_packing",
     ]),
     "analytics_bundle": frozenset([
         "control_snap_v0",
@@ -1002,7 +1011,9 @@ _BUNDLE_CLOSURES = {
         "events_trending_daily", "events_value_locf", "hub_nation",
         "hub_supplier", "lineitem_qty_price_stats",
         "lineitem_quarantine", "lineitem_rollup_census",
-        "lineitem_scd1_cdc", "lineitem_scd1_current",
+        # (lineitem_scd1_cdc rotated OUT to an exposed slot in
+        # round 12)
+        "lineitem_scd1_current",
         "link_supplier_nation", "part_cooccurrence",
         "ref_hub_nation", "sat_nation_s",
         "sat_part_s", "stage_nation", "stage_part", "stage_supplier",
