@@ -1507,6 +1507,7 @@ _ALL_BUNDLE_MEMBERS = (
                      "':', coalesce(CAST(n_pixels AS STRING), ''), "
                      "':', coalesce(CAST(sum_idx AS STRING), ''), "
                      "':', coalesce(CAST(n_idx0 AS STRING), ''), "
+                     "':', coalesce(CAST(wsum_idx AS STRING), ''), "
                      "':', coalesce(decode_ok, ''))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'gif_frames'"),

@@ -1406,10 +1406,17 @@ class GifFramesConfig:
 
     Frame pixels are ``(id*7 + f*13 + k) % 4`` over a 4-color table, so
     the per-frame census (n_pixels, sum of color indices, count of
-    index 0) and the GCE delay are replayed by the oracle's closed-form
-    modular SQL. Scale design: identical to the other codec entities —
-    pruned (id, text) projection, per-batch encode+decode inside
-    ``mapInPandas``, no shuffle; rows scale by n_frames (<= 5).
+    index 0, and the ORDER-SENSITIVE position-weighted sum of
+    ``k * idx[k]``) and the GCE delay are replayed by the oracle's
+    closed-form modular SQL. Odd ids are written INTERLACED (GIF's
+    four-pass row order, image-descriptor flag 0x40): the decoder must
+    reorder the passes back to logical rows, and because ``wsum_idx``
+    is order-sensitive while the oracle always computes the LOGICAL
+    order, a wrong or skipped deinterlace fails the driver hash even
+    though the plain sums would still match. Scale design: identical
+    to the other codec entities — pruned (id, text) projection,
+    per-batch encode+decode inside ``mapInPandas``, no shuffle; rows
+    scale by n_frames (<= 5).
     """
 
     name: str
@@ -1437,6 +1444,16 @@ def _gif_pixel(doc_id: int, frame: int, k: int) -> int:
 
 def _gif_delay(doc_id: int, frame: int) -> int:
     return (doc_id + frame) % 50 + 2
+
+
+# GIF's four interlace passes: (first row, row stride)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_rows(height: int) -> list:
+    """Logical row indices in interlaced transmission order."""
+    return [r for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, height, step)]
 
 
 class _BitPacker:
@@ -1586,6 +1603,7 @@ def _gif_encode(doc_id: int) -> bytes:
     import struct
 
     w, h, n_frames = _gif_params(doc_id)
+    interlaced = doc_id % 2 == 1
     buf = bytearray(b"GIF89a")
     # packed: GCT present (0x80) | color resolution 2 (0x20) | size 1
     # (2^(1+1) = 4 entries)
@@ -1596,8 +1614,12 @@ def _gif_encode(doc_id: int) -> bytes:
         buf += bytes((0x21, 0xF9, 0x04, 0x00))      # GCE
         buf += struct.pack("<H", _gif_delay(doc_id, f))
         buf += bytes((0x00, 0x00))                  # transparent, term
-        buf += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        buf += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                     0x40 if interlaced else 0)
         pixels = [_gif_pixel(doc_id, f, k) for k in range(w * h)]
+        if interlaced:                       # rows in four-pass order
+            pixels = [pixels[r * w + c]
+                      for r in _gif_interlace_rows(h) for c in range(w)]
         buf += bytes((2,)) + _gif_subblocks(_gif_lzw_encode(pixels, 2))
     buf += b"\x3B"
     return bytes(buf)
@@ -1642,7 +1664,9 @@ def _gif_truncate(buf: bytes) -> bytes:
 
 def _gif_parse(payload: bytes):
     """(frames, ok): ``frames`` is a list of (frame_id, delay_cs,
-    n_pixels, sum_idx, n_idx0) for every FULLY decoded frame, ``ok``
+    n_pixels, sum_idx, n_idx0, wsum_idx) — the last an ORDER-SENSITIVE
+    position-weighted census over LOGICAL (deinterlaced) pixel order —
+    for every FULLY decoded frame, ``ok``
     False when the container failed mid-stream. Returns (None, None)
     for anything that is not a GIF at all — the same corrupt->NULL
     contract as the other codecs. Never raises."""
@@ -1711,8 +1735,15 @@ def _gif_parse(payload: bytes):
                 idx = _gif_lzw_decode(bytes(data), mcs, fw * fh)
                 if idx is None or len(idx) != fw * fh:
                     return frames, False
+                if ipk & 0x40:                # deinterlace to logical
+                    logical = [None] * (fw * fh)
+                    for src_row, r in enumerate(_gif_interlace_rows(fh)):
+                        logical[r * fw:(r + 1) * fw] = \
+                            idx[src_row * fw:(src_row + 1) * fw]
+                    idx = logical
                 frames.append((fid, delay, fw * fh,
-                               sum(idx), sum(1 for v in idx if v == 0)))
+                               sum(idx), sum(1 for v in idx if v == 0),
+                               sum(k * v for k, v in enumerate(idx))))
                 fid += 1
                 delay = 0
             else:
@@ -1728,6 +1759,7 @@ GIF_FRAME_SCHEMA = StructType([
     StructField("n_pixels", LongType()),
     StructField("sum_idx", LongType()),
     StructField("n_idx0", LongType()),
+    StructField("wsum_idx", LongType()),
     StructField("decode_ok", StringType()),
 ])
 
@@ -1751,16 +1783,18 @@ def build_gif_frames(spark, reg: Registry, cfg: GifFramesConfig,
                         p = _gif_truncate(p)
                 frames, ok = _gif_parse(p)
                 if frames is None:
-                    out.append((i, None, None, None, None, None, None))
+                    out.append((i, None, None, None, None, None, None,
+                                None))
                     continue
                 verdict = "true" if ok else "false"
-                for fid, delay, npx, sidx, n0 in frames:
-                    out.append((i, fid, delay, npx, sidx, n0, verdict))
+                for fid, delay, npx, sidx, n0, wsum in frames:
+                    out.append((i, fid, delay, npx, sidx, n0, wsum,
+                                verdict))
             cols = [f.name for f in GIF_FRAME_SCHEMA]
             pdf_out = pd.DataFrame(out, columns=cols)
             for c in ("frame_id", "delay_cs"):
                 pdf_out[c] = pdf_out[c].astype("Int32")
-            for c in ("n_pixels", "sum_idx", "n_idx0"):
+            for c in ("n_pixels", "sum_idx", "n_idx0", "wsum_idx"):
                 pdf_out[c] = pdf_out[c].astype("Int64")
             yield pdf_out
 
@@ -1772,9 +1806,14 @@ def gif_frames_oracle(b: SqlBuilder, reg: Registry, cfg: GifFramesConfig,
     """Closed-form integer replay: per doc the id-derived geometry and
     frame count, per frame the GCE delay and the mod-4 pixel census —
     sum of ((s + k) % 4) over N pixels is full-cycles * 6 plus a
-    0..3-term partial, count of zeros a stride-4 census. The truncated
-    class emits frames 0..n-2 with verdict 'false'; the corrupt class
-    one NULL row."""
+    0..3-term partial, count of zeros a stride-4 census, and the
+    order-sensitive weighted sum decomposes by residue class r of k
+    (the index value is constant within a class): wsum = sum_r
+    value_r * (arithmetic series of k over k = r, r+4, ... < N).
+    The oracle always computes LOGICAL pixel order, so the interlaced
+    payload class is only green if the decoder deinterlaces. The
+    truncated class emits frames 0..n-2 with verdict 'false'; the
+    corrupt class one NULL row."""
     src = reg.duckdb_relation(cfg.source)
     id_ = cfg.id_col
     p = b.cte(
@@ -1801,7 +1840,8 @@ def gif_frames_oracle(b: SqlBuilder, reg: Registry, cfg: GifFramesConfig,
     census = b.cte(
         f"{cfg.name}__c",
         f"SELECT doc_id, corrupt, truncated, frame, w * h AS npx, "
-        f"(doc_id * 7 + frame * 13) % 4 AS s, (w * h) % 4 AS p4 "
+        f"(doc_id * 7 + frame * 13) % 4 AS s, (w * h) % 4 AS p4, "
+        f"(((doc_id * 7 + frame * 13) % 4 + 0) % 4) * (GREATEST(0, (w * h - 0 + 3) // 4) * 0 + 2 * GREATEST(0, (w * h - 0 + 3) // 4) * (GREATEST(0, (w * h - 0 + 3) // 4) - 1)) + (((doc_id * 7 + frame * 13) % 4 + 1) % 4) * (GREATEST(0, (w * h - 1 + 3) // 4) * 1 + 2 * GREATEST(0, (w * h - 1 + 3) // 4) * (GREATEST(0, (w * h - 1 + 3) // 4) - 1)) + (((doc_id * 7 + frame * 13) % 4 + 2) % 4) * (GREATEST(0, (w * h - 2 + 3) // 4) * 2 + 2 * GREATEST(0, (w * h - 2 + 3) // 4) * (GREATEST(0, (w * h - 2 + 3) // 4) - 1)) + (((doc_id * 7 + frame * 13) % 4 + 3) % 4) * (GREATEST(0, (w * h - 3 + 3) // 4) * 3 + 2 * GREATEST(0, (w * h - 3 + 3) // 4) * (GREATEST(0, (w * h - 3 + 3) // 4) - 1)) AS wsum "
         f"FROM {fr}")
     return b.cte(
         cfg.name,
@@ -1818,6 +1858,8 @@ def gif_frames_oracle(b: SqlBuilder, reg: Registry, cfg: GifFramesConfig,
         f"CAST(CASE WHEN corrupt THEN NULL ELSE "
         f"GREATEST(0, (npx - (4 - s) % 4 + 3) // 4) END AS BIGINT) "
         f"AS n_idx0, "
+        f"CAST(CASE WHEN corrupt THEN NULL ELSE wsum END AS BIGINT) "
+        f"AS wsum_idx, "
         f"CASE WHEN corrupt THEN NULL "
         f"WHEN truncated THEN 'false' ELSE 'true' END AS decode_ok "
         f"FROM {census}")

@@ -8,8 +8,9 @@ import random
 import struct
 
 from datavault4dbt_spark.llm.multimodal import (
-    _gif_delay, _gif_encode, _gif_lzw_decode, _gif_lzw_encode,
-    _gif_params, _gif_parse, _gif_pixel, _gif_truncate)
+    _gif_delay, _gif_encode, _gif_interlace_rows, _gif_lzw_decode,
+    _gif_lzw_encode, _gif_params, _gif_parse, _gif_pixel,
+    _gif_truncate)
 
 
 def _pack_lsb(codes_widths) -> bytes:
@@ -88,12 +89,16 @@ def test_container_roundtrip_matches_id_derived_params():
         w, h, nf = _gif_params(i)
         frames, ok = _gif_parse(_gif_encode(i))
         assert ok and len(frames) == nf
-        for fid, delay, npx, sidx, n0 in frames:
+        for fid, delay, npx, sidx, n0, wsum in frames:
             assert npx == w * h
             assert delay == _gif_delay(i, fid)
             assert sidx == sum(_gif_pixel(i, fid, k) for k in range(npx))
             assert n0 == sum(1 for k in range(npx)
                              if _gif_pixel(i, fid, k) == 0)
+            # order-sensitive: only correct (deinterlaced) logical
+            # order reproduces the weighted census
+            assert wsum == sum(k * _gif_pixel(i, fid, k)
+                               for k in range(npx))
 
 
 def test_truncation_recovers_all_but_last_frame():
@@ -134,7 +139,7 @@ def test_parser_never_raises_on_arbitrary_bytes():
         if ok:
             # a surviving flip may only touch dead bytes (palette RGB,
             # GCE fields we ignore beyond delay) — census stays bounded
-            for _, _, npx, sidx, n0 in frames:
+            for _, _, npx, sidx, n0, _w in frames:
                 assert 0 <= n0 <= npx and 0 <= sidx <= 3 * npx
 
 
@@ -158,5 +163,32 @@ def test_sub_block_framing_spans_255_bytes():
     buf += b"\x00\x3B"
     frames, ok = _gif_parse(bytes(buf))
     assert ok and len(frames) == 1
-    fid, delay, npx, sidx, n0 = frames[0]
+    fid, delay, npx, sidx, n0, wsum = frames[0]
     assert (npx, sidx) == (w * h, sum(pixels))
+    assert wsum == sum(k * v for k, v in enumerate(pixels))
+
+
+def test_interlace_row_order_matches_spec():
+    # GIF89a appendix E: pass 1 every 8th row from 0, pass 2 every 8th
+    # from 4, pass 3 every 4th from 2, pass 4 every 2nd from 1
+    assert _gif_interlace_rows(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert _gif_interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _gif_interlace_rows(3) == [0, 2, 1]
+    assert _gif_interlace_rows(1) == [0]
+
+
+def test_interlaced_frame_deinterlaces_to_logical_order():
+    # odd ids encode interlaced; the parse must return the LOGICAL
+    # census — build the transmission order independently and check
+    # they differ (so the test cannot pass via a no-op deinterlace)
+    i = 1
+    w, h, _ = _gif_params(i)
+    pix = [_gif_pixel(i, 0, k) for k in range(w * h)]
+    tx = [pix[r * w + c] for r in _gif_interlace_rows(h)
+          for c in range(w)]
+    assert tx != pix                    # the premise: order changed
+    frames, ok = _gif_parse(_gif_encode(i))
+    assert ok
+    _, _, _, _, _, wsum = frames[0]
+    assert wsum == sum(k * v for k, v in enumerate(pix))
+    assert wsum != sum(k * v for k, v in enumerate(tx))

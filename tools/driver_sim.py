@@ -55,6 +55,13 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     only = sys.argv[1:]
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        # a bundled or misspelled name would otherwise be skipped
+        # SILENTLY and the run would certify nothing for it
+        print(f"WARNING: not on the exposed surface (skipped): "
+              f"{unknown} — bundled entities verify through their "
+              f"bundle row or tests/test_oracle_parity.py")
     ok = bad = err = 0
     t_start = time.time()
     for name, fn in qs.items():
