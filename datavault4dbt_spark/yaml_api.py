@@ -512,7 +512,8 @@ def _llm_parsers() -> dict:
     from .llm.multimodal import (MultimodalFrameSampleConfig,
                                  MultimodalResizeConfig,
                                  WavDecodeConfig, WavStatsConfig,
-                                 UlawStatsConfig, PngDecodeConfig)
+                                 UlawStatsConfig, PngDecodeConfig,
+                                 GifFramesConfig)
 
     return {
         "exact_dedup": _dataclass_parser(ExactDedupConfig),
@@ -611,6 +612,7 @@ def _llm_parsers() -> dict:
         "wav_stats": _dataclass_parser(WavStatsConfig),
         "ulaw_stats": _dataclass_parser(UlawStatsConfig),
         "png_decode": _dataclass_parser(PngDecodeConfig),
+        "gif_frames": _dataclass_parser(GifFramesConfig),
         "kfold": _dataclass_parser(KFoldConfig),
     }
 
