@@ -168,7 +168,10 @@ from .streaming.ohlc import (OhlcStreamEntityConfig,
                              streaming_ohlc_oracle)
 from .streaming.scd1 import build_streaming_scd1
 from .streaming.ingest import (StreamingVaultIngestEntityConfig,
-                               build_streaming_vault_ingest)
+                               build_streaming_vault_ingest,
+                               StreamingHoppingEntityConfig,
+                               build_streaming_hopping,
+                               streaming_hopping_oracle)
 from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
                                     pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
@@ -1556,6 +1559,16 @@ _ALL_BUNDLE_MEMBERS = (
                      "CAST(keep AS STRING))",
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'gopher_rules'"),
+        # round-12 rotation IN (exposed since r8): the keyed interval
+        # join of events against their own type's hopping windows —
+        # row identity is (event, containing window); the joined
+        # window census folds beside the event fields
+        BundleMember("events_in_hopping_window",
+                     "concat(CAST(event_id AS STRING), ':', "
+                     "CAST(window_start AS STRING))",
+                     "concat(CAST(ts AS STRING), ':', event_type, "
+                     "':', CAST(n_events AS STRING))",
+                     ldts="ts", rsrc="'hopping_ij'"),
         # strict as-of (the tol/incl members' fold shape: matched ts +
         # value as exact cents through coalesce sentinels)
         BundleMember("events_asof_click", "CAST(event_id AS STRING)",
@@ -1648,6 +1661,10 @@ BUNDLES = {
         # (tombstone semantics get their first standalone pandas-path
         # row; previously only hash-checked through this VARCHAR fold)
         "lineitem_scd1_stream",
+        # round-12 rotation IN: the batch hopping window (its freed
+        # slot backs the native watermarked streaming twin,
+        # events_hopping_stream — the seventh driver gate)
+        "events_in_hopping_window",
         "lineitem_quarantine",
         "lineitem_qty_price_stats", "events_rolling_value",
         "events_props_extracted", "events_value_locf",
@@ -2260,6 +2277,17 @@ VAULT_INGEST_STREAMS = {"events_vault_ingest_stream":
 # merged finalized bars hash-compare against the batch OHLC SQL.
 # Rides analytics_bundle (partials merge commutatively, so the batch
 # oracle certifies the whole streaming store loop).
+# round-12: the SEVENTH driver-gated streaming path and the only one
+# exercising Spark's NATIVE streaming-aggregation engine — watermarked
+# hopping windows in APPEND mode (StateStoreSave + watermark eviction;
+# the other six gates are foreachBatch / applyInPandasWithState). The
+# events stream arrives as 3 time-range files plus one far-future
+# sentinel event that advances the watermark past every real window,
+# flushing them all to the parquet sink exactly once; the oracle is
+# the batch hopping-window SQL (the same geometry as
+# events_in_hopping_window, which rotates into analytics_bundle).
+HOPPING_STREAMS = {"events_hopping_stream":
+                   StreamingHoppingEntityConfig("events_hopping_stream")}
 OHLC_STREAMS = {"events_ohlc_stream":
                 OhlcStreamEntityConfig("events_ohlc_stream")}
 # round-10: the SCD1 streaming twin under the driver gate — the same
@@ -2699,6 +2727,8 @@ _FAMILIES = [
     # Spark side never touches those batch plans (it streams)
     (VAULT_INGEST_STREAMS, build_streaming_vault_ingest, bundle_oracle,
      lambda c: [m.entity for m in c.members]),
+    (HOPPING_STREAMS, build_streaming_hopping, streaming_hopping_oracle,
+     _NO_DEPS),
     (OHLC_STREAMS, build_streaming_ohlc, streaming_ohlc_oracle,
      _NO_DEPS),
     (SCD1_STREAMS, build_streaming_scd1, scd1_merge_oracle, _NO_DEPS),

@@ -279,3 +279,130 @@ def build_streaming_vault_ingest(spark, reg: Registry,
     parts = [store.read(m.entity).selectExpr(*_member_exprs(m, g))
              for m in cfg.members]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ------------------------------------- driver-gated entity (native) --
+#
+# The SEVENTH driver-gated streaming path, and the only one exercising
+# Spark's NATIVE streaming-aggregation engine: watermarked hopping
+# windows in APPEND output mode (StateStoreSave with watermark-driven
+# eviction). The other six gates run foreachBatch loops or
+# applyInPandasWithState; none certifies the built-in stateful
+# aggregation operator — the path a production pipeline uses for
+# windowed rollups over a stream.
+#
+# Mechanics: the events source is staged as n_batches contiguous
+# time-range arrival files PLUS one far-future sentinel event. Append
+# mode only emits a window once the watermark passes its end, so the
+# sentinel's arrival advances the watermark beyond every real window
+# and flushes them all to the sink; the sentinel's own windows never
+# expire and are never emitted (belt-and-braces: the read-back also
+# filters to window_start below the sentinel). The oracle is the
+# BATCH hopping-window SQL (operators/events.py hopping_agg_oracle) —
+# the same epoch-aligned window arithmetic through DuckDB's interval
+# algebra, so a green row certifies the native engine's window
+# assignment, watermark eviction, and exactly-once emission at value
+# level (counts + exact integer cents).
+#
+# Exactness argument: time-range arrival means event time never goes
+# backwards across micro-batch epochs, so the watermark is monotone
+# and no real event is ever late (nothing is dropped); integer cents
+# sum exactly in any order; append-mode emits each expired window
+# exactly once into the parquet sink.
+
+@dataclass(frozen=True)
+class StreamingHoppingEntityConfig:
+    """Same window geometry as the batch HoppingAggConfig — the oracle
+    IS the batch operator's oracle, so the two entities certify
+    hopping-window aggregation through both execution engines."""
+
+    name: str
+    source: str = "events"
+    ts_col: str = "ts"
+    group_col: str = "event_type"
+    value_col: str = "value"
+    width_seconds: int = 3600
+    hop_seconds: int = 900
+    watermark: str = "2 hours"
+    n_batches: int = 3
+    sentinel_ts: str = "2200-01-01 00:00:00"   # inside datetime64[ns]
+
+
+def build_streaming_hopping(spark, reg: Registry,
+                            cfg: StreamingHoppingEntityConfig,
+                            g: GlobalConfig = DEFAULT) -> DataFrame:
+    """Stage -> native watermarked window aggregation (append mode) ->
+    read the flushed sink. Scratch dirs are cleared per run so repeated
+    driver/bench invocations re-execute the full streaming load."""
+    import os
+    import shutil
+
+    from ..plans.incremental import scratch_store
+    from .staging import stage_arrival_frames
+    from .stateful import _time_range_frames
+
+    ev = (reg.load(spark, cfg.source)
+          .select(F.col(cfg.ts_col).cast("timestamp").alias("ts"),
+                  F.col(cfg.group_col).alias("gcol"),
+                  F.col(cfg.value_col).alias("value")))
+    out_schema = ("window_start timestamp, window_end timestamp, "
+                  f"{cfg.group_col} string, n_events bigint, "
+                  "sum_value_cents bigint")
+    if ev.limit(1).count() == 0:
+        return spark.createDataFrame([], out_schema)
+    store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamhop")
+    src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
+    out_dir = store.path("windows")
+    for p in (src_dir, ckpt_dir, out_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src_dir)
+    frames = _time_range_frames(ev, cfg.n_batches)
+    frames.append(spark.sql(
+        f"SELECT TIMESTAMP '{cfg.sentinel_ts}' AS ts, "
+        f"'__sentinel__' AS gcol, CAST(0 AS DOUBLE) AS value"))
+    stage_arrival_frames(frames, src_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir)
+              .withWatermark("ts", cfg.watermark))
+    agg = (stream.groupBy(
+               F.window("ts", f"{cfg.width_seconds} seconds",
+                        f"{cfg.hop_seconds} seconds").alias("w"),
+               "gcol")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .alias("sum_value_cents"))
+           .select(F.col("w.start").alias("window_start"),
+                   F.col("w.end").alias("window_end"),
+                   F.col("gcol").alias(cfg.group_col),
+                   "n_events", "sum_value_cents"))
+    q = (agg.writeStream.format("parquet")
+         .outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return (spark.read.parquet(out_dir)
+            .filter(F.col("window_start")
+                    < F.expr(f"TIMESTAMP '{cfg.sentinel_ts}' "
+                             f"- INTERVAL {cfg.width_seconds} SECONDS")))
+
+
+def streaming_hopping_oracle(b, reg: Registry,
+                             cfg: StreamingHoppingEntityConfig,
+                             g: GlobalConfig = DEFAULT) -> str:
+    """Time-ordered arrival + sentinel flush make the append-mode sink
+    equal the batch hopping aggregation (module note), so the batch
+    SQL is the oracle."""
+    from ..operators.events import HoppingAggConfig, hopping_agg_oracle
+
+    return hopping_agg_oracle(
+        b, reg, HoppingAggConfig(
+            cfg.name, source=cfg.source, ts_col=cfg.ts_col,
+            group_col=cfg.group_col, value_col=cfg.value_col,
+            width_seconds=cfg.width_seconds,
+            hop_seconds=cfg.hop_seconds), g)

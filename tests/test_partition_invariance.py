@@ -45,6 +45,9 @@ ENTITIES = (
     # + per-batch anti-joins must not leak into the loaded tables)
     "multimodal_gif_frames",
     "events_vault_ingest_stream",
+    # the native watermarked-aggregation gate: watermark eviction and
+    # append-mode emission must not depend on shuffle layout
+    "events_hopping_stream",
 )
 
 

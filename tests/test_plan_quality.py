@@ -1022,6 +1022,14 @@ _BUNDLE_CLOSURES = {
         # bounded-histogram groupBy + census join-back); 1.13s warm
         # standalone at sf0.1 (min-of-4, measured before adding)
         "events_value_outliers",
+        # round-12 rotation IN (exposed since r8): the keyed interval
+        # join against the hopping windows its closure already builds
+        # (event_hopping_agg is a member above); 0.54s warm standalone
+        # at sf0.1 (min-of-4, measured before adding; the widened
+        # bundle re-measured 26.98s min-of-4 — flat vs the pre-widening
+        # 24-27s band). Its freed slot backs events_hopping_stream,
+        # the seventh driver gate (native watermarked aggregation).
+        "events_in_hopping_window",
         # round-10 deliberate widening: the SCD1 streaming replay —
         # same 3-upsert store loop as lineitem_scd1_current driven
         # through an actual checkpointed stream; 6.1s (under a concurrent bench run; idle is lower) warm

@@ -53,3 +53,57 @@ def test_streaming_hopping_windows_equal_batch_operator(spark, tmp_path):
     got = sorted(map(tuple,
                      spark.sql("SELECT * FROM hop_parity").collect()))
     assert got == want
+
+
+def test_append_mode_sentinel_flushes_all_real_windows(spark, tmp_path):
+    """The seventh driver gate's core mechanic: APPEND mode only emits
+    a window once the watermark passes its end, so a far-future
+    sentinel arrival must flush every real window exactly once while
+    the sentinel's own windows stay open and unemitted."""
+    import datetime
+
+    TS = datetime.datetime.fromisoformat
+    rows = [(TS("2024-01-01 10:05:00"), "view", 1.0),
+            (TS("2024-01-01 10:20:00"), "view", 2.0),
+            (TS("2024-01-01 11:40:00"), "click", 3.0)]
+    src = str(tmp_path / "hop_src")
+    os.makedirs(src)
+    schema = "ts TIMESTAMP, gcol STRING, value DOUBLE"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{src}.__a__")
+    import glob
+    import shutil
+    part = glob.glob(f"{src}.__a__/part-*.parquet")[0]
+    os.replace(part, f"{src}/batch_0.parquet")
+    spark.createDataFrame(
+        [(TS("2200-01-01 00:00:00"), "__sentinel__", 0.0)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}.__b__")
+    part = glob.glob(f"{src}.__b__/part-*.parquet")[0]
+    os.replace(part, f"{src}/batch_1.parquet")
+    os.utime(f"{src}/batch_0.parquet", (1_700_000_000,) * 2)
+    os.utime(f"{src}/batch_1.parquet", (1_700_000_100,) * 2)
+    shutil.rmtree(f"{src}.__a__"); shutil.rmtree(f"{src}.__b__")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "2 hours"))
+    agg = (stream.groupBy(
+               F.window("ts", "3600 seconds", "1800 seconds").alias("w"),
+               "gcol")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("ws"), "gcol", "n"))
+    out = str(tmp_path / "hop_out")
+    q = (agg.writeStream.format("parquet").outputMode("append")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "hop_ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(str(r.ws), r.gcol, r.n)
+           for r in spark.read.parquet(out).collect()}
+    # every real window emitted exactly once, sentinel windows absent
+    assert got == {
+        ("2024-01-01 09:30:00", "view", 2),
+        ("2024-01-01 10:00:00", "view", 2),
+        ("2024-01-01 11:00:00", "click", 1),
+        ("2024-01-01 11:30:00", "click", 1),
+    }, got
