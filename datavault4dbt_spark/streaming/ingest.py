@@ -338,7 +338,7 @@ def build_streaming_hopping(spark, reg: Registry,
     import shutil
 
     from ..plans.incremental import scratch_store
-    from .staging import stage_arrival_frames
+    from .staging import scoped_stream_shuffle, stage_arrival_frames
     from .stateful import _time_range_frames
 
     ev = (reg.load(spark, cfg.source)
@@ -376,16 +376,17 @@ def build_streaming_hopping(spark, reg: Registry,
                    F.col("w.end").alias("window_end"),
                    F.col("gcol").alias(cfg.group_col),
                    "n_events", "sum_value_cents"))
-    q = (agg.writeStream.format("parquet")
-         .outputMode("append")
-         .option("path", out_dir)
-         .option("checkpointLocation", ckpt_dir)
-         .trigger(availableNow=True).start())
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
-    if q.exception() is not None:
-        raise q.exception()
+    with scoped_stream_shuffle(spark):
+        q = (agg.writeStream.format("parquet")
+             .outputMode("append")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+        if q.exception() is not None:
+            raise q.exception()
     return (spark.read.parquet(out_dir)
             .filter(F.col("window_start")
                     < F.expr(f"TIMESTAMP '{cfg.sentinel_ts}' "

@@ -303,6 +303,7 @@ def build_streaming_sessions(spark, reg, cfg: StreamingSessionEntityConfig,
     import shutil
 
     from ..plans.incremental import scratch_store
+    from .staging import scoped_stream_shuffle
 
     ev = (reg.load(spark, cfg.source)
           .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
@@ -331,15 +332,16 @@ def build_streaming_sessions(spark, reg, cfg: StreamingSessionEntityConfig,
     # processing-time timers (see sessionize_stream docstring)
     closed = sessionize_stream(stream, gap_seconds=cfg.gap_seconds,
                                timeout_ms=0)
-    q = (closed.writeStream.format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", ckpt_dir)
-         .trigger(availableNow=True).start())
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
-    if q.exception() is not None:
-        raise q.exception()
+    with scoped_stream_shuffle(spark):
+        q = (closed.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+        if q.exception() is not None:
+            raise q.exception()
     sess = (spark.read.parquet(out_dir)
             # sentinel singletons stay open (nothing follows them) and
             # are never emitted; the guard keeps a late processing-time
@@ -409,7 +411,7 @@ def build_streaming_funnel(spark, reg, cfg: StreamingFunnelEntityConfig,
     import shutil
 
     from ..plans.incremental import scratch_store
-    from .staging import stage_arrival_frames
+    from .staging import scoped_stream_shuffle, stage_arrival_frames
 
     k = len(cfg.steps)
     step_cols = [f"step{i}_ts" for i in range(1, k + 1)]
@@ -432,15 +434,16 @@ def build_streaming_funnel(spark, reg, cfg: StreamingFunnelEntityConfig,
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
     snaps = funnel_stream(stream, steps=cfg.steps)
-    q = (snaps.writeStream.format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", ckpt_dir)
-         .trigger(availableNow=True).start())
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
-    if q.exception() is not None:
-        raise q.exception()
+    with scoped_stream_shuffle(spark):
+        q = (snaps.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{cfg.name}: stream did not drain in 600s")
+        if q.exception() is not None:
+            raise q.exception()
     return (spark.read.parquet(out_dir)
             .groupBy("user_id")
             .agg(*[F.max(c).alias(c) for c in step_cols],

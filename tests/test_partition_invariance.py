@@ -53,6 +53,12 @@ ENTITIES = (
 
 def _rows(spark, sf_dir, name, partitions):
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    # the stateful streaming gates scope their checkpointed execution
+    # to a fixed state-partition count (staging.scoped_stream_shuffle);
+    # the explicit override below makes THIS test's 7-vs-32 sweep reach
+    # their state-store layout too, so the pin stays meaningful there
+    from datavault4dbt_spark.streaming.staging import STREAM_SHUFFLE_CONF
+    spark.conf.set(STREAM_SHUFFLE_CONF, str(partitions))
     try:
         df = fixtures.entity_query(name)(spark, sf_dir)
         cols = sorted(df.columns)
@@ -60,6 +66,7 @@ def _rows(spark, sf_dir, name, partitions):
                       for r in df.collect())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.unset(STREAM_SHUFFLE_CONF)
         spark.catalog.clearCache()
 
 
