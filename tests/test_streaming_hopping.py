@@ -107,3 +107,34 @@ def test_append_mode_sentinel_flushes_all_real_windows(spark, tmp_path):
         ("2024-01-01 11:00:00", "click", 1),
         ("2024-01-01 11:30:00", "click", 1),
     }, got
+
+
+def test_scoped_stream_shuffle_sets_restores_and_overrides(spark):
+    """The stateful gates' state-store layout scope: default applies
+    inside the block, STREAM_SHUFFLE_CONF overrides it, and the
+    session's own setting is restored on both clean exit and error —
+    a leaked override would silently reshape every later batch plan."""
+    from datavault4dbt_spark.streaming.staging import (
+        STREAM_SHUFFLE_CONF, scoped_stream_shuffle)
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        with scoped_stream_shuffle(spark, default=5):
+            assert spark.conf.get(key) == "5"
+        assert spark.conf.get(key) == prev
+
+        spark.conf.set(STREAM_SHUFFLE_CONF, "11")
+        try:
+            with scoped_stream_shuffle(spark, default=5):
+                assert spark.conf.get(key) == "11"
+        finally:
+            spark.conf.unset(STREAM_SHUFFLE_CONF)
+        assert spark.conf.get(key) == prev
+
+        with pytest.raises(RuntimeError, match="boom"):
+            with scoped_stream_shuffle(spark, default=5):
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == prev
+    finally:
+        spark.conf.set(key, prev)
