@@ -172,6 +172,9 @@ from .streaming.ingest import (StreamingVaultIngestEntityConfig,
                                StreamingHoppingEntityConfig,
                                build_streaming_hopping,
                                streaming_hopping_oracle)
+from .streaming.dropdup import (StreamingDropDupEntityConfig,
+                                build_streaming_dropdup,
+                                streaming_dropdup_oracle)
 from .operators.maintenance import (PitCleanupConfig, build_pit_cleanup,
                                     pit_cleanup_oracle)
 from .llm.selection import (CanonicalConfig, StratifiedSplitConfig,
@@ -893,7 +896,19 @@ _ALL_BUNDLE_MEMBERS = (
                      ldts="TIMESTAMP '2024-01-01 00:00:00'",
                      rsrc="'temperature_resample'"),
         # round-10: event_funnel rotated OUT to an exposed slot (r9
-        # advice #1 rotation; bundled since r8)
+        # advice #1 rotation; bundled since r8); round-12 (late): it
+        # rotates back IN — its freed slot backs the native streaming
+        # dedup gate events_dedup_stream, the same batch-rotates-in /
+        # stream-stays-direct pattern as events_in_hopping_window (the
+        # streaming twin event_funnel_stream keeps its direct row, and
+        # the batch funnel stays row-verified through this fold)
+        BundleMember("event_funnel", "CAST(user_id AS STRING)",
+                     "concat(coalesce(CAST(step1_ts AS STRING), ''), "
+                     "':', coalesce(CAST(step2_ts AS STRING), ''), "
+                     "':', coalesce(CAST(step3_ts AS STRING), ''), "
+                     "':', CAST(depth AS STRING))",
+                     ldts="TIMESTAMP '2024-01-01 00:00:00'",
+                     rsrc="'funnel'"),
         # round-8: cohort retention — the full matrix folds in
         BundleMember("event_cohort_retention",
                      "concat(CAST(cohort_day AS STRING), ':', "
@@ -1665,6 +1680,10 @@ BUNDLES = {
         # slot backs the native watermarked streaming twin,
         # events_hopping_stream — the seventh driver gate)
         "events_in_hopping_window",
+        # round-12 (late) rotation IN: the batch funnel (its freed slot
+        # backs the native streaming dedup gate, events_dedup_stream —
+        # the eighth driver gate; the stream twin stays direct)
+        "event_funnel",
         "lineitem_quarantine",
         "lineitem_qty_price_stats", "events_rolling_value",
         "events_props_extracted", "events_value_locf",
@@ -2288,6 +2307,19 @@ VAULT_INGEST_STREAMS = {"events_vault_ingest_stream":
 # events_in_hopping_window, which rotates into analytics_bundle).
 HOPPING_STREAMS = {"events_hopping_stream":
                    StreamingHoppingEntityConfig("events_hopping_stream")}
+# round-12 (late): the EIGHTH driver-gated streaming path — Spark's
+# NATIVE streaming deduplication (dropDuplicatesWithinWatermark ->
+# per-key state-store probes with watermark-bounded retention), the
+# one native stateful operator class the first seven gates left
+# uncovered. The events stream is inflated with byte-identical
+# duplicates (same-epoch AND re-delivered-one-epoch-later — the
+# at-least-once replay shape that forces a cross-epoch state hit);
+# exactly one copy per event_id must survive, so the oracle is just
+# the base projection. Its slot comes from event_funnel (the batch
+# twin) rotating into analytics_bundle — the same batch-rotates-in /
+# stream-stays-direct pattern as events_in_hopping_window.
+DROPDUP_STREAMS = {"events_dedup_stream":
+                   StreamingDropDupEntityConfig("events_dedup_stream")}
 OHLC_STREAMS = {"events_ohlc_stream":
                 OhlcStreamEntityConfig("events_ohlc_stream")}
 # round-10: the SCD1 streaming twin under the driver gate — the same
@@ -2728,6 +2760,8 @@ _FAMILIES = [
     (VAULT_INGEST_STREAMS, build_streaming_vault_ingest, bundle_oracle,
      lambda c: [m.entity for m in c.members]),
     (HOPPING_STREAMS, build_streaming_hopping, streaming_hopping_oracle,
+     _NO_DEPS),
+    (DROPDUP_STREAMS, build_streaming_dropdup, streaming_dropdup_oracle,
      _NO_DEPS),
     (OHLC_STREAMS, build_streaming_ohlc, streaming_ohlc_oracle,
      _NO_DEPS),

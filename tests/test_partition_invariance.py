@@ -48,6 +48,9 @@ ENTITIES = (
     # the native watermarked-aggregation gate: watermark eviction and
     # append-mode emission must not depend on shuffle layout
     "events_hopping_stream",
+    # the native streaming-dedup gate: per-key state-store probes and
+    # duplicate-drop decisions must not depend on state layout
+    "events_dedup_stream",
 )
 
 

@@ -1008,6 +1008,13 @@ _BUNDLE_CLOSURES = {
         # exposed; events_ohlc_hourly and part_name_linkage rotated
         # OUT to exposed slots)
         "events_asof_click",
+        # round-12 (late) rotation IN: the batch funnel rotates back
+        # (bundled r8-r10; 0.46s standalone sf0.1 min-of-4, measured
+        # before adding; the widened bundle re-measured 28.4s min-of-4
+        # under residual load vs its 26.98s pre-widening minimum).
+        # Its freed slot backs events_dedup_stream, the eighth driver
+        # gate (native streaming deduplication).
+        "event_funnel",
         "events_trending_daily", "events_value_locf", "hub_nation",
         "hub_supplier", "lineitem_qty_price_stats",
         "lineitem_quarantine", "lineitem_rollup_census",
