@@ -79,8 +79,8 @@ def build_streaming_dropdup(spark, reg: Registry,
     import shutil
 
     from ..plans.incremental import scratch_store
-    from .staging import scoped_stream_shuffle, stage_arrival_frames
-    from .stateful import _time_range_frames
+    from .staging import EPOCH_COL, scoped_stream_shuffle, stage_epoch_frames
+    from .stateful import _check_ts_stats, _ts_stats, _with_time_epoch
 
     ev = (reg.load(spark, cfg.source)
           .select("event_id",
@@ -90,15 +90,18 @@ def build_streaming_dropdup(spark, reg: Registry,
                   # and the emitted row is integer-portable
                   F.expr("CAST(round(value * 100) AS BIGINT)")
                   .alias("value_cents")))
-    if ev.limit(1).count() == 0:
+    # one probe job: emptiness + bounds + NULL-ts + NULL-key censuses
+    stats = _ts_stats(ev, extra_null_cols=("event_id",))
+    if stats.cnt == 0:
         return spark.createDataFrame(
             [], "event_id long, ts timestamp, user_id long,"
                 " event_type string, value_cents long")
-    n_null_key = ev.filter(F.col("event_id").isNull()).count()
-    if n_null_key:
+    if stats.n_null_event_id:
         raise ValueError(
-            f"{cfg.name}: {n_null_key} NULL event_id rows — NULL-key "
-            f"dedup is not portable across engines (module note)")
+            f"{cfg.name}: {stats.n_null_event_id} NULL event_id rows — "
+            f"NULL-key dedup is not portable across engines (module "
+            f"note)")
+    _check_ts_stats(stats)
     store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamddup")
     src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
     out_dir = store.path("deduped")
@@ -106,17 +109,19 @@ def build_streaming_dropdup(spark, reg: Registry,
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(src_dir)
 
-    frames = _time_range_frames(ev, cfg.n_batches)
-    arrivals = [
+    tagged = _with_time_epoch(ev, stats, cfg.n_batches)
+    epoch = F.col(EPOCH_COL)
+    arrivals = tagged.unionByName(
         # epoch 0: same-batch duplicates ride along with their originals
-        frames[0].unionByName(
-            frames[0].filter(F.col("event_id") % cfg.intra_mod == 0))]
-    for k in range(1, cfg.n_batches):
+        tagged.filter((epoch == 0)
+                      & (F.col("event_id") % cfg.intra_mod == 0))
+    ).unionByName(
         # epoch k: at-least-once replay of a slice of epoch k-1 —
         # the state-store must remember last epoch's keys to drop these
-        arrivals.append(frames[k].unionByName(
-            frames[k - 1].filter(F.col("event_id") % cfg.cross_mod == 0)))
-    stage_arrival_frames(arrivals, src_dir)
+        tagged.filter((epoch < cfg.n_batches - 1)
+                      & (F.col("event_id") % cfg.cross_mod == 0))
+        .withColumn(EPOCH_COL, epoch + 1))
+    stage_epoch_frames(arrivals, cfg.n_batches, src_dir)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(src_dir)

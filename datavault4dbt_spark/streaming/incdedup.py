@@ -163,33 +163,17 @@ def _stage_arrival_files(spark, docs: DataFrame,
     """Write the corpus as n_batches single-file parquet arrivals with
     strictly increasing mtimes, so the file stream (ordered by mtime,
     then path — batch_<k> names also sort lexicographically) delivers
-    them as epochs 0..n-1. Each batch is written DISTRIBUTED to a
-    sibling dir, then its single output file is renamed into the
-    watched dir — the driver never holds row data. Staging exists only
-    because the driver entity must simulate arrival; a production
-    stream watches a directory someone else fills."""
-    import glob
-    import os
-    import shutil
-    import time
+    them as epochs 0..n-1 — ONE distributed job via
+    ``stage_epoch_frames`` (the driver never holds row data). Staging
+    exists only because the driver entity must simulate arrival; a
+    production stream watches a directory someone else fills."""
+    from .staging import EPOCH_COL, stage_epoch_frames
 
     batch_of = F.expr(_batch_expr(cfg.as_batch(), bound, "spark"))
-    base = time.time()
-    for k in range(cfg.n_batches):
-        tmp = f"{src_dir}.__stage{k}__"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (docs.select(cfg.id_col, cfg.text_col).filter(batch_of == k)
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = glob.glob(f"{tmp}/part-*.parquet")
-        if len(part) != 1:
-            raise RuntimeError(
-                f"{cfg.name}: expected one staged file, got {part}")
-        dst = f"{src_dir}/batch_{k}.parquet"
-        os.replace(part[0], dst)
-        # pin arrival order explicitly — equal mtimes would still order
-        # correctly by path, but the contract should not rest on names
-        os.utime(dst, (base + 100 * k, base + 100 * k))
-        shutil.rmtree(tmp, ignore_errors=True)
+    stage_epoch_frames(
+        docs.select(cfg.id_col, cfg.text_col)
+        .withColumn(EPOCH_COL, batch_of),
+        cfg.n_batches, src_dir)
 
 
 def build_streaming_incremental_dedup(spark, reg: Registry,

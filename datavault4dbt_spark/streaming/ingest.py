@@ -250,22 +250,26 @@ def build_streaming_vault_ingest(spark, reg: Registry,
 
     from ..operators.bundle import _member_exprs
     from ..plans.incremental import scratch_store
-    from .staging import stage_arrival_frames
-    from .stateful import _time_range_frames
+    from .staging import stage_epoch_frames
+    from .stateful import _check_ts_stats, _ts_stats, _with_time_epoch
 
     ev = reg.load(spark, cfg.source).withColumn(
         cfg.ts_col, F.col(cfg.ts_col).cast("timestamp"))
-    if ev.limit(1).count() == 0:
+    stats = _ts_stats(ev, ts_col=cfg.ts_col)
+    if stats.cnt == 0:
         return spark.createDataFrame(
             [], "entity string, hk string, hd string, "
                 "ldts timestamp, rsrc string")
+    _check_ts_stats(stats)
     store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamvault")
     src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
     tables = [e.name for e in (*cfg.hubs, *cfg.nh_sats)]
     for p in (src_dir, ckpt_dir, *[store.path(t) for t in tables]):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(src_dir)
-    stage_arrival_frames(_time_range_frames(ev, cfg.n_batches), src_dir)
+    stage_epoch_frames(
+        _with_time_epoch(ev, stats, cfg.n_batches, ts_col=cfg.ts_col),
+        cfg.n_batches, src_dir)
 
     ingest = StreamIngestConfig(
         source_dir=src_dir, source_name=cfg.source, stage=cfg.stage,
@@ -338,8 +342,9 @@ def build_streaming_hopping(spark, reg: Registry,
     import shutil
 
     from ..plans.incremental import scratch_store
-    from .staging import scoped_stream_shuffle, stage_arrival_frames
-    from .stateful import _time_range_frames
+    from .staging import (EPOCH_COL, scoped_stream_shuffle,
+                          stage_epoch_frames)
+    from .stateful import _check_ts_stats, _ts_stats, _with_time_epoch
 
     ev = (reg.load(spark, cfg.source)
           .select(F.col(cfg.ts_col).cast("timestamp").alias("ts"),
@@ -348,19 +353,23 @@ def build_streaming_hopping(spark, reg: Registry,
     out_schema = ("window_start timestamp, window_end timestamp, "
                   f"{cfg.group_col} string, n_events bigint, "
                   "sum_value_cents bigint")
-    if ev.limit(1).count() == 0:
+    stats = _ts_stats(ev)   # one probe job: emptiness + bounds + NULLs
+    if stats.cnt == 0:
         return spark.createDataFrame([], out_schema)
+    _check_ts_stats(stats)
     store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamhop")
     src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
     out_dir = store.path("windows")
     for p in (src_dir, ckpt_dir, out_dir):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(src_dir)
-    frames = _time_range_frames(ev, cfg.n_batches)
-    frames.append(spark.sql(
+    sentinel = spark.sql(
         f"SELECT TIMESTAMP '{cfg.sentinel_ts}' AS ts, "
-        f"'__sentinel__' AS gcol, CAST(0 AS DOUBLE) AS value"))
-    stage_arrival_frames(frames, src_dir)
+        f"'__sentinel__' AS gcol, CAST(0 AS DOUBLE) AS value, "
+        f"CAST({cfg.n_batches} AS INT) AS {EPOCH_COL}")
+    stage_epoch_frames(
+        _with_time_epoch(ev, stats, cfg.n_batches).unionByName(sentinel),
+        cfg.n_batches + 1, src_dir)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(src_dir)

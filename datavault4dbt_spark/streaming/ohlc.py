@@ -99,7 +99,7 @@ def build_streaming_ohlc(spark, reg, cfg: OhlcStreamEntityConfig,
     import shutil
 
     from ..plans.incremental import scratch_store
-    from .staging import stage_arrival_frames
+    from .staging import EPOCH_COL, stage_epoch_frames
 
     bars = cfg.bars()
     ev = (reg.load(spark, cfg.source)
@@ -120,9 +120,10 @@ def build_streaming_ohlc(spark, reg, cfg: OhlcStreamEntityConfig,
     bound = int(mx) + 1
     batch_of = F.expr(f"CAST(({bars.id_col} * {cfg.n_batches}) "
                       f"div {bound} AS INT)")
-    stage_arrival_frames(
-        [ev.filter(batch_of == k) for k in range(cfg.n_batches)],
-        src_dir)
+    # one distributed staging job instead of n_batches sequential
+    # coalesce(1) writes (each rescanning the source) — staging.py
+    stage_epoch_frames(ev.withColumn(EPOCH_COL, batch_of),
+                       cfg.n_batches, src_dir)
     q = start_ohlc_stream(spark, bars, store, src_dir, ev.schema,
                           ckpt_dir)
     if not q.awaitTermination(600):

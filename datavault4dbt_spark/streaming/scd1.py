@@ -84,7 +84,7 @@ def build_streaming_scd1(spark, reg, cfg: Scd1MergeConfig, g=None):
     from pyspark.sql import functions as F
 
     from ..plans.incremental import scratch_store
-    from .staging import stage_arrival_frames
+    from .staging import EPOCH_COL, stage_epoch_frames
 
     cols = list(dict.fromkeys(
         (*cfg.key_cols, *cfg.tie_cols, *cfg.payload_cols)))
@@ -105,8 +105,18 @@ def build_streaming_scd1(spark, reg, cfg: Scd1MergeConfig, g=None):
             f"CAST(NULL AS BIGINT) AS {cfg.version_alias}",
             *cfg.tie_cols, *cfg.payload_cols)
     os.makedirs(src_dir)
-    stage_arrival_frames([src.filter(ver == v) for v in versions],
-                         src_dir)
+    # epoch = index of the row's version in ascending version order
+    # (a CASE over the probed distinct versions — a handful of
+    # literals); one distributed staging job instead of one
+    # coalesce(1) write per version (staging.py)
+    epoch_case = ("CASE CAST(" + cfg.version_expr + " AS BIGINT) "
+                  + " ".join(f"WHEN {v} THEN {i}"
+                             for i, v in enumerate(versions))
+                  + " END")
+    stage_epoch_frames(
+        src.withColumn(EPOCH_COL,
+                       F.expr(epoch_case).cast("int")),
+        len(versions), src_dir)
     q = start_scd1_stream(spark, cfg, store, src_dir, src.schema,
                           ckpt_dir)
     if not q.awaitTermination(600):

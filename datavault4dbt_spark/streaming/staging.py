@@ -73,7 +73,13 @@ def scoped_stream_shuffle(spark, default: int = _STREAM_SHUFFLE_DEFAULT):
 
 def stage_arrival_frames(frames, src_dir: str) -> None:
     """Write ``frames`` (same-schema DataFrames, already projected to
-    the stream's columns) as ordered single-file arrivals."""
+    the stream's columns) as ordered single-file arrivals.
+
+    K sequential jobs (one coalesce(1) write per frame). Prefer
+    ``stage_epoch_frames`` when the frames are expressible as one
+    DataFrame with an epoch column — it stages every arrival in ONE
+    distributed job; this per-frame path remains for callers whose
+    frames have heterogeneous plans."""
     base = time.time()
     for k, frame in enumerate(frames):
         tmp = f"{src_dir}.__stage{k}__"
@@ -88,3 +94,58 @@ def stage_arrival_frames(frames, src_dir: str) -> None:
         # correctly by path, but the contract should not rest on names
         os.utime(dst, (base + 100 * k, base + 100 * k))
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+EPOCH_COL = "__epoch__"
+
+
+def stage_epoch_frames(df, n_epochs: int, src_dir: str,
+                       epoch_col: str = EPOCH_COL) -> None:
+    """Write ALL arrival epochs in ONE distributed job.
+
+    ``df`` carries the stream's columns plus ``epoch_col`` (int in
+    [0, n_epochs)). The frame is hash-repartitioned on the epoch column
+    (every epoch's rows land in exactly one task) and written with
+    ``partitionBy(epoch_col)`` — one parquet file per epoch, the epoch
+    column stripped from the file contents by the hive layout — then
+    each file is renamed into the watched dir in epoch order with
+    strictly increasing mtimes, exactly the layout
+    ``stage_arrival_frames`` produces.
+
+    Why: the sequential path pays K job floors plus K serial
+    single-task writes, each rescanning the source (guide §1.2, §2.4 —
+    staging was the gates' second-largest cost after the micro-batches
+    themselves); this is one scan + one K-task exchange. The driver
+    never holds row data.
+
+    An epoch with no rows still gets an (empty, schema-only) arrival
+    file via a fallback single-partition write, preserving the
+    epoch-k == batch-k numbering downstream foreachBatch logic relies
+    on (e.g. the incremental-dedup verdicts' batch_id column)."""
+    tmp = f"{src_dir}.__stage__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (df.repartition(n_epochs, df[epoch_col])
+       .write.mode("overwrite").partitionBy(epoch_col).parquet(tmp))
+    base = time.time()
+    empty = None
+    for k in range(n_epochs):
+        part = glob.glob(f"{tmp}/{epoch_col}={k}/part-*.parquet")
+        if len(part) > 1:
+            raise RuntimeError(f"epoch {k}: expected one staged file, "
+                               f"got {part}")
+        if part:
+            src = part[0]
+        else:
+            # empty epoch: write a schema-only file (rare — contiguous
+            # range epochs are non-empty on real data)
+            if empty is None:
+                empty = df.drop(epoch_col).filter("1 = 0")
+            etmp = f"{src_dir}.__stage_empty{k}__"
+            shutil.rmtree(etmp, ignore_errors=True)
+            empty.coalesce(1).write.mode("overwrite").parquet(etmp)
+            src = glob.glob(f"{etmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch_{k}.parquet"
+        os.replace(src, dst)
+        os.utime(dst, (base + 100 * k, base + 100 * k))
+    for leftover in glob.glob(f"{src_dir}.__stage*__"):
+        shutil.rmtree(leftover, ignore_errors=True)

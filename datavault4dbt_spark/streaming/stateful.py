@@ -240,41 +240,83 @@ def funnel_stream(events: DataFrame,
 # rendered as DOUBLE (integer-valued doubles sum exactly in any
 # order), so sum_value_cents is bit-equal to the batch SUM.
 
+def _ts_stats(events, ts_col: str = "ts", extra_null_cols: tuple = ()):
+    """ONE aggregate job covering every staging precondition the gates
+    used to probe with separate jobs (emptiness via limit(1).count,
+    NULL-ts census, event-time bounds, per-key NULL censuses): returns
+    a Row with ``cnt``, ``lo``/``hi`` (unix_micros bounds), ``n_null``
+    (NULL ts rows) and ``n_null_<col>`` for each extra column
+    (guide §1.2 — probe jobs were pure job-floor overhead)."""
+    exprs = ["count(*) AS cnt",
+             f"min(unix_micros({ts_col})) AS lo",
+             f"max(unix_micros({ts_col})) AS hi",
+             f"sum(CASE WHEN {ts_col} IS NULL THEN 1 ELSE 0 END)"
+             f" AS n_null"]
+    exprs += [f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+              f" AS n_null_{c}" for c in extra_null_cols]
+    return events.selectExpr(*exprs).collect()[0]
+
+
+def _check_ts_stats(stats) -> None:
+    if stats.n_null:
+        # a NULL ts row passes no range filter, so it would silently
+        # vanish from the staged stream while the batch oracle still
+        # counts its user (r11 advice) — fail loudly instead
+        raise ValueError(
+            f"{stats.n_null} NULL-ts rows cannot be staged as "
+            "time-range arrivals; filter or repair them upstream")
+
+
+def _epoch_expr(lo: int, hi: int, n_batches: int,
+                ts_col: str = "ts") -> str:
+    """Contiguous-time-range epoch id: integer division keeps ties in
+    one range, so arrival in epoch order means event time never goes
+    backwards across micro-batch epochs — the exactness contract the
+    stateful gates rely on."""
+    span = hi - lo + 1
+    return (f"CAST(((unix_micros({ts_col}) - {lo}) * {n_batches}) "
+            f"div {span} AS INT)")
+
+
+def _with_time_epoch(events, stats, n_batches: int,
+                     ts_col: str = "ts"):
+    """Tag each row with its contiguous-range epoch in [0, n_batches)
+    — the single-pass input ``stage_epoch_frames`` stages in one job."""
+    from .staging import EPOCH_COL
+
+    return events.withColumn(EPOCH_COL, F.expr(
+        _epoch_expr(int(stats.lo), int(stats.hi), n_batches, ts_col)))
+
+
 def _time_range_frames(events, n_batches: int) -> list:
     """Split a frame into n_batches contiguous event-time ranges —
     arrival in range order means event time never goes backwards across
     micro-batch epochs (ties land in the same range: integer division),
     which is the exactness contract both stateful gates rely on."""
-    bounds = events.selectExpr(
-        "min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi",
-        "sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null").collect()[0]
-    if bounds.n_null:
-        # a NULL ts row passes no range filter, so it would silently
-        # vanish from the staged stream while the batch oracle still
-        # counts its user (r11 advice) — fail loudly instead
-        raise ValueError(
-            f"{bounds.n_null} NULL-ts rows cannot be staged as "
-            "time-range arrivals; filter or repair them upstream")
-    lo, hi = int(bounds.lo), int(bounds.hi)
-    span = hi - lo + 1
+    stats = _ts_stats(events)
+    _check_ts_stats(stats)
+    lo, hi = int(stats.lo), int(stats.hi)
     return [events.filter(F.expr(
-        f"CAST(((unix_micros(ts) - {lo}) * {n_batches}) div {span} "
-        f"AS INT) = {k}")) for k in range(n_batches)]
+        f"{_epoch_expr(lo, hi, n_batches)} = {k}"))
+        for k in range(n_batches)]
 
 
-def _stage_time_batches(spark, events, n_batches: int, src_dir: str,
-                        sentinel_ts: str) -> None:
-    """Write the stream as n_batches single-file time-range arrivals,
-    then a sentinel file (one far-future event per user) that closes
-    every open session (streaming/staging.py does the file mechanics)."""
-    from .staging import stage_arrival_frames
+def _stage_time_batches(spark, events, stats, n_batches: int,
+                        src_dir: str, sentinel_ts: str) -> None:
+    """Stage the stream as n_batches time-range arrivals plus a
+    sentinel file (one far-future event per user) that closes every
+    open session — ONE distributed job via ``stage_epoch_frames``
+    (the sentinel's distinct-user shuffle rides inside it)."""
+    from .staging import EPOCH_COL, stage_epoch_frames
 
-    frames = _time_range_frames(events, n_batches)
-    frames.append(events.select("user_id").distinct().selectExpr(
+    tagged = (_with_time_epoch(events, stats, n_batches)
+              .select("user_id", "ts", "value", EPOCH_COL))
+    sentinel = events.select("user_id").distinct().selectExpr(
         "user_id", f"TIMESTAMP '{sentinel_ts}' AS ts",
-        "CAST(0 AS DOUBLE) AS value"))
-    stage_arrival_frames(
-        [f.select("user_id", "ts", "value") for f in frames], src_dir)
+        "CAST(0 AS DOUBLE) AS value",
+        f"CAST({n_batches} AS INT) AS {EPOCH_COL}")
+    stage_epoch_frames(tagged.unionByName(sentinel), n_batches + 1,
+                       src_dir)
 
 
 from dataclasses import dataclass as _dataclass  # noqa: E402
@@ -311,18 +353,20 @@ def build_streaming_sessions(spark, reg, cfg: StreamingSessionEntityConfig,
                   # summation (see module note)
                   F.expr("CAST(CAST(round(value * 100) AS BIGINT) "
                          "AS DOUBLE)").alias("value")))
-    if ev.limit(1).count() == 0:
+    stats = _ts_stats(ev)   # one probe job: emptiness + bounds + NULLs
+    if stats.cnt == 0:
         return spark.createDataFrame(
             [], "user_id long, session_seq long, session_start timestamp,"
                 " session_end timestamp, n_events long,"
                 " sum_value_cents long")
+    _check_ts_stats(stats)
     store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamsess")
     src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
     out_dir = store.path("sessions")
     for p in (src_dir, ckpt_dir, out_dir):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(src_dir)
-    _stage_time_batches(spark, ev, cfg.n_batches, src_dir,
+    _stage_time_batches(spark, ev, stats, cfg.n_batches, src_dir,
                         cfg.sentinel_ts)
 
     stream = (spark.readStream.schema(ev.schema)
@@ -411,25 +455,28 @@ def build_streaming_funnel(spark, reg, cfg: StreamingFunnelEntityConfig,
     import shutil
 
     from ..plans.incremental import scratch_store
-    from .staging import scoped_stream_shuffle, stage_arrival_frames
+    from .staging import scoped_stream_shuffle, stage_epoch_frames
 
     k = len(cfg.steps)
     step_cols = [f"step{i}_ts" for i in range(1, k + 1)]
     ev = (reg.load(spark, cfg.source)
           .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
                   "event_type"))
-    if ev.limit(1).count() == 0:
+    stats = _ts_stats(ev)   # one probe job: emptiness + bounds + NULLs
+    if stats.cnt == 0:
         return spark.createDataFrame(
             [], "user_id long, "
                 + ", ".join(f"{c} timestamp" for c in step_cols)
                 + ", depth int")
+    _check_ts_stats(stats)
     store = scratch_store(spark, cfg.name, prefix="dv4dbt_streamfun")
     src_dir, ckpt_dir = store.path("__arrivals__"), store.path("__ckpt__")
     out_dir = store.path("funnel")
     for p in (src_dir, ckpt_dir, out_dir):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(src_dir)
-    stage_arrival_frames(_time_range_frames(ev, cfg.n_batches), src_dir)
+    stage_epoch_frames(_with_time_epoch(ev, stats, cfg.n_batches),
+                       cfg.n_batches, src_dir)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
