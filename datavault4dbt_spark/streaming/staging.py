@@ -33,6 +33,11 @@ STREAM_SHUFFLE_CONF = "spark.dv4dbt.stream.shufflePartitions"
 # parallelism, at this batch size. AQE never coalesces these (adaptive
 # planning is disabled inside stateful streaming micro-batches), so the
 # partition count must be right a priori, unlike the batch plans.
+# r12 sweep (same-session interleaved minima at sf0.1, 8 vs 4 vs 2):
+# hopping 8.8/4.1/4.2s, native dedup 4.1/3.4/3.2s, sessions
+# 11.7/10.8/13.6s — 4 is the knee: native state-store operators keep
+# shrinking toward 2, but the Arrow/pandas stateful operators
+# (applyInPandasWithState) lose Python-worker parallelism below 4.
 #
 # Scope: ONLY the state-store gates (applyInPandasWithState sessions /
 # funnel, native watermarked aggregation) take this scope. The
@@ -42,7 +47,7 @@ STREAM_SHUFFLE_CONF = "spark.dv4dbt.stream.shufflePartitions"
 # free; measured at sf0.1, scoping them to 8 REGRESSED ingest
 # 8.9->14.7s and scd1 5.2->8.1s while the stateful trio improved
 # 26-35% (sessions 22.6->16.8, funnel 18.3->11.9, hopping 17.7->12.7).
-_STREAM_SHUFFLE_DEFAULT = 8
+_STREAM_SHUFFLE_DEFAULT = 4
 
 
 @contextmanager
