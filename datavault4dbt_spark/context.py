@@ -189,9 +189,15 @@ class Registry:
     persist_names: set = field(default_factory=set)
     _df_cache: dict = field(default_factory=dict)
     # loads may race when a DAG scheduler builds entities from threads
-    # (plans/replay.py): without the lock two threads can build-and-
-    # persist the same shared subtree, leaking a duplicate cached copy
+    # (plans/replay.py, operators/bundle.py): without the lock two
+    # threads can build-and-persist the same shared subtree, leaking a
+    # duplicate cached copy
     _lock: object = field(default_factory=threading.RLock)
+    # per-name build locks: a store-backed loader RUNS JOBS against its
+    # per-entity scratch path during construction, so two threads
+    # duplicating one build would race the same store directory — each
+    # name is built by exactly one thread, later threads get the cache
+    _name_locks: dict = field(default_factory=dict)
 
     def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
         self._invalidate(name)
@@ -224,19 +230,28 @@ class Registry:
         df = self._df_cache.get(name)
         if df is not None:
             return df
-        # Build OUTSIDE the lock: loaders recurse into load() for their
-        # dependencies (and a top-level load may fan out worker threads
-        # that need this registry — holding the lock through a build
-        # would self-deadlock). Concurrent threads may duplicate plan
-        # construction (cheap, no actions); only the winner's plan is
-        # cached and persisted, so nothing leaks.
-        df = self.spark_loaders[name](spark)
+        # Build under a PER-NAME lock, not the registry lock: loaders
+        # recurse into load() for their dependencies (and a top-level
+        # load may fan out worker threads that need this registry —
+        # holding the global lock through a build would self-deadlock),
+        # but one name must be built by exactly ONE thread: store-backed
+        # loaders execute jobs against a per-entity scratch path during
+        # construction, which a duplicated concurrent build would race.
+        # The dependency graph is a DAG and builders never re-request
+        # their own name, so cross-name waits cannot cycle.
         with self._lock:
-            if name not in self._df_cache:
-                if name in self.persist_names:
-                    df = df.persist()  # MEMORY_AND_DISK; LRU-evicted
-                self._df_cache[name] = df
-            return self._df_cache[name]
+            name_lock = self._name_locks.setdefault(name, threading.RLock())
+        with name_lock:
+            df = self._df_cache.get(name)
+            if df is not None:
+                return df
+            df = self.spark_loaders[name](spark)
+            with self._lock:
+                if name not in self._df_cache:
+                    if name in self.persist_names:
+                        df = df.persist()  # MEMORY_AND_DISK; LRU-evicted
+                    self._df_cache[name] = df
+                return self._df_cache[name]
 
     def duckdb_relation(self, name: str) -> str:
         return self.duckdb_relations[name]

@@ -46,7 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
-from ..plans.incremental import ParquetStore, scratch_store
+from ..plans.incremental import (ParquetStore, rebalance_for_write,
+                                 scratch_store)
 from ..plans.sqlbuild import SqlBuilder
 from .dedup import _spark_dot, _spark_norm
 from .similarity import IvfConfig, ann_ivf_oracle
@@ -118,7 +119,11 @@ def append_ann_batch(store: ParquetStore, batch: DataFrame,
                 .filter("__r = 1")
                 .select("id", "v", "nrm", "cell",
                         F.lit(batch_id).cast("int").alias("batch_id")))
-    store.append("index", assigned, partition_by=("cell",))
+    # REBALANCE-clustered on the hive key: the window plan leaves the
+    # batch hash-distributed on id, so a direct write would emit up to
+    # tasks x cells tiny files that every probe read-back re-lists
+    store.append("index", rebalance_for_write(assigned, "cell"),
+                 partition_by=("cell",))
 
 
 def probe_ann_index(store: ParquetStore, queries: DataFrame,

@@ -49,7 +49,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry, ensure_identifier
-from ..plans.incremental import ParquetStore, scratch_store
+from ..plans.incremental import (ParquetStore, rebalance_for_write,
+                                 scratch_store)
 from ..plans.sqlbuild import SqlBuilder
 from .dedup import MinHashLshConfig, minhash_bucket_frame, minhash_lsh_oracle
 
@@ -155,8 +156,11 @@ def process_dedup_batch(store: ParquetStore, batch_docs: DataFrame,
     # the index, so its plan can never see its own batch as "earlier".
     # Both tables are hive-partitioned on batch_id so the streaming
     # twin's at-least-once replay probes (streaming/incdedup.py) prune
-    # to one partition directory instead of scanning history.
-    store.append("result", verdict, partition_by=("batch_id",))
+    # to one partition directory instead of scanning history. Writes
+    # are REBALANCE-clustered: the per-batch loop re-reads both tables
+    # every later batch, so tiny-file fanout multiplies across batches.
+    store.append("result", rebalance_for_write(verdict, "batch_id"),
+                 partition_by=("batch_id",))
     append_batch_index(store, buckets, batch_id)
     buckets.unpersist()
 
@@ -167,8 +171,10 @@ def append_batch_index(store: ParquetStore, buckets: DataFrame,
     split out so the streaming twin can repair an index append that
     failed AFTER its verdict landed (llm/incdedup write order)."""
     store.append("index",
-                 buckets.withColumn("batch_id",
-                                    F.lit(batch_id).cast("int")),
+                 rebalance_for_write(
+                     buckets.withColumn("batch_id",
+                                        F.lit(batch_id).cast("int")),
+                     "batch_id"),
                  partition_by=("batch_id",))
 
 

@@ -59,10 +59,29 @@ def _member_exprs(m: BundleMember, g: GlobalConfig) -> list:
             f"{m.rsrc or g.rsrc_alias} AS {g.rsrc_alias}"]
 
 
+def _pooled_loads(spark, reg: Registry, entities, max_workers: int = 8):
+    """Construct member plans from a small thread pool (guide §2.6:
+    overlap independent driver-side work). Member CONSTRUCTION is the
+    serial half of a bundle's cost — store-backed members (SCD1/OHLC
+    streaming replays, merge loops) execute their whole certified store
+    loop while building, and every member pays driver-side probes and
+    plan analysis; none of that work depends on any other member, so a
+    pool overlaps it. Registry.load's per-name build locks keep each
+    shared dependency built exactly once. pool.map preserves member
+    order, so the returned union plan is byte-identical to the serial
+    build's."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(entities))) as pool:
+        return list(pool.map(lambda e: reg.load(spark, e), entities))
+
+
 def build_bundle(spark, reg: Registry, cfg: BundleConfig,
                  g: GlobalConfig = DEFAULT) -> DataFrame:
-    parts = [reg.load(spark, m.entity).selectExpr(*_member_exprs(m, g))
-             for m in cfg.members]
+    loaded = _pooled_loads(spark, reg, [m.entity for m in cfg.members])
+    parts = [df.selectExpr(*_member_exprs(m, g))
+             for m, df in zip(cfg.members, loaded)]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -92,9 +111,9 @@ class UnionBundleConfig:
 
 def build_union_bundle(spark, reg: Registry, cfg: UnionBundleConfig,
                        g: GlobalConfig = DEFAULT) -> DataFrame:
-    parts = [reg.load(spark, m)
-             .selectExpr(f"'{m}' AS entity", *cfg.columns)
-             for m in cfg.members]
+    loaded = _pooled_loads(spark, reg, cfg.members)
+    parts = [df.selectExpr(f"'{m}' AS entity", *cfg.columns)
+             for m, df in zip(cfg.members, loaded)]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

@@ -232,8 +232,16 @@ def build_pit_cleanup(spark, reg, cfg: PitCleanupConfig,
     store = scratch_store(spark, cfg.name, prefix="dv4dbt_pitclean")
     shutil.rmtree(store.path("pit"), ignore_errors=True)
     # sdts-partitioned layout: the DELETE below exercises the
-    # metadata-only whole-partition drop — the 100 TB path
-    store.append("pit", pit, partition_by=(g.sdts_alias,))
+    # metadata-only whole-partition drop — the 100 TB path. Cluster by
+    # the partition column before the write (guide §6): the PIT plan
+    # ends hash-distributed on its dedup keys, so a direct partitionBy
+    # write emits up to tasks x snapshots tiny files, which the
+    # cleanup's footer census and the surviving-rows read-back then
+    # pay for file-by-file; one AQE-sized exchange yields one file per
+    # sdts partition at this scale (and advisory-sized files at 100 TB).
+    from ..plans.incremental import rebalance_for_write
+    store.append("pit", rebalance_for_write(pit, g.sdts_alias),
+                 partition_by=(g.sdts_alias,))
     thinned = (reg.load(spark, cfg.snapshot_relation)
                .withColumn(cfg.trigger_column, F.expr(cfg.keep_predicate)))
     clean_up_pit(store, "pit", thinned, g,

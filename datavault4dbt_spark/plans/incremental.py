@@ -475,3 +475,28 @@ def scratch_store(spark, key: str, prefix: str = "dv4dbt_scratch") -> ParquetSto
         _SCRATCH_ROOTS[key] = root
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return ParquetStore(spark, root)
+
+
+# -------------------------------------------------- write clustering --
+
+
+def rebalance_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """Cluster a frame for a (possibly hive-partitioned) store write
+    with AQE-sized output partitions (guide §6: output file sizing).
+
+    A store append inherits the producing plan's task layout, so a
+    32-task plan writing a hive-partitioned table emits up to
+    tasks x partition-values tiny files — which every later read-back
+    (the store loops re-read their tables per batch) then pays for
+    file-by-file in listings and footer reads. The REBALANCE hint is
+    the scale-adaptive fix: under AQE the exchange is coalesced AND
+    split to ``spark.sql.adaptive.advisoryPartitionSizeInBytes``-sized
+    outputs, so a census-sized batch collapses to one file per
+    partition value while a 100 TB batch still fans out to many
+    advisory-sized files per value (unlike ``repartition(col)``, which
+    would pin one task per value at any scale)."""
+    from pyspark.sql import functions as F
+
+    if cols:
+        return df.hint("rebalance", *[F.col(c) for c in cols])
+    return df.hint("rebalance")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import threading
 import time
 from contextlib import contextmanager
 
@@ -50,6 +51,15 @@ STREAM_SHUFFLE_CONF = "spark.dv4dbt.stream.shufflePartitions"
 _STREAM_SHUFFLE_DEFAULT = 4
 
 
+# scoped_stream_shuffle mutates a SESSION conf (not thread-local):
+# overlapping scopes from two threads would restore in the wrong order
+# and leave the session at the streaming layout. Today every caller is
+# a standalone exposed gate (never built concurrently), but entity
+# construction may run from a pool (operators/bundle.py) — serialize
+# the scope so that invariant cannot silently break.
+_SCOPE_LOCK = threading.Lock()
+
+
 @contextmanager
 def scoped_stream_shuffle(spark, default: int = _STREAM_SHUFFLE_DEFAULT):
     """Scope ``spark.sql.shuffle.partitions`` to the streaming-query
@@ -67,13 +77,14 @@ def scoped_stream_shuffle(spark, default: int = _STREAM_SHUFFLE_DEFAULT):
     knob is cost-only, exactly like shuffle.partitions in batch.
     """
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    override = spark.conf.get(STREAM_SHUFFLE_CONF, None)
-    spark.conf.set(key, str(int(override) if override else default))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    with _SCOPE_LOCK:
+        prev = spark.conf.get(key)
+        override = spark.conf.get(STREAM_SHUFFLE_CONF, None)
+        spark.conf.set(key, str(int(override) if override else default))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 def stage_arrival_frames(frames, src_dir: str) -> None:
