@@ -55,6 +55,14 @@ def build_substring_dup(spark, reg: Registry, cfg: SubstringDupConfig,
         cfg.id_col,
         f"posexplode({spark_shingles('w', cfg.gram_n)}) AS (pos, s)") \
         .selectExpr(cfg.id_col, "pos", "md5(s) AS h")
+    # the positioned gram index feeds three consumers (the doc-freq
+    # census + both self-join sides); the join sides share one exchange
+    # via ReusedExchange, but the census aggregates on h BEFORE any
+    # exchange the join could reuse, so without a cache the tokenize +
+    # shingle + md5 chain — the expensive scan-stage work — runs twice.
+    # Persist the slim (id, pos, h) rows once (the ngram_jaccard /
+    # simhash pattern; MEMORY_AND_DISK spills instead of evicting).
+    grams = grams.persist()
     if cfg.max_doc_freq:
         hot = (grams.groupBy("h")
                .agg(F.countDistinct(cfg.id_col).alias("df"))
