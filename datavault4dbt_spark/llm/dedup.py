@@ -118,9 +118,15 @@ def minhash_bucket_frame(df: DataFrame, cfg: MinHashLshConfig) -> DataFrame:
     sig = ex.groupBy(cfg.id_col).agg(
         *[F.min(F.expr(f"substr(h, {1 + 4 * i}, 4)")).alias(f"mh{i}")
           for i in range(cfg.num_perm)])
+    # unhex(md5): the band key is internal (pair outputs carry ids and
+    # band counts), so shuffle it as 16-byte BINARY rather than the
+    # 32-char hex string — the bucket self-join and the persisted
+    # signature index (llm/incdedup.py) halve their key bytes (guide
+    # §2.3); unhex is injective on md5 output, so bucket collisions —
+    # and therefore every downstream count — are unchanged
     stack_rows = ", ".join(
-        f"{bidx}, md5(concat_ws('|', "
-        + ", ".join(f"mh{bidx * r + j}" for j in range(r)) + "))"
+        f"{bidx}, unhex(md5(concat_ws('|', "
+        + ", ".join(f"mh{bidx * r + j}" for j in range(r)) + ")))"
         for bidx in range(cfg.bands))
     return sig.selectExpr(
         cfg.id_col,

@@ -66,9 +66,14 @@ def build_source_overlap(spark, reg: Registry, cfg: SourceOverlapConfig,
     gcol = cfg.group_col
     df = reg.load(spark, cfg.source)
     w = df.selectExpr(gcol, f"{spark_tokens(cfg.text_col)} AS w")
+    # unhex(md5): the hash is internal (outputs are counts), so carry
+    # it as 16-byte BINARY instead of the 32-char hex string — the
+    # distinct and the pair self-join shuffle half the key bytes
+    # (guide §2.3 narrower types); unhex is injective on md5 output, so
+    # every count is unchanged
     sh = (w.selectExpr(
         gcol, f"explode({spark_shingles('w', cfg.shingle_n)}) AS s")
-        .selectExpr(gcol, "md5(s) AS h")
+        .selectExpr(gcol, "unhex(md5(s)) AS h")
         .distinct())
     # three consumers (sizes + both join sides): persist the slim
     # (stratum, hash) index once — the ngram_jaccard pattern. Released
