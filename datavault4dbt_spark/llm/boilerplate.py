@@ -92,7 +92,7 @@ def build_boilerplate_removal(spark, reg: Registry,
     cand = (lines
             .withColumn("__n", F.expr(_norm(cfg, "line")))
             .filter(F.length("__n") >= cfg.min_chars)
-            .select(cfg.id_col, "line_no", F.md5("__n").alias("sig")))
+            .select(cfg.id_col, "line_no", F.unhex(F.md5("__n")).alias("sig")))
     boiler = (cand.groupBy("sig")
               .agg(F.countDistinct(cfg.id_col).alias("n_docs"))
               .filter(F.col("n_docs") >= cfg.min_docs)

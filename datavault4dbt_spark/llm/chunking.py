@@ -172,7 +172,7 @@ def build_chunk_dedup(spark, reg: Registry, cfg: ChunkDedupConfig,
                         F.col("chunk_start"),
                         (F.col("chunk_start") + F.col("chunk_len") - 1)
                         .alias("chunk_end"),
-                        F.md5(norm).alias("sig")))
+                        F.unhex(F.md5(norm)).alias("sig")))
     dup_sigs = (eligible.groupBy("sig")
                 .agg(F.countDistinct("doc_id").alias("n_docs"))
                 .filter(F.col("n_docs") >= cfg.min_docs).select("sig"))
@@ -359,7 +359,7 @@ def build_chunk_scrub(spark, reg: Registry, cfg: ChunkScrubConfig,
             else F.col("chunk_text"))
     cand = (ch.filter(F.col("chunk_len") >= cfg.min_chunk_len)
             .select(F.col(cfg.id_col), F.col("chunk_id"),
-                    F.md5(norm).alias("sig"),
+                    F.unhex(F.md5(norm)).alias("sig"),
                     F.expr(_okey_expr(cfg, "spark")).alias("okey")))
     firsts = (cand.groupBy("sig")
               .agg(F.min("okey").alias("first_key"),
