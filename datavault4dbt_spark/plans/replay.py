@@ -210,6 +210,7 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
         out.write.mode("append").partitionBy("__entity__").parquet(merged)
 
     native_cols: dict = {}
+    merged_base: list = []
 
     def read_slice(entity: str) -> DataFrame:
         # Partition-pruned read (the literal filter prunes to one
@@ -217,10 +218,15 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
         # lists and reads exactly what a one-table-per-member layout
         # would. Reading the root rather than the subdirectory keeps an
         # all-rows-dropped member (a possible phase-2 state) a valid
-        # empty scan instead of a missing path. Fresh read per call —
-        # the scan snapshots the file listing, so phase-2 targets see
-        # only phase-1 files.
-        return (spark.read.parquet(merged)
+        # empty scan instead of a missing path. ONE shared base read —
+        # its file-index snapshot is taken once, after the phase-1
+        # write and before any phase-2 plan exists, so every slice
+        # sees exactly the phase-1 files (the per-call fresh read this
+        # replaces paid 13 driver listings + footer schema-inference
+        # jobs for the same snapshot).
+        if not merged_base:
+            merged_base.append(spark.read.parquet(merged))
+        return (merged_base[0]
                 .filter(F.col("__entity__") == entity)
                 .select(*native_cols[entity]))
 
@@ -235,11 +241,26 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
         return m.entity, bld(spark, reg, mcfg, g,
                              target=targets[m.entity])
 
+    import os as _os, time as _time
+    _dbg = _os.environ.get("SPARK_DV4DBT_REPLAY_TIMING")
+    _t = _time.time()
+
+    def _mark(label):
+        nonlocal _t
+        if _dbg:
+            now = _time.time()
+            print(f"REPLAY-PHASE {label}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     try:
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            write_phase(dict(pool.map(initial, cfg.members)))
+            plans = dict(pool.map(initial, cfg.members))
+            _mark("initial-construct")
+            write_phase(plans)
+            _mark("phase1-write")
             targets = {m.entity: read_slice(m.entity)
                        for m in cfg.members}
+            _mark("read-slices")
             # HWM/probe literals are baked into the phase-2 plans at
             # CONSTRUCTION time (hwm_filter/max_ldts collect-or-cache,
             # then inject), so the plans stay valid after the scope
@@ -250,7 +271,9 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
                     targets,
                     {m.entity: keys for m in cfg.members
                      if (keys := _probe_keys(index[m.entity][0]))}, g):
+                _mark("hwm-seed")
                 inserts = dict(pool.map(increment, cfg.members))
+            _mark("increment-construct")
     except BaseException:
         # a failed build must not leak marks or cached copies into the
         # caller's registry (round-6 advice)
