@@ -293,6 +293,29 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
     finals = [targets[m.entity].unionByName(inserts[m.entity])
               .selectExpr(*_member_exprs(m, g))
               for m in cfg.members]
+    # Small-vault union split: executed as ONE stage, the 13-branch
+    # union's task binary serializes every branch's full lineage
+    # (insert plans + cached-subtree recovery plans), and EVERY task
+    # pays its deserialization — measured 565 tasks x ~78 ms deser
+    # (44 core-s, stage 910 in plans/r12 notes) at sf0.1. A per-branch
+    # AQE rebalance bounds each stage's closure to one branch and
+    # leaves the union a 13-way exchange read. The exchange reshuffles
+    # the FULL result, so it only pays when the vault is small: gated
+    # on the phase-1 staging bytes (the result is staging + inserts,
+    # same order of magnitude) — at production scale the gate never
+    # fires and the zero-shuffle union stands.
+    try:
+        split_max = int(spark.conf.get(
+            "spark.dv4dbt.replay.unionSplitMaxBytes",
+            str(1024 * 1024 * 1024)))
+    except Exception:
+        split_max = 1024 * 1024 * 1024
+    if split_max > 0:
+        staged = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _dirs, fs in _os.walk(merged) for f in fs)
+        if staged < split_max:
+            finals = [f.hint("rebalance") for f in finals]
     return reduce(lambda a, b: a.unionByName(b), finals)
 
 
