@@ -9,6 +9,7 @@ model registry (name -> DataFrame / DuckDB relation name).
 
 from __future__ import annotations
 
+import os
 import re
 import threading
 from dataclasses import dataclass, field
@@ -187,6 +188,8 @@ class Registry:
     # be recomputed once per branch. Caching is the DataFrame-world
     # equivalent of a materialized staging table.
     persist_names: set = field(default_factory=set)
+    # summed by register_parquet; 0 = scale unknown
+    source_bytes: int = 0
     _df_cache: dict = field(default_factory=dict)
     # loads may race when a DAG scheduler builds entities from threads
     # (plans/replay.py, operators/bundle.py): without the lock two
@@ -203,6 +206,19 @@ class Registry:
         self._invalidate(name)
         self.spark_loaders[name] = lambda spark, p=path: spark.read.parquet(p)
         self.duckdb_relations[name] = duckdb_relation or name
+        # Scale witness for size-gated plan choices (bundle union
+        # split): total on-disk bytes of the registered sources. Local
+        # paths only — a non-stat-able path leaves the total unchanged
+        # and the gates treat 0 as "scale unknown, assume large".
+        try:
+            if os.path.isdir(path):
+                self.source_bytes += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _d, fs in os.walk(path) for f in fs)
+            else:
+                self.source_bytes += os.path.getsize(path)
+        except OSError:
+            pass
 
     def register(self, name: str, loader, duckdb_sql: str):
         """loader: callable(spark) -> DataFrame; duckdb_sql: a full SELECT

@@ -82,6 +82,22 @@ def build_bundle(spark, reg: Registry, cfg: BundleConfig,
     loaded = _pooled_loads(spark, reg, [m.entity for m in cfg.members])
     parts = [df.selectExpr(*_member_exprs(m, g))
              for m, df in zip(cfg.members, loaded)]
+    # Small-vault union split (same shape and rationale as
+    # plans/replay.py): executed as one stage, the ~30-branch union's
+    # task binary carries every member's full lineage and every task
+    # deserializes it; a per-branch AQE rebalance bounds each stage's
+    # closure to one member. The rebalance reshuffles each member's
+    # full output, so it only pays when the registered sources are
+    # small — gated on the registry's source bytes (0 = unknown scale,
+    # assume large) against spark.dv4dbt.bundle.unionSplitMaxBytes.
+    try:
+        split_max = int(spark.conf.get(
+            "spark.dv4dbt.bundle.unionSplitMaxBytes",
+            str(2 * 1024 * 1024 * 1024)))
+    except Exception:
+        split_max = 2 * 1024 * 1024 * 1024
+    if 0 < getattr(reg, "source_bytes", 0) < split_max:
+        parts = [p.hint("rebalance") for p in parts]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

@@ -41,3 +41,22 @@ def test_queries_and_oracle_keys_consistent():
     # every declared entity is either exposed or bundle-verified
     exposed = set(qs) | fixtures._BUNDLED
     assert exposed == set(fixtures.declared_entity_names())
+
+
+def test_bundle_union_split_gated_on_source_bytes(spark, sf_dir):
+    """Bundle union split (operators/bundle.py): on the small testdata
+    registry every thematic bundle's union gets per-branch rebalance
+    exchanges; with the gate conf at 0 (or an unknown-scale registry,
+    source_bytes == 0) the union must stay exchange-free at the top —
+    the production shape."""
+    df = fixtures.entity_query("vault_core_bundle")(spark, sf_dir)
+    assert "RebalancePartitions" in \
+        df._jdf.queryExecution().analyzed().toString()
+
+    spark.conf.set("spark.dv4dbt.bundle.unionSplitMaxBytes", "0")
+    try:
+        off = fixtures.entity_query("vault_core_bundle")(spark, sf_dir)
+        assert "RebalancePartitions" not in \
+            off._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.unset("spark.dv4dbt.bundle.unionSplitMaxBytes")
