@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator, Tuple
 
+import numpy as _np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -57,14 +58,26 @@ def _session_fn(gap_seconds: int, timeout_ms: int):
                 closed.append((user_id, s, e, n, sv))
                 state.remove()
         else:
-            ts_us, vals = [], []
+            # Vectorized column extraction (guide §4): the original
+            # per-element pandas iteration (Timestamp boxing + int()
+            # per event) dominated the gate's Python cost at ~100k
+            # events; numpy yields the identical us-precision ints.
+            ts_parts, val_parts = [], []
             for pdf in pdfs:
-                ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
-                vals.extend(float(v) for v in pdf["value"])
-            order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+                ts_parts.append(
+                    pdf["ts"].to_numpy("datetime64[ns]").astype("int64"))
+                val_parts.append(pdf["value"].to_numpy("float64"))
+            ts_a = _np.concatenate(ts_parts) // 1000 \
+                if ts_parts else _np.empty(0, "int64")
+            va = _np.concatenate(val_parts) \
+                if val_parts else _np.empty(0, "float64")
+            # stable argsort == the original sorted(range, key=ts):
+            # ties keep arrival order
+            order = _np.argsort(ts_a, kind="stable")
+            ts_py = ts_a[order].tolist()
+            vs_py = va[order].tolist()
             cur = state.get if state.exists else None
-            for i in order:
-                t, v = ts_us[i], vals[i]
+            for t, v in zip(ts_py, vs_py):
                 if cur is None:
                     cur = (t, t, 1, v)
                 elif t - cur[1] > gap_us:
@@ -94,12 +107,13 @@ def _session_fn(gap_seconds: int, timeout_ms: int):
                 if timeout_ms > 0:
                     state.setTimeoutDuration(timeout_ms)
         if not closed:
-            yield pd.DataFrame(columns=[f.name for f in SESSION_SCHEMA])
-            return
+            return   # empty iterator: no rows for this group
+        us, ss, ee, nn, sv = zip(*closed)
         yield pd.DataFrame(
-            [(u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"),
-              n, sv) for u, s, e, n, sv in closed],
-            columns=[f.name for f in SESSION_SCHEMA])
+            {"user_id": us,
+             "session_start": pd.to_datetime(list(ss), unit="us"),
+             "session_end": pd.to_datetime(list(ee), unit="us"),
+             "n_events": nn, "sum_value": sv})
     return fn
 
 
@@ -167,16 +181,20 @@ def _funnel_fn(steps: tuple, out_schema):
     def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        ev = []
+        # Vectorized extraction (guide §4, see _session_fn); NaT rows
+        # are dropped by mask exactly as the original pd.isna skip —
+        # the batch twin's conditional MIN ignores NULL event times,
+        # and NaT would otherwise sort first and poison the state.
+        ts_py, ty_py = [], []
         for pdf in pdfs:
-            # skip NULL event times: the batch twin's conditional MIN
-            # ignores them; NaT here would otherwise sort first
-            # (NaT.value = INT64_MIN) and poison the funnel state
-            ev.extend((int(t.value // 1000), str(y))
-                      for t, y in zip(pdf["ts"], pdf["event_type"])
-                      if not pd.isna(t))
+            dt = pdf["ts"].to_numpy("datetime64[ns]")
+            ok = ~_np.isnat(dt)
+            ts_py.extend((dt[ok].astype("int64") // 1000).tolist())
+            ty_py.extend(pdf["event_type"].to_numpy()[ok].tolist())
         cur = list(state.get) if state.exists else [-1] * k
-        for t, ty in sorted(ev):
+        # same tuple sort as the original sorted(ev): ties on ts break
+        # on the event-type string
+        for t, ty in sorted(zip(ts_py, ty_py)):
             for i in range(k):
                 if cur[i] != -1:
                     continue
