@@ -23,6 +23,17 @@ from typing import Any, Iterable, Iterator, Tuple
 import numpy as _np
 import pandas as pd
 
+# State-store layout for the two applyInPandasWithState gates. Their
+# per-micro-batch cost is dominated by the per-group Arrow serializer
+# round-trip, which parallelizes across state partitions (more
+# partitions = more concurrent Python workers), unlike the JVM-native
+# gates whose 4-partition default minimizes task floors. Swept at
+# sf0.1 (3 interleaved cycles, minima): sessions 8.1/5.4/4.9/5.9 s and
+# funnel 5.4/4.0/3.9/4.5 s at 4/8/16/32 — 16 wins both; hopping and
+# native dedup prefer 4 (2.7 vs 3.4 s). Cost-only layout knob; the
+# spark.dv4dbt.stream.shufflePartitions override still wins.
+_PY_STATEFUL_SHUFFLE_DEFAULT = 16
+
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (StructType, StructField, LongType,
@@ -394,7 +405,7 @@ def build_streaming_sessions(spark, reg, cfg: StreamingSessionEntityConfig,
     # processing-time timers (see sessionize_stream docstring)
     closed = sessionize_stream(stream, gap_seconds=cfg.gap_seconds,
                                timeout_ms=0)
-    with scoped_stream_shuffle(spark):
+    with scoped_stream_shuffle(spark, default=_PY_STATEFUL_SHUFFLE_DEFAULT):
         q = (closed.writeStream.format("parquet")
              .option("path", out_dir)
              .option("checkpointLocation", ckpt_dir)
@@ -499,7 +510,7 @@ def build_streaming_funnel(spark, reg, cfg: StreamingFunnelEntityConfig,
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
     snaps = funnel_stream(stream, steps=cfg.steps)
-    with scoped_stream_shuffle(spark):
+    with scoped_stream_shuffle(spark, default=_PY_STATEFUL_SHUFFLE_DEFAULT):
         q = (snaps.writeStream.format("parquet")
              .option("path", out_dir)
              .option("checkpointLocation", ckpt_dir)
