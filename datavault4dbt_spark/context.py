@@ -204,7 +204,8 @@ class Registry:
 
     def register_parquet(self, name: str, path: str, duckdb_relation: str | None = None):
         self._invalidate(name)
-        self.spark_loaders[name] = lambda spark, p=path: spark.read.parquet(p)
+        self.spark_loaders[name] = \
+            lambda spark, p=path: _read_source_parquet(spark, p)
         self.duckdb_relations[name] = duckdb_relation or name
         # Scale witness for size-gated plan choices (bundle union
         # split): total on-disk bytes of the registered sources. Local
@@ -273,6 +274,30 @@ class Registry:
         return self.duckdb_relations[name]
 
 
+# Process-lifetime schema cache for registered SOURCE parquet files
+# (immutable testdata; store tables go through ParquetStore and never
+# ride this path). Schema inference lists the path and reads a footer
+# on EVERY spark.read.parquet call — ~100 ms of driver latency paid
+# once per registry instantiation per source, i.e. once per declared
+# query per bench trial. The schema of an immutable file is metadata,
+# not a result: caching it skips only the re-inference, every query
+# still computes from the parquet bytes.
+_PARQUET_SCHEMAS: dict = {}
+
+# (session id, analyzed-plan semanticHash, target) -> scan partition
+# count, memoizing the plan->RDD probe in ensure_min_parallelism.
+_RDD_NPART_CACHE: dict = {}
+
+
+def _read_source_parquet(spark, path: str):
+    sch = _PARQUET_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def testdata_registry(sf_dir: str) -> Registry:
     """Registry over the driver's parquet testdata (TESTDATA.md)."""
     reg = Registry()
@@ -287,7 +312,7 @@ def testdata_registry(sf_dir: str) -> Registry:
     # cast truncates identically (probe-verified).
     def _events(spark, p=f"{sf_dir}/events.parquet"):
         from pyspark.sql import functions as F
-        df = spark.read.parquet(p)
+        df = _read_source_parquet(spark, p)
         if dict(df.dtypes)["ts"] in ("bigint", "long"):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
@@ -370,6 +395,20 @@ def ensure_min_parallelism(df, factor: int = 1):
         except Exception:
             pass  # stats unavailable -> fall through to the RDD probe
     target = spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    # The plan->RDD conversion behind .rdd is pure driver latency
+    # (~100-300 ms per build) and its partition count is a
+    # deterministic function of (plan, session confs): memoize it per
+    # (session, semantic plan hash) so repeated builds of the same
+    # entity across queries/trials pay one conversion per session.
+    try:
+        key = (id(spark), df._jdf.queryExecution().analyzed()
+               .semanticHash(), target)
+        npart = _RDD_NPART_CACHE.get(key)
+        if npart is None:
+            npart = df.rdd.getNumPartitions()
+            _RDD_NPART_CACHE[key] = npart
+    except Exception:
+        npart = df.rdd.getNumPartitions()
+    if npart < target:
         return df.repartition(target)
     return df

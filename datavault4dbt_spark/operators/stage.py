@@ -151,8 +151,31 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
     if hwm_ldts is not None:
         df = df.filter(F.col(g.ldts_alias) > F.lit(hwm_ldts))
 
-    for name, dtype in cfg.missing_columns:
-        df = df.withColumn(name, F.lit(None).cast(dtype.lower()))
+    def _append_columns(frame, pairs):
+        """One projection for a batch of (name, sql_expr) additions —
+        the per-column withColumn loop pays a py4j round trip + plan
+        relayer per column, a measurable slice of every query's plan
+        construction (guide §5, driver latency). Falls back to the
+        exact sequential semantics when a name overwrites an existing
+        column or an expression references another new name (resolution
+        order would differ)."""
+        import re as _re
+        existing = set(frame.columns)
+        names = [n for n, _ in pairs]
+        refs_other = any(
+            _re.search(rf"\b{_re.escape(other)}\b", expr)
+            for name, expr in pairs for other in names if other != name)
+        if all(n not in existing for n in names) and not refs_other:
+            return frame.selectExpr(
+                "*", *[f"({expr}) AS {name}" for name, expr in pairs])
+        out = frame
+        for name, expr in pairs:
+            out = out.withColumn(name, F.expr(expr))
+        return out
+
+    if cfg.missing_columns:
+        df = _append_columns(df, [(name, f"CAST(NULL AS {dtype})")
+                                  for name, dtype in cfg.missing_columns])
 
     for pj in cfg.prejoined_columns:
         ref_df = reg.load(spark, pj.ref_model)
@@ -168,12 +191,15 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
             *[F.col(f"pj.{rc}").alias(a) for a, rc, _ in pj.extract],
         )
 
-    for d in cfg.derived_columns:
-        df = df.withColumn(d.name, F.expr(_rsrc_expr(d.value)))
+    if cfg.derived_columns:
+        df = _append_columns(df, [(d.name, _rsrc_expr(d.value))
+                                  for d in cfg.derived_columns])
 
     if cfg.multi_active is None:
-        for h in cfg.hashed_columns:
-            df = df.withColumn(h.name, F.expr(hash_expr_sql(h, g, SPARK, alias=False)))
+        if cfg.hashed_columns:
+            df = _append_columns(
+                df, [(h.name, hash_expr_sql(h, g, SPARK, alias=False))
+                     for h in cfg.hashed_columns])
     else:
         ma = cfg.multi_active
         main_specs = [h for h in cfg.hashed_columns
@@ -181,22 +207,31 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         other_keys = [h for h in cfg.hashed_columns
                       if h.name != ma.main_hashkey_column and not h.is_hashdiff]
         hashdiffs = [h for h in cfg.hashed_columns if h.is_hashdiff]
-        for h in main_specs + other_keys:
-            df = df.withColumn(h.name, F.expr(hash_expr_sql(h, g, SPARK, alias=False)))
+        if main_specs + other_keys:
+            df = _append_columns(
+                df, [(h.name, hash_expr_sql(h, g, SPARK, alias=False))
+                     for h in main_specs + other_keys])
         # group hashdiff over the active set (reference: stage.sql:391-444)
         # — Spark-first: window aggregation instead of GROUP BY + re-join
         # (one shuffle, no duplicate computation of the stage subtree)
         ma_specs = [HashSpec(h.name, h.columns, True, tuple(ma.multi_active_key))
                     for h in hashdiffs]
         part = (ma.main_hashkey_column, g.ldts_alias)
-        for h in ma_specs:
-            df = df.withColumn(h.name, F.expr(ma_hash_window_sql(h, g, part)))
+        if ma_specs:
+            # separate batch: the window hashdiffs PARTITION BY the
+            # main hashkey added in the previous batch
+            df = _append_columns(
+                df, [(h.name, ma_hash_window_sql(h, g, part))
+                     for h in ma_specs])
 
     df = df.select(*final_columns(cfg, g))
 
     if cfg.enable_ghost_records:
-        ghosts = spark.sql(_ghost_row_sql(cfg, "unknown", g, SPARK)).unionByName(
-            spark.sql(_ghost_row_sql(cfg, "error", g, SPARK)))
+        # one parse for both ghost rows (same rows, same order as the
+        # former two spark.sql calls + unionByName)
+        ghosts = spark.sql(
+            f"{_ghost_row_sql(cfg, 'unknown', g, SPARK)} UNION ALL "
+            f"{_ghost_row_sql(cfg, 'error', g, SPARK)}")
         # align ghost dtypes to the staged plan (e.g. INT vs BIGINT sources)
         ghosts = ghosts.select(*[F.col(c).cast(t.dataType) for c, t in
                                  zip(ghosts.columns, df.schema.fields)])
