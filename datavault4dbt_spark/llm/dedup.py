@@ -723,6 +723,7 @@ def _star_contraction(pairs: DataFrame, cfg: DupGroupsConfig) -> DataFrame:
                       F.least("id_a", "id_b").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
+    e_cnt = e.count()
     for _ in range(cfg.max_iter):
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -746,10 +747,13 @@ def _star_contraction(pairs: DataFrame, cfg: DupGroupsConfig) -> DataFrame:
                  .filter(F.col("u") != F.col("v"))
                  .distinct().localCheckpoint(eager=True))
         # fixpoint probe: both sets are distinct, so equal counts plus
-        # an empty one-sided difference imply set equality
-        converged = (new_e.count() == e.count()
+        # an empty one-sided difference imply set equality. The old
+        # count is carried from the previous round (the frames are
+        # checkpointed, but a count is still a job — one saved/round).
+        new_cnt = new_e.count()
+        converged = (new_cnt == e_cnt
                      and not new_e.subtract(e).limit(1).count())
-        e = new_e
+        e, e_cnt = new_e, new_cnt
         if converged:
             break
     else:
