@@ -252,10 +252,44 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             print(f"REPLAY-PHASE {label}: {now - _t:.2f}s", flush=True)
             _t = now
 
+    def _materialize_shared():
+        """Materialize the persisted shared subtrees ONCE before the
+        phase-1 union write. ``persist()`` is lazy and Spark's cache
+        does not dedupe IN-FLIGHT computation: the union write job's
+        member branches otherwise race to compute the same cached
+        stage/dependency partitions concurrently, each paying the full
+        hash/derive CPU (measured: phase-1 write 10.5 -> ~6 s warm at
+        sf0.1 with this step on, guide §5 caching + §1.2 "don't compute
+        things twice"). Every materialized entity has >= 2 consumers by
+        construction (its phase-1 branch and its phase-2 increment), so
+        the cache build is never wasted. count() over a persisted frame
+        builds the full InMemoryRelation (pruning applies above the
+        cache, not inside it). Disable with
+        spark.dv4dbt.replay.materializeShared=false."""
+        try:
+            flag = str(spark.conf.get(
+                "spark.dv4dbt.replay.materializeShared", "true"))
+        except Exception:
+            flag = "true"
+        if flag.lower() == "false":
+            return
+        with reg._lock:
+            shared = [df for n, df in reg._df_cache.items()
+                      if n in reg.persist_names]
+        if not shared:
+            return
+        # A dedicated wider pool: each count is one small independent
+        # job (guide §2.6 back-fill); the 4-worker build pool would
+        # serialize them into waves.
+        with ThreadPoolExecutor(max_workers=min(8, len(shared))) as mp:
+            list(mp.map(lambda d: d.count(), shared))
+
     try:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             plans = dict(pool.map(initial, cfg.members))
             _mark("initial-construct")
+            _materialize_shared()
+            _mark("materialize-shared")
             write_phase(plans)
             _mark("phase1-write")
             targets = {m.entity: read_slice(m.entity)
