@@ -82,18 +82,26 @@ def build_cooccurrence(spark, reg: Registry, cfg: CooccurrenceConfig,
     counts = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
     freq = counts.filter(F.col("n_i") >= cfg.min_item_support).select("i")
     fi = items.join(freq, "i", "inner")
-    # one-sided caps (the linkage.py pattern): the pair join is equi on
-    # the basket key, so dropping an oversized basket from the LEFT
-    # side alone removes all its pairs
-    basket_sizes = (fi.groupBy("b")
-                    .agg(F.count(F.lit(1)).alias("__bn"))
-                    .filter(F.col("__bn") <= cfg.max_basket_size)
-                    .select("b"))
-    left = fi.join(basket_sizes, "b", "inner").selectExpr(
-        "b", "i AS item_a")
-    right = fi.selectExpr("b", "i AS item_b")
-    pairs = (left.join(right, "b", "inner")
-             .filter(F.col("item_a") < F.col("item_b"))
+    # Pair generation by group-and-explode instead of the equi
+    # self-join on the basket key (guide §2.4 "remove shuffles
+    # outright"): ONE exchange of fi (groupBy b) replaces the join's
+    # two fi sides (broadcast locally, two SMJ exchanges at scale), and
+    # the i<j pairs are generated map-side from the sorted item array.
+    # Identical results: (b, i) is DISTINCT, so sort_array yields a
+    # strictly increasing array (pairs are exactly i<j once each), and
+    # the former one-sided basket cap already meant "no pairs at all
+    # from an oversized basket" (the equi join drops the uncapped side
+    # for free — see the oracle, which keeps the join formulation).
+    # The size filter runs BEFORE explosion, so a pathological basket
+    # costs one array row, never its quadratic pairs.
+    baskets = (fi.groupBy("b")
+               .agg(F.sort_array(F.collect_list("i")).alias("__items"))
+               .filter(F.size("__items") <= cfg.max_basket_size))
+    pairs = (baskets.select(F.explode(F.expr(
+                 "flatten(transform(__items, (x, k) -> "
+                 "transform(slice(__items, k + 2, size(__items)), "
+                 "y -> struct(x AS item_a, y AS item_b))))")).alias("p"))
+             .select("p.item_a", "p.item_b")
              .groupBy("item_a", "item_b")
              .agg(F.count(F.lit(1)).alias("n_pair"))
              .filter(F.col("n_pair") >= cfg.min_pair_support))
