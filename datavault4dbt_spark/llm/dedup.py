@@ -745,14 +745,24 @@ def _star_contraction(pairs: DataFrame, cfg: DupGroupsConfig) -> DataFrame:
         small_self = mins2.select(F.col("u"), F.col("m").alias("v"))
         new_e = (small_nbrs.unionByName(small_self)
                  .filter(F.col("u") != F.col("v"))
-                 .distinct().localCheckpoint(eager=True))
+                 .distinct().localCheckpoint(eager=False))
         # fixpoint probe: both sets are distinct, so equal counts plus
-        # an empty one-sided difference imply set equality. The old
-        # count is carried from the previous round (the frames are
-        # checkpointed, but a count is still a job — one saved/round).
-        new_cnt = new_e.count()
-        converged = (new_cnt == e_cnt
-                     and not new_e.subtract(e).limit(1).count())
+        # an empty one-sided difference imply set equality. ONE
+        # aggregate job per round computes both (count + anti-matched
+        # count) AND materializes the lazy checkpoint (the full-scan
+        # agg computes every partition of new_e, which persists the
+        # checkpoint blocks) — previously the eager checkpoint, the
+        # count and the subtract probe were up to three jobs per round
+        # (guide §1.2 fewer passes).
+        row = (new_e
+               .join(e.select("u", "v", F.lit(1).alias("__old")),
+                     ["u", "v"], "left")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("__old").isNull(), F.lit(1)))
+                    .alias("n_new"))
+               .collect()[0])
+        new_cnt = row["n"]
+        converged = new_cnt == e_cnt and row["n_new"] == 0
         e, e_cnt = new_e, new_cnt
         if converged:
             break
@@ -820,9 +830,15 @@ def build_dup_groups(spark, reg: Registry, cfg: DupGroupsConfig,
                            F.least(labels.label,
                                    F.coalesce(F.col("nbr_min"), labels.label))
                            .alias("new_label"))
-                   .localCheckpoint(eager=True))
-            changed = upd.filter(
-                F.col("new_label") < F.col("label")).limit(1).count()
+                   .localCheckpoint(eager=False))
+            # ONE job per round: the full-scan aggregate computes every
+            # partition of the lazily-marked checkpoint (persisting its
+            # blocks and truncating lineage) and returns the changed
+            # count — previously the eager checkpoint and the
+            # changed-probe were two jobs (guide §1.2 fewer passes).
+            changed = upd.agg(F.count(F.when(
+                F.col("new_label") < F.col("label"), F.lit(1)))
+            ).collect()[0][0]
             labels = upd.select("doc_id", F.col("new_label").alias("label"))
             if not changed:
                 break
