@@ -190,6 +190,8 @@ class Registry:
     persist_names: set = field(default_factory=set)
     # summed by register_parquet; 0 = scale unknown
     source_bytes: int = 0
+    # per-name contribution to source_bytes (re-registration replaces)
+    _source_bytes_by_name: dict = field(default_factory=dict)
     _df_cache: dict = field(default_factory=dict)
     # loads may race when a DAG scheduler builds entities from threads
     # (plans/replay.py, operators/bundle.py): without the lock two
@@ -211,15 +213,21 @@ class Registry:
         # split): total on-disk bytes of the registered sources. Local
         # paths only — a non-stat-able path leaves the total unchanged
         # and the gates treat 0 as "scale unknown, assume large".
+        # Tracked per name so re-registering replaces rather than
+        # double-counts (r12 advice: an inflated witness could wrongly
+        # disable the union-split gate).
+        nbytes = 0
         try:
             if os.path.isdir(path):
-                self.source_bytes += sum(
+                nbytes = sum(
                     os.path.getsize(os.path.join(r, f))
                     for r, _d, fs in os.walk(path) for f in fs)
             else:
-                self.source_bytes += os.path.getsize(path)
+                nbytes = os.path.getsize(path)
         except OSError:
             pass
+        self.source_bytes += nbytes - self._source_bytes_by_name.get(name, 0)
+        self._source_bytes_by_name[name] = nbytes
 
     def register(self, name: str, loader, duckdb_sql: str):
         """loader: callable(spark) -> DataFrame; duckdb_sql: a full SELECT
@@ -275,25 +283,45 @@ class Registry:
 
 
 # Process-lifetime schema cache for registered SOURCE parquet files
-# (immutable testdata; store tables go through ParquetStore and never
-# ride this path). Schema inference lists the path and reads a footer
-# on EVERY spark.read.parquet call — ~100 ms of driver latency paid
-# once per registry instantiation per source, i.e. once per declared
-# query per bench trial. The schema of an immutable file is metadata,
-# not a result: caching it skips only the re-inference, every query
-# still computes from the parquet bytes.
+# (store tables go through ParquetStore and never ride this path).
+# Schema inference lists the path and reads a footer on EVERY
+# spark.read.parquet call — ~100 ms of driver latency paid once per
+# registry instantiation per source, i.e. once per declared query per
+# bench trial. The schema of an immutable file is metadata, not a
+# result: caching it skips only the re-inference, every query still
+# computes from the parquet bytes. Keyed on (path, mtime, size) so a
+# rewritten file re-infers instead of silently reading NULLs through a
+# stale schema (r12 advice); a directory path keys on the directory's
+# own stat, which changes whenever files are added/replaced.
 _PARQUET_SCHEMAS: dict = {}
 
-# (session id, analyzed-plan semanticHash, target) -> scan partition
-# count, memoizing the plan->RDD probe in ensure_min_parallelism.
-_RDD_NPART_CACHE: dict = {}
+# (shuffle-partition conf, analyzed-plan semanticHash, target) ->
+# scan partition count per session, memoizing the plan->RDD probe in
+# ensure_min_parallelism. Held in a WeakKeyDictionary keyed on the
+# SparkSession object (r12 advice: id(spark) can be reused after GC,
+# and the dict must not outlive the session); the shuffle-partition
+# conf is part of the key because scoped_stream_shuffle mutates it
+# mid-session and a shuffle-bearing plan's partition count depends on
+# it.
+import weakref as _weakref
+
+_RDD_NPART_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _path_stamp(path: str):
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None, None)
 
 
 def _read_source_parquet(spark, path: str):
-    sch = _PARQUET_SCHEMAS.get(path)
+    key = _path_stamp(path)
+    sch = _PARQUET_SCHEMAS.get(key)
     if sch is None:
         df = spark.read.parquet(path)
-        _PARQUET_SCHEMAS[path] = df.schema
+        _PARQUET_SCHEMAS[key] = df.schema
         return df
     return spark.read.schema(sch).parquet(path)
 
@@ -401,12 +429,16 @@ def ensure_min_parallelism(df, factor: int = 1):
     # (session, semantic plan hash) so repeated builds of the same
     # entity across queries/trials pay one conversion per session.
     try:
-        key = (id(spark), df._jdf.queryExecution().analyzed()
+        layout_confs = (
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.files.maxPartitionBytes", None))
+        per_session = _RDD_NPART_CACHE.setdefault(spark, {})
+        key = (layout_confs, df._jdf.queryExecution().analyzed()
                .semanticHash(), target)
-        npart = _RDD_NPART_CACHE.get(key)
+        npart = per_session.get(key)
         if npart is None:
             npart = df.rdd.getNumPartitions()
-            _RDD_NPART_CACHE[key] = npart
+            per_session[key] = npart
     except Exception:
         npart = df.rdd.getNumPartitions()
     if npart < target:

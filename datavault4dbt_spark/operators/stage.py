@@ -160,12 +160,16 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         column or an expression references another new name (resolution
         order would differ)."""
         import re as _re
-        existing = set(frame.columns)
+        # case-insensitive like withColumn's replace semantics under
+        # spark.sql.caseSensitive=false (r12 advice): a new name
+        # differing only in case from an existing column must take the
+        # sequential replace path, not the batched append
+        existing = {c.lower() for c in frame.columns}
         names = [n for n, _ in pairs]
         refs_other = any(
             _re.search(rf"\b{_re.escape(other)}\b", expr)
             for name, expr in pairs for other in names if other != name)
-        if all(n not in existing for n in names) and not refs_other:
+        if all(n.lower() not in existing for n in names) and not refs_other:
             return frame.selectExpr(
                 "*", *[f"({expr}) AS {name}" for name, expr in pairs])
         out = frame

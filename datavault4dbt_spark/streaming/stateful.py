@@ -199,9 +199,14 @@ def _funnel_fn(steps: tuple, out_schema):
         ts_py, ty_py = [], []
         for pdf in pdfs:
             dt = pdf["ts"].to_numpy("datetime64[ns]")
-            ok = ~_np.isnat(dt)
+            ty = pdf["event_type"].to_numpy()
+            # drop NULL event types with the NaT rows (r12 advice): a
+            # NULL type can never match a step (the batch twin ignores
+            # it identically), and a None tying on ts with a string
+            # would make the tuple sort below raise TypeError
+            ok = ~_np.isnat(dt) & ~pd.isna(ty)
             ts_py.extend((dt[ok].astype("int64") // 1000).tolist())
-            ty_py.extend(pdf["event_type"].to_numpy()[ok].tolist())
+            ty_py.extend(ty[ok].tolist())
         cur = list(state.get) if state.exists else [-1] * k
         # same tuple sort as the original sorted(ev): ties on ts break
         # on the event-type string

@@ -1,7 +1,8 @@
-"""Interleaved A/B of a conf flag on one entity (qbench session/methodology).
+"""Interleaved A/B of a conf setting on one entity (qbench methodology).
 
-Usage: python tools/ab_replay.py <entity> <conf_key> [cycles]
-Alternates conf=true/false inside ONE session, reports per-variant minima.
+Usage: python tools/ab_replay.py <entity> <conf_key> [cycles] [valA] [valB]
+Alternates conf=valA/valB (default true/false) inside ONE session,
+reports per-variant minima.
 """
 import os
 import sys
@@ -17,14 +18,15 @@ def main():
     entity = sys.argv[1]
     conf = sys.argv[2]
     cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    vals = sys.argv[4:6] or ["true", "false"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from datavault4dbt_spark import fixtures
 
     spark = build_session()
     warmup(spark, sf_dir)
-    results = {"true": [], "false": []}
+    results = {v: [] for v in vals}
     for c in range(cycles):
-        for val in ("true", "false"):
+        for val in vals:
             spark.conf.set(conf, val)
             t0 = time.time()
             fixtures.entity_query(entity)(spark, sf_dir) \
