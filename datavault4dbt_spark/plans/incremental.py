@@ -213,6 +213,18 @@ class ParquetStore:
     def __init__(self, spark, root: str):
         self.spark = spark
         self.root = root
+        # Known-schema reads (guide §5, driver latency): every
+        # spark.read.parquet pays a driver-side file listing + footer
+        # schema inference (~50-150 ms), and the store LOOPS re-read
+        # their tables once per version/batch. A table this instance
+        # itself wrote UNPARTITIONED has exactly the written schema on
+        # read-back (same columns, same order), so the write records it
+        # and read() passes it explicitly, skipping the inference.
+        # Hive-partitioned writes are excluded: read-back schema order
+        # differs (partition column moves last) and the partition
+        # column's type is directory-inferred — those keep full
+        # inference. Any partitioned write drops the memo for safety.
+        self._known_schemas: dict = {}
 
     def path(self, name: str) -> str:
         return f"{self.root}/{name}"
@@ -253,6 +265,11 @@ class ParquetStore:
 
     def read(self, name: str) -> DataFrame:
         self._check_recovered(name)
+        sch = self._known_schemas.get(name)
+        if sch is not None:
+            # schema only — the scan still lists files fresh, so data
+            # added since the memo was recorded is always visible
+            return self.spark.read.schema(sch).parquet(self.path(name))
         return self.spark.read.parquet(self.path(name))
 
     def append(self, name: str, df: DataFrame, partition_by: tuple = ()):
@@ -272,7 +289,10 @@ class ParquetStore:
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
+            self._known_schemas.pop(name, None)
         w.parquet(self.path(name))
+        if not partition_by:
+            self._known_schemas.setdefault(name, df.schema)
 
     def partitions(self, name: str, col: str) -> dict:
         """Hive-style partition values present for ``col`` — read from
@@ -364,6 +384,9 @@ class ParquetStore:
         tmp = final + ".__tmp__"
         shutil.rmtree(tmp, ignore_errors=True)
         w = df.write.mode("overwrite")
+        # drop the memo up front (a failed write must leave no stale
+        # schema behind); record the new one only after the swap lands
+        self._known_schemas.pop(name, None)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
@@ -373,6 +396,8 @@ class ParquetStore:
             os.rename(final, old)
         os.rename(tmp, final)
         shutil.rmtree(old, ignore_errors=True)
+        if not partition_by:
+            self._known_schemas[name] = df.schema
 
     def compact(self, name: str, partition_by: tuple = ()) -> int:
         """Rewrite the table to right-sized files — the maintenance step

@@ -252,43 +252,59 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             print(f"REPLAY-PHASE {label}: {now - _t:.2f}s", flush=True)
             _t = now
 
-    def _materialize_shared():
-        """Materialize the persisted shared subtrees ONCE before the
-        phase-1 union write. ``persist()`` is lazy and Spark's cache
-        does not dedupe IN-FLIGHT computation: the union write job's
-        member branches otherwise race to compute the same cached
-        stage/dependency partitions concurrently, each paying the full
-        hash/derive CPU (measured: phase-1 write 10.5 -> ~6 s warm at
-        sf0.1 with this step on, guide §5 caching + §1.2 "don't compute
-        things twice"). Every materialized entity has >= 2 consumers by
-        construction (its phase-1 branch and its phase-2 increment), so
-        the cache build is never wasted. count() over a persisted frame
-        builds the full InMemoryRelation (pruning applies above the
-        cache, not inside it). Disable with
-        spark.dv4dbt.replay.materializeShared=false."""
+    def _materialize_flag() -> bool:
         try:
             flag = str(spark.conf.get(
                 "spark.dv4dbt.replay.materializeShared", "true"))
         except Exception:
             flag = "true"
-        if flag.lower() == "false":
-            return
-        with reg._lock:
-            shared = [df for n, df in reg._df_cache.items()
-                      if n in reg.persist_names]
-        if not shared:
-            return
-        # A dedicated wider pool: each count is one small independent
-        # job (guide §2.6 back-fill); the 4-worker build pool would
-        # serialize them into waves.
-        with ThreadPoolExecutor(max_workers=min(8, len(shared))) as mp:
-            list(mp.map(lambda d: d.count(), shared))
+        return flag.lower() != "false"
+
+    # Materialize the persisted shared subtrees ONCE, fully, before the
+    # phase-1 union write. ``persist()`` is lazy and Spark's cache does
+    # not dedupe IN-FLIGHT computation: the union write job's member
+    # branches otherwise race to compute the same cached
+    # stage/dependency partitions concurrently, each paying the full
+    # hash/derive CPU (measured: phase-1 write 10.5 -> ~6 s warm at
+    # sf0.1 with this step on, guide §5 caching + §1.2 "don't compute
+    # things twice"). Every materialized entity has >= 2 consumers by
+    # construction (its phase-1 branch and its phase-2 increment), so
+    # the cache build is never wasted. count() over a persisted frame
+    # builds the full InMemoryRelation (pruning applies above the
+    # cache, not inside it).
+    #
+    # r13: the materialization OVERLAPS initial plan construction
+    # instead of following it (guide §2.6 — construction is driver-side
+    # py4j/analysis work, the cache builds are cluster jobs; running
+    # them sequentially left the executors idle for the whole
+    # construct phase). The shared set is known upfront: the members'
+    # dependency closure (``walked``) intersected with the persist
+    # marks — exactly the entities the old post-construction pass found
+    # in _df_cache, since builders load precisely their declared deps.
+    # Registry.load's per-name build locks keep each subtree built
+    # exactly once whichever side requests it first; the futures
+    # barrier before write_phase preserves the invariant that nothing
+    # is still in flight when the union write starts. Disable with
+    # spark.dv4dbt.replay.materializeShared=false.
+    shared_names = sorted(
+        n for n in walked
+        if n in reg.spark_loaders and n in reg.persist_names)
+    mat_pool = None
+    mat_futs = []
 
     try:
         with ThreadPoolExecutor(max_workers=workers) as pool:
+            if _materialize_flag() and shared_names:
+                mat_pool = ThreadPoolExecutor(
+                    max_workers=min(8, len(shared_names)))
+                mat_futs = [
+                    mat_pool.submit(
+                        lambda n=n: reg.load(spark, n).count())
+                    for n in shared_names]
             plans = dict(pool.map(initial, cfg.members))
             _mark("initial-construct")
-            _materialize_shared()
+            for f in mat_futs:
+                f.result()
             _mark("materialize-shared")
             write_phase(plans)
             _mark("phase1-write")
@@ -315,6 +331,12 @@ def run_replay(spark, reg: Registry, cfg: ReplayConfig, g: GlobalConfig,
             reg._invalidate(n)
         reg.persist_names.intersection_update(saved_persist)
         raise
+    finally:
+        if mat_pool is not None:
+            # success: all futures already resolved (barrier above);
+            # failure: cancel what never started, don't block on the
+            # rest — their exceptions stay in the dropped futures
+            mat_pool.shutdown(wait=False, cancel_futures=True)
     # On SUCCESS the replay-added persist marks and their cached
     # subtrees stay alive deliberately: the returned union embeds the
     # phase-2 insert plans, which the CALLER executes — unpersisting

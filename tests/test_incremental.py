@@ -184,3 +184,29 @@ def test_replay_union_split_gated_on_staging_bytes(spark, sf_dir):
             .analyzed().toString(), "conf=0 must disable the split"
     finally:
         spark.conf.unset("spark.dv4dbt.replay.unionSplitMaxBytes")
+
+
+def test_store_known_schema_reads(spark, tmp_path):
+    """ParquetStore records the schema of its own UNPARTITIONED writes
+    and serves later reads with it (skipping footer inference) — the
+    read must still see rows appended after the memo was recorded, and
+    a partitioned write must drop the memo (read-back column order
+    differs under a hive layout)."""
+    store = ParquetStore(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    store.overwrite("t", df1)
+    assert "t" in store._known_schemas
+    # later appends are visible through the memo'd-schema read
+    store.append("t", spark.createDataFrame([(2, "b")], "k int, v string"))
+    got = store.read("t")
+    assert got.schema == df1.schema
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    # an overwrite with a different schema refreshes the memo
+    df2 = spark.createDataFrame([("x", 9)], "v string, k int")
+    store.overwrite("t", df2)
+    assert store.read("t").columns == ["v", "k"]
+    # partitioned writes drop the memo and fall back to inference
+    store.append("p", spark.createDataFrame(
+        [(1, 0)], "k int, part int"), partition_by=("part",))
+    assert "p" not in store._known_schemas
+    assert sorted(store.read("p").columns) == ["k", "part"]
