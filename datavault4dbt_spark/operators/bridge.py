@@ -104,41 +104,39 @@ def build_bridge(spark, reg: Registry, cfg: BridgeConfig,
     snap = snap.select(g.sdts_alias)
     out = base.crossJoin(F.broadcast(snap))
 
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+    # string projections: one py4j round trip each instead of a Column
+    # object per field (guide §5); the end-dating window rides inside
+    # the same selectExpr (identical expression to the former
+    # lead/coalesce Column chain)
+    eot = f"CAST('{g.end_of_all_times}' AS TIMESTAMP)"
     for i, leg in enumerate(cfg.legs):
-        lk = reg.load(spark, leg.link_entity).select(
-            F.col(leg.link_hk).alias(f"__lhk_{i}"),
-            F.col(leg.from_hk).alias(f"__from_{i}"),
-            F.col(leg.to_hk).alias(leg.to_hk),
-            F.col(g.ldts_alias).alias(f"__ldts_{i}"))
+        lk = reg.load(spark, leg.link_entity).selectExpr(
+            f"{leg.link_hk} AS __lhk_{i}",
+            f"{leg.from_hk} AS __from_{i}",
+            leg.to_hk,
+            f"{g.ldts_alias} AS __ldts_{i}")
         frm = cfg.base_hk if i == 0 else cfg.legs[i - 1].to_hk
         out = out.join(
             lk, (out[frm] == lk[f"__from_{i}"])
             & (lk[f"__ldts_{i}"] <= out[g.sdts_alias]))
         if leg.eff_sat:
-            eff = reg.load(spark, leg.eff_sat)
-            w = Window.partitionBy(leg.link_hk).orderBy(g.ldts_alias)
-            eff = (eff.select(leg.link_hk, g.ldts_alias,
-                              leg.eff_active_col)
-                   .withColumn(
-                       "__eledts",
-                       F.coalesce(F.lead(F.expr(
-                           f"{g.ldts_alias} - INTERVAL 1 MICROSECOND"
-                       )).over(w), eot))
-                   .select(F.col(leg.link_hk).alias(f"__ehk_{i}"),
-                           F.col(g.ldts_alias).alias(f"__eldts_{i}"),
-                           F.col("__eledts").alias(f"__eledts_{i}"),
-                           F.col(leg.eff_active_col).alias(f"__eact_{i}")))
+            eff = reg.load(spark, leg.eff_sat).selectExpr(
+                f"{leg.link_hk} AS __ehk_{i}",
+                f"{g.ldts_alias} AS __eldts_{i}",
+                f"COALESCE(LEAD({g.ldts_alias} - INTERVAL 1 MICROSECOND)"
+                f" OVER (PARTITION BY {leg.link_hk} "
+                f"ORDER BY {g.ldts_alias}), {eot}) AS __eledts_{i}",
+                f"{leg.eff_active_col} AS __eact_{i}")
             out = (out.join(
                 eff, (out[f"__lhk_{i}"] == eff[f"__ehk_{i}"])
                 & (out[g.sdts_alias] >= eff[f"__eldts_{i}"])
                 & (out[g.sdts_alias] <= eff[f"__eledts_{i}"]))
-                .filter(F.col(f"__eact_{i}")))
+                .filter(f"__eact_{i}"))
 
     sel = [cfg.base_hk] + [leg.to_hk for leg in cfg.legs] + [g.sdts_alias]
-    result = out.select(*sel).select(
-        F.expr(hash_expr_sql(_key_spec(cfg, g), g, SPARK, alias=False))
-        .alias(cfg.bridge_key), "*")
+    result = out.selectExpr(*sel).selectExpr(
+        f"{hash_expr_sql(_key_spec(cfg, g), g, SPARK, alias=False)} "
+        f"AS {cfg.bridge_key}", "*")
     if target is not None:
         result = result.join(
             target.select(cfg.bridge_key).distinct(),

@@ -35,11 +35,13 @@ class EffSatConfig:
 
 
 def _source(spark, reg, cfg, g, target, disable_hwm):
-    bot = F.to_timestamp(F.lit(g.beginning_of_all_times))
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
-    src = reg.load(spark, cfg.source_model).select(
+    # one string projection + one string filter = two py4j round trips
+    # (guide §5); CAST('ts' AS TIMESTAMP) == to_timestamp(lit) here
+    src = reg.load(spark, cfg.source_model).selectExpr(
         cfg.tracked_hashkey, g.ldts_alias, g.rsrc_alias).filter(
-        (F.col(g.ldts_alias) != bot) & (F.col(g.ldts_alias) != eot))
+        f"{g.ldts_alias} != CAST('{g.beginning_of_all_times}' AS TIMESTAMP)"
+        f" AND {g.ldts_alias} != "
+        f"CAST('{g.end_of_all_times}' AS TIMESTAMP)")
     if target is not None and not disable_hwm:
         src = hwm_filter(src, target, g)
     return src
@@ -61,18 +63,19 @@ def build_eff_sat_v0(spark, reg: Registry, cfg: EffSatConfig,
     if not cfg.source_is_single_batch:
         hashkeys = src.groupBy(hk).agg(F.min(ldts).alias("__first"))
         load_dates = src.select(ldts).distinct()
+        # string projections/filters: one py4j round trip each
+        # (guide §5); expressions identical to the former Column chains
         history = (hashkeys.crossJoin(F.broadcast(load_dates))
-                   .filter(F.col(ldts) >= F.col("__first")).select(hk, ldts))
-        presence = src.select(F.col(hk).alias("__src_hk"),
-                              F.col(ldts).alias("__src_ldts"),
-                              F.col(rsrc).alias("__src_rsrc"))
+                   .filter(f"{ldts} >= __first").selectExpr(hk, ldts))
+        presence = src.selectExpr(f"{hk} AS __src_hk",
+                                  f"{ldts} AS __src_ldts",
+                                  f"{rsrc} AS __src_rsrc")
         is_active = history.join(
             presence, (F.col(hk) == F.col("__src_hk"))
-            & (F.col(ldts) == F.col("__src_ldts")), "left").select(
-            F.col(hk), F.col(ldts),
-            F.coalesce(F.col("__src_rsrc"), F.lit(g.default_unknown_rsrc)).alias(rsrc),
-            F.when(F.col("__src_hk").isNull(), F.lit(0)).otherwise(F.lit(1))
-            .alias(act))
+            & (F.col(ldts) == F.col("__src_ldts")), "left").selectExpr(
+            hk, ldts,
+            f"COALESCE(__src_rsrc, '{g.default_unknown_rsrc}') AS {rsrc}",
+            f"CASE WHEN __src_hk IS NULL THEN 0 ELSE 1 END AS {act}")
         w = Window.partitionBy(hk).orderBy(ldts)
         prev = F.lag(act).over(w)
         incoming = (is_active

@@ -52,11 +52,14 @@ def _source_select(df: DataFrame, sm: EntitySource, cfg: HubConfig,
                    g: GlobalConfig) -> DataFrame:
     hk = sm.hk_column or cfg.hashkey
     bks = sm.bk_columns or cfg.business_keys
-    sel = [F.col(hk).alias(cfg.hashkey)]
-    sel += [F.col(b).alias(t) for b, t in zip(bks, cfg.business_keys)]
-    sel += [F.col(c) for c in cfg.additional_columns]
-    sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
-    return df.select(*sel)
+    # one string projection = one py4j round trip (guide §5); every
+    # name here is interpolated into the oracle SQL already, so the
+    # plain-identifier contract holds
+    sel = [f"{hk} AS {cfg.hashkey}"]
+    sel += [f"{b} AS {t}" for b, t in zip(bks, cfg.business_keys)]
+    sel += list(cfg.additional_columns)
+    sel += [g.ldts_alias, g.rsrc_alias]
+    return df.selectExpr(*sel)
 
 
 def build_hub(spark, reg: Registry, cfg: HubConfig, g: GlobalConfig = DEFAULT,

@@ -40,11 +40,12 @@ def build_link(spark, reg: Registry, cfg: LinkConfig, g: GlobalConfig = DEFAULT,
         df = reg.load(spark, sm.name)
         hk = sm.hk_column or cfg.link_hashkey
         fks = sm.fk_columns or cfg.foreign_hashkeys
-        sel = [F.col(hk).alias(cfg.link_hashkey)]
-        sel += [F.col(s).alias(t) for s, t in zip(fks, cfg.foreign_hashkeys)]
-        sel += [F.col(c) for c in cfg.additional_columns]
-        sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
-        src = df.select(*sel)
+        # one string projection = one py4j round trip (guide §5)
+        sel = [f"{hk} AS {cfg.link_hashkey}"]
+        sel += [f"{s} AS {t}" for s, t in zip(fks, cfg.foreign_hashkeys)]
+        sel += list(cfg.additional_columns)
+        sel += [g.ldts_alias, g.rsrc_alias]
+        src = df.selectExpr(*sel)
         if target is not None and not disable_hwm:
             # per-source watermark with probe when rsrc_static declared
             # (reference: databricks/link.sql:44-131 mirror of the hub)

@@ -42,7 +42,8 @@ def build_ma_sat_v0(spark, reg: Registry, cfg: MaSatConfig, g: GlobalConfig = DE
                     target: DataFrame | None = None, disable_hwm: bool = False) -> DataFrame:
     cols = [cfg.parent_hashkey, cfg.hdiff, *cfg.src_ma_key,
             g.rsrc_alias, g.ldts_alias, *cfg.payload]
-    src = reg.load(spark, cfg.source_model).select(*cols)
+    # one string projection = one py4j round trip (guide §5)
+    src = reg.load(spark, cfg.source_model).selectExpr(*cols)
     if target is not None and not disable_hwm:
         src = hwm_filter(src, target, g)
 
@@ -120,9 +121,10 @@ def build_ma_sat_v1(spark, reg: Registry, cfg: MaSatV1Config,
         g.ledts_alias,
         F.coalesce(F.lead(F.expr(f"{g.ldts_alias} - INTERVAL 1 MICROSECOND")).over(w),
                    eot))
-    out = src.join(end_dated, on=[cfg.hashkey, g.ldts_alias], how="left").select(
-        cfg.hashkey, cfg.hashdiff, g.rsrc_alias, g.ldts_alias, g.ledts_alias,
-        *cfg.src_ma_key, *cfg.payload)
+    out = src.join(end_dated, on=[cfg.hashkey, g.ldts_alias],
+                   how="left").selectExpr(
+        cfg.hashkey, cfg.hashdiff, g.rsrc_alias, g.ldts_alias,
+        g.ledts_alias, *cfg.src_ma_key, *cfg.payload)
     if cfg.add_is_current_flag:
         out = out.withColumn(g.is_current_col_alias, F.col(g.ledts_alias) == eot)
     return out

@@ -36,7 +36,8 @@ def build_nh_sat(spark, reg: Registry, cfg: NhSatConfig, g: GlobalConfig = DEFAU
                  target: DataFrame | None = None, disable_hwm: bool = False) -> DataFrame:
     cols = [cfg.parent_hashkey, g.ldts_alias, g.rsrc_alias, *cfg.payload,
             *cfg.additional_columns]
-    src = reg.load(spark, cfg.source_model).select(*cols)
+    # one string projection = one py4j round trip (guide §5)
+    src = reg.load(spark, cfg.source_model).selectExpr(*cols)
     if target is not None and not disable_hwm:
         src = hwm_filter(src, target, g)
     if not cfg.source_is_single_batch:
@@ -77,12 +78,13 @@ def build_nh_link(spark, reg: Registry, cfg: NhLinkConfig, g: GlobalConfig = DEF
         hk = sm.hk_column or cfg.link_hashkey
         fks = sm.fk_columns or cfg.foreign_hashkeys
         pay = sm.payload or cfg.payload
-        sel = [F.col(hk).alias(cfg.link_hashkey)]
-        sel += [F.col(s).alias(t) for s, t in zip(fks, cfg.foreign_hashkeys)]
-        sel += [F.col(c) for c in cfg.additional_columns]
-        sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
-        sel += [F.col(s).alias(t) for s, t in zip(pay, cfg.payload)]
-        src = df.select(*sel)
+        # one string projection = one py4j round trip (guide §5)
+        sel = [f"{hk} AS {cfg.link_hashkey}"]
+        sel += [f"{s} AS {t}" for s, t in zip(fks, cfg.foreign_hashkeys)]
+        sel += list(cfg.additional_columns)
+        sel += [g.ldts_alias, g.rsrc_alias]
+        sel += [f"{s} AS {t}" for s, t in zip(pay, cfg.payload)]
+        src = df.selectExpr(*sel)
         if target is not None and not disable_hwm:
             # per-source watermark when the source declares rsrc_static
             # (reference: nh_link.sql:61-100 record-source performance

@@ -55,47 +55,52 @@ def build_pit(spark, reg: Registry, cfg: PitConfig, g: GlobalConfig = DEFAULT,
     snap = snap.select(g.sdts_alias)
     base = te.crossJoin(F.broadcast(snap))
 
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
+    # string projections: one py4j round trip per frame instead of a
+    # Column object per field (guide §5); the end-dating window rides
+    # inside the same selectExpr (identical expression to the former
+    # lead/coalesce Column chain)
+    eot = f"CAST('{g.end_of_all_times}' AS TIMESTAMP)"
+    bot = f"CAST('{g.beginning_of_all_times}' AS TIMESTAMP)"
     sel = []
     if cfg.pit_type:
-        sel.append(F.lit(cfg.pit_type).alias("type"))
+        sel.append(f"{sql_str(cfg.pit_type)} AS type")
     if cfg.custom_rsrc:
-        sel.append(F.lit(cfg.custom_rsrc).alias(g.rsrc_alias))
-    sel += [F.col(cfg.hashkey), F.col(g.sdts_alias)]
+        sel.append(f"{sql_str(cfg.custom_rsrc)} AS {g.rsrc_alias}")
+    sel += [cfg.hashkey, g.sdts_alias]
 
     out = base
     for sat in cfg.sat_names:
         s = reg.load(spark, sat)
         if sat in cfg.sats_have_ledts:
-            s = s.select(cfg.hashkey, g.ldts_alias, g.ledts_alias)
+            s = s.selectExpr(f"{cfg.hashkey} AS __hk_{sat}",
+                             f"{g.ldts_alias} AS __ldts_{sat}",
+                             f"{g.ledts_alias} AS __ledts_{sat}")
         else:
-            w = Window.partitionBy(cfg.hashkey).orderBy(g.ldts_alias)
-            s = s.select(cfg.hashkey, g.ldts_alias).withColumn(
-                g.ledts_alias,
-                F.coalesce(F.lead(
-                    F.expr(f"{g.ldts_alias} - INTERVAL 1 MICROSECOND")).over(w), eot))
-        s = (s.withColumnRenamed(cfg.hashkey, f"__hk_{sat}")
-             .withColumnRenamed(g.ldts_alias, f"__ldts_{sat}")
-             .withColumnRenamed(g.ledts_alias, f"__ledts_{sat}"))
+            s = s.selectExpr(
+                f"{cfg.hashkey} AS __hk_{sat}",
+                f"{g.ldts_alias} AS __ldts_{sat}",
+                f"COALESCE(LEAD({g.ldts_alias} - INTERVAL 1 MICROSECOND)"
+                f" OVER (PARTITION BY {cfg.hashkey} "
+                f"ORDER BY {g.ldts_alias}), {eot}) AS __ledts_{sat}")
         out = out.join(
             s, (out[cfg.hashkey] == s[f"__hk_{sat}"])
             & (out[g.sdts_alias] >= s[f"__ldts_{sat}"])
             & (out[g.sdts_alias] <= s[f"__ledts_{sat}"]), "left")
         if cfg.refer_to_ghost_records:
-            bot = F.to_timestamp(F.lit(g.beginning_of_all_times))
-            sel += [F.coalesce(F.col(f"__hk_{sat}"), F.lit(g.unknown_key))
-                    .alias(f"hk_{sat}"),
-                    F.coalesce(F.col(f"__ldts_{sat}"), bot).alias(f"{g.ldts_alias}_{sat}")]
+            sel += [f"COALESCE(__hk_{sat}, {sql_str(g.unknown_key)}) "
+                    f"AS hk_{sat}",
+                    f"COALESCE(__ldts_{sat}, {bot}) "
+                    f"AS {g.ldts_alias}_{sat}"]
         else:
-            sel += [F.col(f"__hk_{sat}").alias(f"hk_{sat}"),
-                    F.col(f"__ldts_{sat}").alias(f"{g.ldts_alias}_{sat}")]
+            sel += [f"__hk_{sat} AS hk_{sat}",
+                    f"__ldts_{sat} AS {g.ldts_alias}_{sat}"]
 
     # dimension_key = hash(hk, sdts) is a pure function of columns in
     # the DISTINCT set: computing it AFTER the dedup halves the string
     # bytes through the exchange and hashes each surviving row once
-    result = out.select(*sel).distinct().select(
-        F.expr(hash_expr_sql(_dim_hash_spec(cfg, g), g, SPARK, alias=False))
-        .alias(cfg.dimension_key), "*")
+    result = out.selectExpr(*sel).distinct().selectExpr(
+        f"{hash_expr_sql(_dim_hash_spec(cfg, g), g, SPARK, alias=False)} "
+        f"AS {cfg.dimension_key}", "*")
     if target is not None:
         result = result.join(target.select(cfg.dimension_key).distinct(),
                              on=cfg.dimension_key, how="left_anti")

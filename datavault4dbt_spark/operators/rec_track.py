@@ -43,19 +43,24 @@ def build_rec_track_sat(spark, reg: Registry, cfg: RecTrackConfig,
     for sm in cfg.source_models:
         df = reg.load(spark, sm.name)
         hk = sm.hk_column or cfg.tracked_hashkey
-        rsrc = (F.lit(sm.rsrc_static) if sm.rsrc_static
-                else F.col(g.rsrc_alias)).cast("string").alias(g.rsrc_alias)
-        stg = F.lit(sm.name.upper()).cast("string").alias(g.stg_alias)
-        sel = [F.col(hk).alias(cfg.tracked_hashkey), F.col(g.ldts_alias), rsrc, stg]
-        sel += [F.col(c) for c in cfg.additional_columns]
-        proj = df.select(*sel)
+        # one string projection = one py4j round trip (guide §5); same
+        # rendering as the oracle's column list
+        rsrc = (sql_str(sm.rsrc_static) if sm.rsrc_static
+                else g.rsrc_alias)
+        sel = [f"{hk} AS {cfg.tracked_hashkey}", g.ldts_alias,
+               f"CAST({rsrc} AS STRING) AS {g.rsrc_alias}",
+               f"CAST({sql_str(sm.name.upper())} AS STRING) "
+               f"AS {g.stg_alias}"]
+        sel += list(cfg.additional_columns)
+        proj = df.selectExpr(*sel)
         if target is not None and sm.rsrc_static:
             proj = hwm_filter_static(proj, target, sm.rsrc_static, g)
         parts.append(proj.distinct())
     union = reduce(lambda a, b: a.unionByName(b), parts)
-    bot = F.to_timestamp(F.lit(g.beginning_of_all_times))
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
-    out = union.filter((F.col(g.ldts_alias) != eot) & (F.col(g.ldts_alias) != bot))
+    out = union.filter(
+        f"{g.ldts_alias} != CAST('{g.end_of_all_times}' AS TIMESTAMP)"
+        f" AND {g.ldts_alias} != "
+        f"CAST('{g.beginning_of_all_times}' AS TIMESTAMP)")
     if target is None:
         return out
     key = F.concat_ws("||", cfg.tracked_hashkey, g.ldts_alias, g.rsrc_alias)

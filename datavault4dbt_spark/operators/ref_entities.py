@@ -40,10 +40,11 @@ def build_ref_hub(spark, reg: Registry, cfg: RefHubConfig, g: GlobalConfig = DEF
     for sm in cfg.source_models:
         df = reg.load(spark, sm.name)
         keys = sm.bk_columns or cfg.ref_keys
-        sel = [F.col(s).alias(t) for s, t in zip(keys, cfg.ref_keys)]
-        sel += [F.col(c) for c in cfg.additional_columns]
-        sel += [F.col(g.ldts_alias), F.col(g.rsrc_alias)]
-        src = df.select(*sel)
+        # one string projection = one py4j round trip (guide §5)
+        sel = [f"{s} AS {t}" for s, t in zip(keys, cfg.ref_keys)]
+        sel += list(cfg.additional_columns)
+        sel += [g.ldts_alias, g.rsrc_alias]
+        src = df.selectExpr(*sel)
         if target is not None:
             # per-source watermark for rsrc_static sources (reference:
             # ref_hub.sql:39-100): a newly added source's older history
@@ -90,7 +91,7 @@ class RefSatConfig:
 def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
                      g: GlobalConfig = DEFAULT,
                      target: DataFrame | None = None) -> DataFrame:
-    src = reg.load(spark, cfg.source_model).select(
+    src = reg.load(spark, cfg.source_model).selectExpr(
         *cfg.parent_ref_keys, cfg.src_hashdiff, g.rsrc_alias, g.ldts_alias,
         *cfg.payload)
     if target is not None:
@@ -163,15 +164,19 @@ class RefSatV1Config:
 def build_ref_sat_v1(spark, reg: Registry, cfg: RefSatV1Config,
                      g: GlobalConfig = DEFAULT) -> DataFrame:
     src = reg.load(spark, cfg.ref_sat_v0)
-    w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
-    out = src.select(
+    keys = ", ".join(cfg.parent_ref_keys)
+    eot = f"CAST('{g.end_of_all_times}' AS TIMESTAMP)"
+    # one string projection = one py4j round trip (guide §5); the
+    # end-dating window rides inside the same selectExpr
+    out = src.selectExpr(
         *cfg.parent_ref_keys, cfg.hashdiff, g.rsrc_alias, g.ldts_alias,
-        F.coalesce(F.lead(F.expr(f"{g.ldts_alias} - INTERVAL 1 MICROSECOND")).over(w),
-                   eot).alias(g.ledts_alias),
-        *[F.col(c) for c in cfg.payload])
+        f"COALESCE(LEAD({g.ldts_alias} - INTERVAL 1 MICROSECOND) OVER "
+        f"(PARTITION BY {keys} ORDER BY {g.ldts_alias}), {eot}) "
+        f"AS {g.ledts_alias}",
+        *cfg.payload)
     if cfg.add_is_current_flag:
-        out = out.withColumn(g.is_current_col_alias, F.col(g.ledts_alias) == eot)
+        out = out.withColumn(g.is_current_col_alias,
+                             F.expr(f"{g.ledts_alias} = {eot}"))
     return out
 
 
@@ -220,18 +225,18 @@ def build_ref_table(spark, reg: Registry, cfg: RefTableConfig,
 
     dates = dates.withColumnRenamed(date_col, "__date")
     out = hub.alias("h").crossJoin(F.broadcast(dates)).filter(
-        F.col(f"h.{g.ldts_alias}") <= F.col("__date"))
-    sel = [F.col(f"h.{k}") for k in cfg.ref_keys] + \
-          [F.col("__date").alias(date_col), F.col(f"h.{g.rsrc_alias}")]
+        f"h.{g.ldts_alias} <= __date")
+    sel = [f"h.{k}" for k in cfg.ref_keys] + \
+          [f"__date AS {date_col}", f"h.{g.rsrc_alias}"]
     for i, (sat, payload) in enumerate(cfg.ref_satellites):
         s = reg.load(spark, sat).alias(f"s{i}")
-        cond = reduce(lambda a, c: a & c,
-                      [F.col(f"h.{k}") == F.col(f"s{i}.{k}") for k in cfg.ref_keys])
-        cond = cond & F.col("__date").between(
-            F.col(f"s{i}.{g.ldts_alias}"), F.col(f"s{i}.{g.ledts_alias}"))
+        cond = F.expr(" AND ".join(
+            [f"h.{k} = s{i}.{k}" for k in cfg.ref_keys]
+            + [f"__date BETWEEN s{i}.{g.ldts_alias} "
+               f"AND s{i}.{g.ledts_alias}"]))
         out = out.join(s, cond, "left")
-        sel += [F.col(f"s{i}.{c}") for c in payload]
-    return out.select(*sel)
+        sel += [f"s{i}.{c}" for c in payload]
+    return out.selectExpr(*sel)
 
 
 def ref_table_oracle(b: SqlBuilder, reg: Registry, cfg: RefTableConfig,

@@ -36,11 +36,11 @@ class SatConfig:
 
 def build_sat_v0(spark, reg: Registry, cfg: SatConfig, g: GlobalConfig = DEFAULT,
                  target: DataFrame | None = None, disable_hwm: bool = False) -> DataFrame:
-    src = reg.load(spark, cfg.source_model).select(
-        F.col(cfg.parent_hashkey),
-        F.col(cfg.src_hashdiff).alias(cfg.hdiff),
-        F.col(g.rsrc_alias), F.col(g.ldts_alias),
-        *[F.col(c) for c in cfg.payload])
+    # one string projection = one py4j round trip (guide §5)
+    src = reg.load(spark, cfg.source_model).selectExpr(
+        cfg.parent_hashkey,
+        f"{cfg.src_hashdiff} AS {cfg.hdiff}",
+        g.rsrc_alias, g.ldts_alias, *cfg.payload)
     if target is not None and not disable_hwm:
         src = hwm_filter(src, target, g)
 
@@ -117,17 +117,17 @@ def build_sat_v1(spark, reg: Registry, cfg: SatV1Config,
     """Virtual end-dating view — never materialized (reference:
     sat_v1.sql is a dbt view; we return an unmaterialized DataFrame)."""
     src = reg.load(spark, cfg.sat_v0)
-    w = Window.partitionBy(cfg.hashkey).orderBy(g.ldts_alias)
-    eot = F.to_timestamp(F.lit(g.end_of_all_times))
-    ledts = F.coalesce(
-        F.lead(F.expr(f"{g.ldts_alias} - INTERVAL 1 MICROSECOND")).over(w), eot)
+    eot = f"CAST('{g.end_of_all_times}' AS TIMESTAMP)"
+    ledts = (f"COALESCE(LEAD({g.ldts_alias} - INTERVAL 1 MICROSECOND) "
+             f"OVER (PARTITION BY {cfg.hashkey} "
+             f"ORDER BY {g.ldts_alias}), {eot}) AS {g.ledts_alias}")
     cols = [cfg.hashkey] + ([cfg.hashdiff] if cfg.hashdiff else []) + \
            [g.rsrc_alias, g.ldts_alias]
-    out = src.select(*cols, ledts.alias(g.ledts_alias),
-                     *[F.col(c) for c in cfg.include_payload])
+    # one string projection = one py4j round trip (guide §5)
+    out = src.selectExpr(*cols, ledts, *cfg.include_payload)
     if cfg.add_is_current_flag:
         out = out.withColumn(g.is_current_col_alias,
-                             F.col(g.ledts_alias) == eot)
+                             F.expr(f"{g.ledts_alias} = {eot}"))
         # keep payload last like the reference select order? driver sorts
         # columns by name, so order is cosmetic.
     return out

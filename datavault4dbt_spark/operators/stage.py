@@ -137,16 +137,20 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
             (c, t.upper()) for c, t in src.dtypes))
     if cfg.include_source_columns:
         keep = ([cfg.sequence] if cfg.sequence else []) + [c for c, _ in _source_cols(cfg)]
-        src = src.select(*dict.fromkeys(keep))
+        src = src.selectExpr(*dict.fromkeys(keep))
     # hashing is CPU-bound: make sure the scan's effective parallelism
     # matches the session's cores (no-op on well-partitioned sources)
     src = ensure_min_parallelism(src)
 
-    df = src.select(
-        F.expr(cfg.ldts).cast("timestamp").alias(g.ldts_alias),
-        F.expr(_rsrc_expr(cfg.rsrc)).cast("string").alias(g.rsrc_alias),
-        *([F.col(cfg.sequence).alias("edwSequence")] if cfg.sequence else []),
-        *([F.col(c) for c, _ in _source_cols(cfg)] if cfg.include_source_columns else []),
+    # single selectExpr: per-Column F.col/alias objects each pay a py4j
+    # round trip; one string projection is one call (guide §5 — the
+    # construction batching that _append_columns applies below)
+    df = src.selectExpr(
+        f"CAST(({cfg.ldts}) AS TIMESTAMP) AS {g.ldts_alias}",
+        f"CAST(({_rsrc_expr(cfg.rsrc)}) AS STRING) AS {g.rsrc_alias}",
+        *([f"{cfg.sequence} AS edwSequence"] if cfg.sequence else []),
+        *([c for c, _ in _source_cols(cfg)]
+          if cfg.include_source_columns else []),
     )
     if hwm_ldts is not None:
         df = df.filter(F.col(g.ldts_alias) > F.lit(hwm_ldts))
@@ -190,9 +194,9 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
             c = df[tc] == ref_df[rc]
             cond = c if cond is None else (cond & c)
         joined = df.alias("lcte").join(F.broadcast(ref_df), cond, "left")
-        df = joined.select(
-            *[F.col(f"lcte.{c}") for c in df.columns],
-            *[F.col(f"pj.{rc}").alias(a) for a, rc, _ in pj.extract],
+        df = joined.selectExpr(
+            *[f"lcte.{c}" for c in df.columns],
+            *[f"pj.{rc} AS {a}" for a, rc, _ in pj.extract],
         )
 
     if cfg.derived_columns:
@@ -228,7 +232,7 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
                 df, [(h.name, ma_hash_window_sql(h, g, part))
                      for h in ma_specs])
 
-    df = df.select(*final_columns(cfg, g))
+    df = df.selectExpr(*final_columns(cfg, g))
 
     if cfg.enable_ghost_records:
         # one parse for both ghost rows (same rows, same order as the
@@ -236,9 +240,11 @@ def build_stage(spark, reg: Registry, cfg: StageConfig, g: GlobalConfig = DEFAUL
         ghosts = spark.sql(
             f"{_ghost_row_sql(cfg, 'unknown', g, SPARK)} UNION ALL "
             f"{_ghost_row_sql(cfg, 'error', g, SPARK)}")
-        # align ghost dtypes to the staged plan (e.g. INT vs BIGINT sources)
-        ghosts = ghosts.select(*[F.col(c).cast(t.dataType) for c, t in
-                                 zip(ghosts.columns, df.schema.fields)])
+        # align ghost dtypes to the staged plan (e.g. INT vs BIGINT
+        # sources) — one string projection, not a Column per field
+        ghosts = ghosts.selectExpr(
+            *[f"CAST({c} AS {t.dataType.simpleString()}) AS {c}"
+              for c, t in zip(ghosts.columns, df.schema.fields)])
         df = df.unionByName(ghosts)
     return df
 
