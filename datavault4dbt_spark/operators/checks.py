@@ -95,41 +95,73 @@ def _label(c: Check):
             F.lit(cols).alias("check_cols"))
 
 
+def _agg_metric_sql(c: Check) -> str:
+    """The check's violation count as ONE SQL aggregate expression —
+    identical text shape to the oracle's (vault_checks_oracle below)."""
+    if c.kind == "not_null":
+        pred = " OR ".join(f"{col} IS NULL" for col in c.columns)
+        return f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)"
+    # INJECTIVE tuple encoding: each component is md5-hashed (fixed
+    # 32-hex width) before joining, so values containing any
+    # separator/sentinel byte cannot make distinct tuples collide
+    # (round-7 advice); NULL components fold to a sentinel md5 can
+    # never emit. The oracle runs the same expression, so both engines
+    # count identical distinct tuples (including all-NULL ones, which
+    # countDistinct alone would skip).
+    tup = ", ".join(f"coalesce(md5(CAST({col} AS STRING)), 'null')"
+                    for col in c.columns)
+    return f"count(*) - count(DISTINCT concat_ws(':', {tup}))"
+
+
 def build_vault_checks(spark, reg: Registry, cfg: VaultChecksConfig,
                        g: GlobalConfig = DEFAULT) -> DataFrame:
-    parts = []
+    # Aggregate-kind checks (not_null / unique / unique_combination) on
+    # the SAME entity share one scan: each branch of the final union
+    # recomputes its entity's whole build subtree (persisting the
+    # checked entities was measured-and-rejected in r12 — the cache
+    # build cost more than the duplicate aggregates), so fusing N
+    # same-entity aggregates into one agg + stack() halves that
+    # entity's builds in the plan. Row content is unchanged (same
+    # label/count per check); row order within the union differs only
+    # when same-entity agg checks were declared non-adjacent, and the
+    # driver compare is order-insensitive.
+    groups: dict = {}   # entity -> [check, ...] in declared order
+    order: list = []    # (entity, first_check) in declared order
     for c in cfg.checks:
-        df = reg.load(spark, c.entity)
-        if c.kind == "not_null":
-            pred = reduce(lambda a, col: a | F.col(col).isNull(),
-                          c.columns[1:], F.col(c.columns[0]).isNull())
-            agg = df.agg(F.sum(pred.cast("long")).alias("n"))
-        elif c.kind in ("unique", "unique_combination"):
-            # INJECTIVE tuple encoding: each component is md5-hashed
-            # (fixed 32-hex width) before joining, so values containing
-            # any separator/sentinel byte cannot make distinct tuples
-            # collide (round-7 advice); NULL components fold to a
-            # sentinel md5 can never emit. The oracle runs the same
-            # expression, so both engines count identical distinct
-            # tuples (including all-NULL ones, which countDistinct
-            # alone would skip).
-            sent = [F.coalesce(F.md5(F.col(col).cast("string")),
-                               F.lit("null")) for col in c.columns]
-            agg = df.agg(
-                (F.count(F.lit(1))
-                 - F.countDistinct(F.concat_ws(":", *sent)))
-                .alias("n"))
-        else:  # relationship
-            child = df.select(*c.columns).na.drop("any")
+        if c.kind == "relationship":
+            order.append((None, c))
+        else:
+            if c.entity not in groups:
+                order.append((c.entity, c))
+            groups.setdefault(c.entity, []).append(c)
+    parts = []
+    for entity, c0 in order:
+        if entity is None:   # relationship: anti-join count
+            c = c0
+            df = reg.load(spark, c.entity)
+            child = df.selectExpr(*c.columns).na.drop("any")
             parent = (reg.load(spark, c.to_entity)
-                      .select(*[F.col(p).alias(k) for k, p in
-                                zip(c.columns, c.parent_cols)])
+                      .selectExpr(*[f"{p} AS {k}" for k, p in
+                                    zip(c.columns, c.parent_cols)])
                       .distinct())
             agg = (child.join(parent, on=list(c.columns), how="left_anti")
                    .agg(F.count(F.lit(1)).alias("n")))
-        parts.append(agg.select(
-            *_label(c), F.coalesce(F.col("n"), F.lit(0))
-            .cast("long").alias("n_violations")))
+            parts.append(agg.select(
+                *_label(c), F.coalesce(F.col("n"), F.lit(0))
+                .cast("long").alias("n_violations")))
+            continue
+        checks = groups[entity]
+        df = reg.load(spark, entity)
+        agg = df.selectExpr(
+            *[f"{_agg_metric_sql(c)} AS n{i}"
+              for i, c in enumerate(checks)])
+        rows = ", ".join(
+            f"'{c.entity}', '{c.kind}', '{','.join(c.columns)}', "
+            f"CAST(coalesce(n{i}, 0) AS BIGINT)"
+            for i, c in enumerate(checks))
+        parts.append(agg.selectExpr(
+            f"stack({len(checks)}, {rows}) AS "
+            f"(entity, check_kind, check_cols, n_violations)"))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
