@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
@@ -56,9 +56,10 @@ def build_eff_sat_v0(spark, reg: Registry, cfg: EffSatConfig,
 
     current = None
     if target is not None:
-        w = Window.partitionBy(hk).orderBy(F.col(ldts).desc())
-        current = (target.withColumn("__rn", F.row_number().over(w))
-                   .filter(F.col("__rn") == 1).select(hk, act, rsrc))
+        current = (target.selectExpr(
+                       "*", f"ROW_NUMBER() OVER (PARTITION BY {hk} "
+                       f"ORDER BY {ldts} DESC) AS __rn")
+                   .filter("__rn = 1").selectExpr(hk, act, rsrc))
 
     if not cfg.source_is_single_batch:
         hashkeys = src.groupBy(hk).agg(F.min(ldts).alias("__first"))
@@ -76,11 +77,11 @@ def build_eff_sat_v0(spark, reg: Registry, cfg: EffSatConfig,
             hk, ldts,
             f"COALESCE(__src_rsrc, '{g.default_unknown_rsrc}') AS {rsrc}",
             f"CASE WHEN __src_hk IS NULL THEN 0 ELSE 1 END AS {act}")
-        w = Window.partitionBy(hk).orderBy(ldts)
-        prev = F.lag(act).over(w)
+        lag = f"LAG({act}) OVER (PARTITION BY {hk} ORDER BY {ldts})"
         incoming = (is_active
-                    .withColumn("__keep", prev.isNull() | (F.col(act) != prev))
-                    .filter(F.col("__keep")).drop("__keep"))
+                    .selectExpr("*", f"({lag} IS NULL OR {act} != {lag})"
+                                f" AS __keep")
+                    .filter("__keep").drop("__keep"))
     else:
         incoming = src.select(hk, ldts, rsrc).distinct().withColumn(act, F.lit(1))
         if current is not None:

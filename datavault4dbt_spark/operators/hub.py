@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
@@ -76,9 +76,12 @@ def build_hub(spark, reg: Registry, cfg: HubConfig, g: GlobalConfig = DEFAULT,
                 src = hwm_filter(src, target, g)
         parts.append(src)
     union = reduce(lambda a, b: a.unionByName(b), parts)
-    w = Window.partitionBy(cfg.hashkey).orderBy(g.ldts_alias, g.rsrc_alias)
-    dedup = (union.withColumn("__rn", F.row_number().over(w))
-             .filter(F.col("__rn") == 1).drop("__rn"))
+    # window as SQL text inside one selectExpr (guide §5 — identical
+    # plan, one py4j round trip instead of Window/Column objects)
+    dedup = (union.selectExpr(
+                "*", f"ROW_NUMBER() OVER (PARTITION BY {cfg.hashkey} "
+                f"ORDER BY {g.ldts_alias}, {g.rsrc_alias}) AS __rn")
+             .filter("__rn = 1").drop("__rn"))
     return anti_join_new(dedup, target, [cfg.hashkey])
 
 

@@ -51,12 +51,16 @@ def build_ma_sat_v0(spark, reg: Registry, cfg: MaSatConfig, g: GlobalConfig = DE
     if not cfg.source_is_single_batch:
         # LAG on the distinct (hk, ldts, hashdiff) level, then keep all
         # rows of surviving (hk, ldts, hashdiff) groups.
-        lvl = src.select(cfg.parent_hashkey, g.ldts_alias, cfg.hdiff).distinct()
-        w = Window.partitionBy(cfg.parent_hashkey).orderBy(g.ldts_alias)
-        prev = F.lag(cfg.hdiff).over(w)
-        keep = (lvl.withColumn("__keep", prev.isNull() | (F.col(cfg.hdiff) != prev))
-                .filter(F.col("__keep"))
-                .select(cfg.parent_hashkey, g.ldts_alias, cfg.hdiff))
+        lvl = src.selectExpr(cfg.parent_hashkey, g.ldts_alias,
+                             cfg.hdiff).distinct()
+        # window as SQL text in one selectExpr (guide §5, same plan)
+        lag = (f"LAG({cfg.hdiff}) OVER (PARTITION BY "
+               f"{cfg.parent_hashkey} ORDER BY {g.ldts_alias})")
+        keep = (lvl.selectExpr(
+                    "*", f"({lag} IS NULL OR {cfg.hdiff} != {lag}) "
+                    f"AS __keep")
+                .filter("__keep")
+                .selectExpr(cfg.parent_hashkey, g.ldts_alias, cfg.hdiff))
         out = src.join(keep, on=[cfg.parent_hashkey, g.ldts_alias, cfg.hdiff],
                        how="inner")
 
@@ -74,12 +78,14 @@ def build_ma_sat_v0(spark, reg: Registry, cfg: MaSatConfig, g: GlobalConfig = DE
     # performance_filter semi-join — see operators/sat.py note): keys
     # absent from the delta cannot match the anti-join anyway
     batch_keys = out.select(cfg.parent_hashkey).distinct()
-    wt = Window.partitionBy(cfg.parent_hashkey).orderBy(F.col(g.ldts_alias).desc())
-    latest = (target.select(cfg.parent_hashkey, cfg.hdiff, g.ldts_alias)
+    latest = (target.selectExpr(cfg.parent_hashkey, cfg.hdiff,
+                                g.ldts_alias)
               .join(batch_keys, on=cfg.parent_hashkey, how="left_semi")
-              .withColumn("__rn", F.row_number().over(wt))
-              .filter(F.col("__rn") == 1)
-              .select(cfg.parent_hashkey, cfg.hdiff))
+              .selectExpr("*", f"ROW_NUMBER() OVER (PARTITION BY "
+                          f"{cfg.parent_hashkey} ORDER BY {g.ldts_alias}"
+                          f" DESC) AS __rn")
+              .filter("__rn = 1")
+              .selectExpr(cfg.parent_hashkey, cfg.hdiff))
     return out.join(latest, on=[cfg.parent_hashkey, cfg.hdiff], how="left_anti")
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
@@ -41,9 +41,10 @@ def build_nh_sat(spark, reg: Registry, cfg: NhSatConfig, g: GlobalConfig = DEFAU
     if target is not None and not disable_hwm:
         src = hwm_filter(src, target, g)
     if not cfg.source_is_single_batch:
-        w = Window.partitionBy(cfg.parent_hashkey).orderBy(g.ldts_alias)
-        src = (src.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") == 1).drop("__rn"))
+        src = (src.selectExpr(
+                   "*", f"ROW_NUMBER() OVER (PARTITION BY "
+                   f"{cfg.parent_hashkey} ORDER BY {g.ldts_alias}) AS __rn")
+               .filter("__rn = 1").drop("__rn"))
     return anti_join_new(src, target, [cfg.parent_hashkey])
 
 
@@ -99,9 +100,11 @@ def build_nh_link(spark, reg: Registry, cfg: NhLinkConfig, g: GlobalConfig = DEF
     if cfg.union_strategy == "distinct" and len(parts) > 1:
         union = union.distinct()
     if not cfg.source_is_single_batch:
-        w = Window.partitionBy(cfg.link_hashkey).orderBy(g.ldts_alias, g.rsrc_alias)
-        union = (union.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") == 1).drop("__rn"))
+        union = (union.selectExpr(
+                     "*", f"ROW_NUMBER() OVER (PARTITION BY "
+                     f"{cfg.link_hashkey} ORDER BY {g.ldts_alias}, "
+                     f"{g.rsrc_alias}) AS __rn")
+                 .filter("__rn = 1").drop("__rn"))
     return anti_join_new(union, target, [cfg.link_hashkey])
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
@@ -55,9 +55,11 @@ def build_ref_hub(spark, reg: Registry, cfg: RefHubConfig, g: GlobalConfig = DEF
                 src = hwm_filter(src, target, g)
         parts.append(src)
     union = reduce(lambda a, b: a.unionByName(b), parts)
-    w = Window.partitionBy(*cfg.ref_keys).orderBy(g.ldts_alias, g.rsrc_alias)
-    dedup = (union.withColumn("__rn", F.row_number().over(w))
-             .filter(F.col("__rn") == 1).drop("__rn"))
+    dedup = (union.selectExpr(
+                 "*", f"ROW_NUMBER() OVER (PARTITION BY "
+                 f"{', '.join(cfg.ref_keys)} ORDER BY {g.ldts_alias}, "
+                 f"{g.rsrc_alias}) AS __rn")
+             .filter("__rn = 1").drop("__rn"))
     if target is not None:
         dedup = dedup.join(target.select(*cfg.ref_keys).distinct(),
                            on=list(cfg.ref_keys), how="left_anti")
@@ -96,16 +98,17 @@ def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
         *cfg.payload)
     if target is not None:
         src = hwm_filter(src, target, g)
-    w = Window.partitionBy(*cfg.parent_ref_keys).orderBy(g.ldts_alias)
     if not cfg.source_is_single_batch:
         # COALESCE(eq, false) mirrors the oracle's CASE (drop only on
         # strict TRUE): NULL hashdiffs never NULL-out the keep-predicate
-        prev = F.lag(cfg.src_hashdiff).over(w)
-        src = (src.withColumn(
-                   "__keep",
-                   ~F.coalesce(F.col(cfg.src_hashdiff) == prev, F.lit(False)))
-               .withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__keep")).drop("__keep"))
+        over = (f"OVER (PARTITION BY {', '.join(cfg.parent_ref_keys)} "
+                f"ORDER BY {g.ldts_alias})")
+        src = (src.selectExpr(
+                   "*",
+                   f"NOT COALESCE({cfg.src_hashdiff} = "
+                   f"LAG({cfg.src_hashdiff}) {over}, FALSE) AS __keep",
+                   f"ROW_NUMBER() {over} AS __rn")
+               .filter("__keep").drop("__keep"))
     else:
         src = src.withColumn("__rn", F.lit(1))
     if target is not None:
@@ -119,13 +122,14 @@ def build_ref_sat_v0(spark, reg: Registry, cfg: RefSatConfig,
         # NULL ref keys never semi-match, and never match the compare
         # join either, so the prune is result-identical
         batch_keys = src.select(*cfg.parent_ref_keys).distinct()
-        wt = Window.partitionBy(*cfg.parent_ref_keys).orderBy(F.col(g.ldts_alias).desc())
         latest = (target.join(batch_keys, on=list(cfg.parent_ref_keys),
                               how="left_semi")
-                  .withColumn("__rn2", F.row_number().over(wt))
-                  .filter(F.col("__rn2") == 1)
-                  .select(*cfg.parent_ref_keys,
-                          F.col(cfg.src_hashdiff).alias("__t_hdiff")))
+                  .selectExpr("*", f"ROW_NUMBER() OVER (PARTITION BY "
+                              f"{', '.join(cfg.parent_ref_keys)} ORDER "
+                              f"BY {g.ldts_alias} DESC) AS __rn2")
+                  .filter("__rn2 = 1")
+                  .selectExpr(*cfg.parent_ref_keys,
+                              f"{cfg.src_hashdiff} AS __t_hdiff"))
         # COALESCE(eq, false): a NULL hashdiff on either side of the
         # compare must insert (reference NOT EXISTS drops only on strict
         # TRUE, ref_sat_v0.sql:135-145), not evaluate to NULL and vanish

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..context import GlobalConfig, DEFAULT, Registry
 from ..plans.sqlbuild import SqlBuilder
@@ -44,18 +44,20 @@ def build_sat_v0(spark, reg: Registry, cfg: SatConfig, g: GlobalConfig = DEFAULT
     if target is not None and not disable_hwm:
         src = hwm_filter(src, target, g)
 
-    w = Window.partitionBy(cfg.parent_hashkey).orderBy(g.ldts_alias)
     if not cfg.source_is_single_batch:
         # keep a row only when its hashdiff differs from the previous
         # row's; COALESCE(eq, false) mirrors the oracle's CASE WHEN eq
         # THEN FALSE ELSE TRUE (drop only on strict TRUE), so a NULL
-        # hashdiff never turns the keep-predicate NULL
-        prev = F.lag(cfg.hdiff).over(w)
-        src = (src.withColumn(
-                   "__keep",
-                   ~F.coalesce(F.col(cfg.hdiff) == prev, F.lit(False)))
-               .withColumn("__rn", F.row_number().over(w)))
-        src = src.filter(F.col("__keep")).drop("__keep")
+        # hashdiff never turns the keep-predicate NULL. Window as SQL
+        # text in one selectExpr (guide §5, identical plan).
+        over = (f"OVER (PARTITION BY {cfg.parent_hashkey} "
+                f"ORDER BY {g.ldts_alias})")
+        src = (src.selectExpr(
+                   "*",
+                   f"NOT COALESCE({cfg.hdiff} = LAG({cfg.hdiff}) {over},"
+                   f" FALSE) AS __keep",
+                   f"ROW_NUMBER() {over} AS __rn")
+               .filter("__keep").drop("__keep"))
     else:
         src = src.withColumn("__rn", F.lit(1))
 
@@ -72,11 +74,13 @@ def build_sat_v0(spark, reg: Registry, cfg: SatConfig, g: GlobalConfig = DEFAULT
     # from the batch can never affect the insert decision (the compare
     # joins from the batch side), so the prune is result-identical.
     batch_keys = src.select(cfg.parent_hashkey).distinct()
-    wt = Window.partitionBy(cfg.parent_hashkey).orderBy(F.col(g.ldts_alias).desc())
     latest = (target.join(batch_keys, on=cfg.parent_hashkey, how="left_semi")
-              .withColumn("__rn", F.row_number().over(wt))
-              .filter(F.col("__rn") == 1)
-              .select(cfg.parent_hashkey, F.col(cfg.hdiff).alias("__t_hdiff")))
+              .selectExpr("*", f"ROW_NUMBER() OVER (PARTITION BY "
+                          f"{cfg.parent_hashkey} ORDER BY {g.ldts_alias} "
+                          f"DESC) AS __rn")
+              .filter("__rn = 1")
+              .selectExpr(cfg.parent_hashkey,
+                          f"{cfg.hdiff} AS __t_hdiff"))
     # insert unless (first new row per hk) matches latest (hk, hashdiff).
     # COALESCE(eq, false) keeps the predicate two-valued: with a plain
     # ==, a NULL hashdiff on either side yields NULL and the row would
